@@ -1,38 +1,48 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship path: build the inverted index over the
+sf0.001 ``documents`` corpus with the real engine (tokenize -> tf ->
+salted stats -> compressed posting segments) and execute a BM25 top-10
+search. ``queries``/``oracle_sql`` expose every SQL-checkable operator
+(see rse_spark/harness.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rse_spark import harness  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pyspark.sql import functions as F
+
+    from rse_spark.index.build import build_index
+    from rse_spark.query.engine import search_bundle
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bundle = build_index(
+        spark, docs, analyzer="simple", content_col="text",
+        docs_per_segment=128,
+    )
+    hits = search_bundle(
+        spark, bundle, "spark join filter", k=10, analyzer="simple"
+    )
+    return hits.join(bundle.doc_map, "doc_id").select(
+        "doc_id", F.round("score", 6).alias("score"), "lang", "source"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return harness.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return harness.oracle_sql()

@@ -1,0 +1,586 @@
+"""Driver-contract query harness: Spark callables + DuckDB oracle SQL.
+
+Each entry implements one operator from SURVEY.md §2 (or a
+training-data-pipeline extension) twice:
+
+* a Spark DataFrame callable ``(spark, sf_dir) -> DataFrame``;
+* an equivalent ANSI-SQL string DuckDB runs on the same parquet views.
+
+Conventions keeping the two sides hash-identical:
+* every computed column is aliased identically on both sides;
+* counts cast to bigint (DuckDB ``sum(int)`` is HUGEINT otherwise);
+* doubles rounded — 6 dp for O(1)-magnitude scores, 2 dp for large
+  money sums (so engine-order float noise, ~1e-9 abs, can't cross a
+  rounding boundary);
+* deterministic tie-breaks on id columns everywhere an ORDER/LIMIT or
+  window rank appears.
+
+The ``documents`` table's ``text`` is single-space-separated lowercase
+tokens (verified), so the ``simple`` analyzer (split on ' ') is exactly
+expressible in SQL — BM25 over it is the driver-checkable twin of the
+code-corpus engine (which pytest checks against the pandas oracle).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+BM25_TERMS = ["spark", "join", "filter"]
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+N_MINHASH = 16
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term) token stream — GSE's tokenize step (simple analyzer)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+
+
+def _tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _toks(spark, sf_dir)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+_TOKS_SQL = "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents"
+_TF_SQL = f"SELECT doc_id, term, count(*)::bigint AS tf FROM ({_TOKS_SQL}) GROUP BY doc_id, term"
+
+
+# ---------------------------------------------------------------------------
+# Engine-core operators (inverted index + BM25) — SURVEY.md §2.2-2.4
+# ---------------------------------------------------------------------------
+
+
+def q_tf_postings(spark, sf_dir):
+    """The keywords(page_id, word, frequency) rows GSE declared but never
+    built (reference init_db.sql:10-16): explode -> groupBy -> count."""
+    return _tf(spark, sf_dir)
+
+
+def q_term_df(spark, sf_dir):
+    """Per-term document frequency + collection frequency (idf inputs)."""
+    return (
+        _tf(spark, sf_dir)
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+        )
+    )
+
+
+def q_doc_stats(spark, sf_dir):
+    """doc_len + sha256 invariant column (BASELINE.json input_hint)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("doc_len"),
+        F.sha2("text", 256).alias("content_sha256"),
+    )
+
+
+def q_corpus_stats(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .select(F.size(F.split("text", " ")).alias("dl"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("dl"), 6).alias("avgdl"),
+        )
+    )
+
+
+def q_candidates_or(spark, sf_dir):
+    """GSE's disjunctive candidate retrieval: DISTINCT docs matching ANY
+    query term (api/main.go:131-159), as one join-free semi-filter."""
+    return (
+        _toks(spark, sf_dir)
+        .filter(F.col("term").isin(BM25_TERMS))
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def _bm25(spark, sf_dir, mode: str) -> DataFrame:
+    """Declarative single-DAG BM25 (no driver-side collects): stats join
+    via broadcast cross-join of the 1-row corpus_stats."""
+    toks = _toks(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qtf = tf.filter(F.col("term").isin(BM25_TERMS))
+    df = qtf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        qtf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            )
+            * F.col("tf")
+            * (K1 + 1.0)
+            / (
+                F.col("tf")
+                + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("contrib").alias("s"),
+        F.count("*").cast("int").alias("n_terms_matched"),
+    )
+    if mode == "and":
+        agg = agg.filter(F.col("n_terms_matched") == len(BM25_TERMS))
+    return (
+        agg.orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(10)
+        .select(
+            "doc_id", F.round("s", 6).alias("score"), "n_terms_matched"
+        )
+    )
+
+
+def q_bm25_topk(spark, sf_dir):
+    return _bm25(spark, sf_dir, "or")
+
+
+def q_bm25_and(spark, sf_dir):
+    return _bm25(spark, sf_dir, "and")
+
+
+def _bm25_sql(mode: str) -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    having = (
+        f"HAVING count(*) = {len(BM25_TERMS)}" if mode == "and" else ""
+    )
+    return f"""
+WITH toks AS ({_TOKS_SQL}),
+tf AS (SELECT doc_id, term, count(*)::bigint AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::bigint AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::bigint AS n_docs, avg(dl) AS avgdl FROM dl),
+qtf AS (SELECT * FROM tf WHERE term IN ({terms})),
+dfx AS (SELECT term, count(*)::bigint AS df FROM qtf GROUP BY term),
+scored AS (
+  SELECT qtf.doc_id,
+         sum( ln((stats.n_docs - dfx.df + 0.5)/(dfx.df + 0.5) + 1.0)
+              * qtf.tf * {K1 + 1.0}
+              / (qtf.tf + {K1}*(1.0 - {B} + {B}*dl.dl/stats.avgdl)) ) AS s,
+         count(*)::int AS n_terms_matched
+  FROM qtf JOIN dfx USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+  GROUP BY qtf.doc_id {having}
+)
+SELECT doc_id, round(s, 6) AS score, n_terms_matched
+FROM scored ORDER BY s DESC, doc_id ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Generic relational operators over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top_order_per_customer(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("top_price"),
+        )
+    )
+
+
+def q_order_customer_join(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_backlink_count(spark, sf_dir):
+    """GSE's backlink hash-count aggregation (api/main.go:74-83) over a
+    derived edge list (orders: customer -> order edges)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.select(
+            F.col("o_custkey").alias("src"), F.col("o_orderkey").alias("dst")
+        )
+        .groupBy("src")
+        .agg(F.count("*").alias("n_backlinks"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data-pipeline operators: dedup / text analysis / fingerprints
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via content-hash groupBy (scales: one shuffle on the
+    hash, no pairwise compare)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5("text").alias("fp"))
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+def q_token_count(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("text_len"),
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    """Per-doc quality features: token count, type/token ratio, stopword
+    ratio, mean token length — the length/stopword-ratio heuristics of a
+    pretraining quality filter."""
+    toks = _toks(spark, sf_dir)
+    return toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(
+            F.count_distinct("term") / F.count("*"), 6
+        ).alias("ttr"),
+        F.round(
+            F.sum(F.col("term").isin(STOPWORDS).cast("int")) / F.count("*"), 6
+        ).alias("stopword_ratio"),
+        F.round(F.avg(F.length("term")), 6).alias("mean_tok_len"),
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Deterministic document fingerprints: full-text hash + prefix-shingle
+    hash (cheap near-head dup signal)."""
+    d = _docs(spark, sf_dir).withColumn("sp", F.split("text", " "))
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("fp_full"),
+        F.md5(F.concat_ws(" ", F.slice("sp", 1, 16))).alias("fp_prefix16"),
+    )
+
+
+def q_ngram_tf(spark, sf_dir):
+    """3-gram word-shingle frequencies per doc (n-gram Jaccard input)."""
+    d = _docs(spark, sf_dir).withColumn("sp", F.split("text", " "))
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("sp") >= 3,
+                F.expr(
+                    "transform(sequence(1, size(sp)-2),"
+                    " i -> concat_ws(' ', sp[i-1], sp[i], sp[i+1]))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("shingle"),
+    )
+    return sh.groupBy("doc_id", "shingle").agg(F.count("*").alias("n"))
+
+
+def q_minhash_signature(spark, sf_dir):
+    """MinHash signatures (16 permutations) over distinct tokens: the
+    near-dup LSH building block. Hash = md5(seed:term) — identical and
+    deterministic in Spark and DuckDB."""
+    toks = _toks(spark, sf_dir).distinct()
+    seeded = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("seed"),
+        "term",
+    )
+    return (
+        seeded.withColumn(
+            "h", F.md5(F.concat_ws(":", F.col("seed").cast("string"), "term"))
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: windowed aggregation + sessionization
+# ---------------------------------------------------------------------------
+
+
+def q_events_hourly(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: new session when gap > 30 min; sessions per user."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.withColumn("pts", F.lag("ts").over(w)).withColumn(
+        "brk",
+        (
+            F.col("pts").isNotNull()
+            & (
+                (
+                    F.unix_millis(F.col("ts").cast("timestamp"))
+                    - F.unix_millis(F.col("pts").cast("timestamp"))
+                )
+                > 1800 * 1000
+            )
+        ).cast("int"),
+    )
+    return gaps.groupBy("user_id").agg(
+        (F.sum("brk") + 1).cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def q_emb_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 neighbors of vec_id=0 — the exact ANN
+    baseline. All-JVM: zip_with + aggregate, no UDF."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "v", F.expr("transform(embedding, x -> cast(x as double))")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv")
+    )
+    dot = "aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (a, b) -> a + b)"
+    n1 = "aggregate(v, 0D, (a, x) -> a + x * x)"
+    n2 = "aggregate(qv, 0D, (a, x) -> a + x * x)"
+    return (
+        emb.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != 0)
+        .withColumn("cos", F.expr(f"{dot} / (sqrt({n1}) * sqrt({n2}))"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("cos", 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "tf_postings": q_tf_postings,
+        "term_df": q_term_df,
+        "doc_stats": q_doc_stats,
+        "corpus_stats": q_corpus_stats,
+        "candidates_or": q_candidates_or,
+        "bm25_topk": q_bm25_topk,
+        "bm25_and": q_bm25_and,
+        "tpch_q1": q_tpch_q1,
+        "top_order_per_customer": q_top_order_per_customer,
+        "order_customer_join": q_order_customer_join,
+        "backlink_count": q_backlink_count,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ngram_tf": q_ngram_tf,
+        "minhash_signature": q_minhash_signature,
+        "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
+        "emb_cosine_topk": q_emb_cosine_topk,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return {
+        "tf_postings": _TF_SQL,
+        "term_df": f"""
+            SELECT term, count(*)::bigint AS df, sum(tf)::bigint AS cf
+            FROM ({_TF_SQL}) GROUP BY term
+        """,
+        "doc_stats": """
+            SELECT doc_id,
+                   len(string_split(text, ' '))::bigint AS doc_len,
+                   sha256(text) AS content_sha256
+            FROM documents
+        """,
+        "corpus_stats": """
+            SELECT count(*)::bigint AS n_docs,
+                   round(avg(len(string_split(text, ' '))), 6) AS avgdl
+            FROM documents
+        """,
+        "candidates_or": f"""
+            SELECT DISTINCT doc_id FROM ({_TOKS_SQL}) WHERE term IN ({terms})
+        """,
+        "bm25_topk": _bm25_sql("or"),
+        "bm25_and": _bm25_sql("and"),
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*)::bigint AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_order_per_customer": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS top_price
+            FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                     ) AS rn
+              FROM orders
+            ) WHERE rn = 1
+        """,
+        "order_customer_join": """
+            SELECT c_mktsegment,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*)::bigint AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "backlink_count": """
+            SELECT o_custkey AS src, count(*)::bigint AS n_backlinks
+            FROM orders GROUP BY o_custkey
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS fp, count(*)::bigint AS n_dups,
+                   min(doc_id) AS keeper_doc_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   len(string_split(text, ' '))::bigint AS n_tokens,
+                   len(text)::bigint AS text_len
+            FROM documents
+        """,
+        "quality_score": f"""
+            SELECT doc_id, count(*)::bigint AS n_tokens,
+                   round(count(DISTINCT term) / count(*), 6) AS ttr,
+                   round(sum(CASE WHEN term IN ({stop}) THEN 1 ELSE 0 END) / count(*), 6)
+                     AS stopword_ratio,
+                   round(avg(len(term)), 6) AS mean_tok_len
+            FROM ({_TOKS_SQL}) GROUP BY doc_id
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(text) AS fp_full,
+                   md5(array_to_string(list_slice(string_split(text, ' '), 1, 16), ' '))
+                     AS fp_prefix16
+            FROM documents
+        """,
+        "ngram_tf": """
+            WITH sh AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(sp) >= 3 THEN
+                       list_transform(range(1, len(sp) - 1),
+                                      i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2])
+                       ELSE [] END) AS shingle
+              FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)
+            )
+            SELECT doc_id, shingle, count(*)::bigint AS n FROM sh
+            GROUP BY doc_id, shingle
+        """,
+        "minhash_signature": f"""
+            WITH toks AS (SELECT DISTINCT doc_id, term FROM ({_TOKS_SQL})),
+            seeded AS (
+              SELECT doc_id, s.seed::int AS seed,
+                     md5(s.seed::varchar || ':' || term) AS h
+              FROM toks CROSS JOIN (SELECT unnest(range({N_MINHASH})) AS seed) s
+            )
+            SELECT doc_id, seed, min(h) AS minhash
+            FROM seeded GROUP BY doc_id, seed
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*)::bigint AS n,
+                   round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+              FROM events
+            )
+            SELECT user_id,
+                   (sum(CASE WHEN pts IS NOT NULL
+                             AND epoch_ms(ts) - epoch_ms(pts) > 1800000
+                        THEN 1 ELSE 0 END) + 1)::bigint AS n_sessions,
+                   count(*)::bigint AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "emb_cosine_topk": """
+            WITH e AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings
+            ),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            scored AS (
+              SELECT e.vec_id,
+                     list_sum(list_transform(range(1, len(e.v) + 1),
+                                             i -> e.v[i] * q.qv[i]))
+                     / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                        * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos
+              FROM e CROSS JOIN q WHERE e.vec_id != 0
+            )
+            SELECT vec_id, round(cos, 6) AS cosine
+            FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+        """,
+    }

@@ -1,0 +1,266 @@
+"""Inverted-index construction as a Spark DataFrame pipeline.
+
+Replaces GSE's never-implemented indexer (the crawler saves only
+url/title/description — reference crawler/src/crawler/crawler/crawler.go:216-228
+— and the ``keywords`` table stays empty) with the real thing:
+
+    corpus (repo, path, commit, lang, content)
+      -> dense doc_id assignment (scalable two-level scheme, no global sort)
+      -> tokenize (Arrow UDF or pure-JVM split + O(vocab) stem-dict join)
+      -> explode -> tf = groupBy(doc_id, term).count()
+      -> term stats via SALTED two-phase agg (hot-term skew handling)
+      -> per-(term, segment) posting lists, delta+varint compressed,
+         with block-max metadata for WAND.
+
+Scale notes (the design target is a 1000-executor cluster / 100 TB):
+* doc_id assignment avoids a single-partition global window: ids are
+  per-partition row_numbers plus driver-side partition offsets (the
+  offsets table is O(#partitions), tiny).
+* the (doc_id, term) tf aggregation is skew-free by construction
+  (doc_id spreads hot terms across reducers).
+* term-level stats (df, cf) use explicit salting: partial agg on
+  (term, salt) then final agg on term — stop-word-like terms never
+  land on a single reducer (BASELINE.json north_rule).
+* posting lists are DOCUMENT-PARTITIONED segments (segment = doc_id
+  range), the standard sharding of large-scale search engines: a hot
+  term's postings split across segments, bounding any single
+  collect_list and parallelizing queries.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rse_spark.index import codec
+from rse_spark.tokenizer import stem_term_udf, tokens_col, tokens_udf
+
+DEFAULT_SALTS = 16
+DOC_KEY = ["repo", "path", "commit"]
+
+
+@dataclass
+class IndexBundle:
+    """In-memory handle to the index DataFrames (storage.py persists them)."""
+
+    doc_map: DataFrame       # doc_id, repo, path, commit, lang
+    doc_stats: DataFrame     # doc_id, doc_len, content_sha256
+    corpus_stats: DataFrame  # n_docs, avgdl (single row)
+    term_stats: DataFrame    # term, df, cf
+    postings: DataFrame      # term, bucket, segment_id, df_seg, payload, block_*
+    avgdl: float
+    n_docs: int
+
+
+def assign_doc_ids(corpus: DataFrame, key: list[str] | None = None) -> DataFrame:
+    """Dense, deterministic doc_id without a global single-partition sort.
+
+    Range-partition by the unique key, per-partition row_number, then add
+    driver-side cumulative partition offsets (O(#partitions) rows on the
+    driver). Replaces GSE's Postgres SERIAL pk (init_db.sql:3) and stays
+    parallel at 10^12 rows.
+    """
+    key = key or DOC_KEY
+    spark = corpus.sparkSession
+    # persist so the partition layout (and thus _pid) is identical between
+    # the counts action and the downstream plan
+    parts = corpus.repartitionByRange(*key).withColumn(
+        "_pid", F.spark_partition_id()
+    ).persist()
+    counts = (
+        parts.groupBy("_pid").count().orderBy("_pid").collect()
+    )
+    offsets, acc = {}, 0
+    for row in counts:
+        offsets[row["_pid"]] = acc
+        acc += row["count"]
+    off_df = spark.createDataFrame(
+        pd.DataFrame(
+            {"_pid": list(offsets), "_off": [offsets[p] for p in offsets]}
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy(*key)
+    return (
+        parts.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn("doc_id", (F.col("_off") + F.col("_rn") - F.lit(1)).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
+def tokenized(corpus_with_ids: DataFrame, analyzer: str = "code",
+              tokenize_path: str = "udf") -> DataFrame:
+    """(doc_id, content, ...) -> + tokens array<string> column.
+
+    ``tokenize_path='udf'``: one Arrow-batched pandas UDF does split +
+    memoized Porter stem (1 pass, 1 shuffle downstream).
+    ``tokenize_path='jvm'``: pure-JVM regex split (whole-stage codegen);
+    stemming is deferred to a distinct-term dictionary join in
+    :func:`term_frequencies` — Python then touches O(|vocab|) rows only.
+    """
+    if analyzer == "simple":
+        return corpus_with_ids.withColumn("tokens", tokens_col("content", "simple"))
+    if tokenize_path == "jvm":
+        return corpus_with_ids.withColumn(
+            "tokens", tokens_col("content", "code_nostem")
+        )
+    return corpus_with_ids.withColumn("tokens", tokens_udf(analyzer)("content"))
+
+
+def term_frequencies(toks: DataFrame, analyzer: str = "code",
+                     tokenize_path: str = "udf") -> DataFrame:
+    """tokens -> (doc_id, term, tf). The analogue of GSE's
+    keywords(page_id, word, frequency) rows (init_db.sql:13-15), built
+    for real. Skew-free: the agg key contains doc_id."""
+    flat = toks.select("doc_id", F.explode("tokens").alias("raw"))
+    tf_raw = flat.groupBy("doc_id", "raw").agg(F.count("*").alias("tf"))
+    if analyzer == "code" and tokenize_path == "jvm":
+        vocab = tf_raw.select("raw").distinct()
+        stem_map = vocab.withColumn("term", stem_term_udf("raw"))
+        return (
+            tf_raw.join(stem_map, "raw")
+            .groupBy("doc_id", "term")
+            .agg(F.sum("tf").cast("long").alias("tf"))
+        )
+    return tf_raw.withColumnRenamed("raw", "term")
+
+
+def salted_term_stats(tf: DataFrame, n_salts: int = DEFAULT_SALTS) -> DataFrame:
+    """(term, df, cf) via explicit two-phase salted aggregation.
+
+    Hot stop-word-like terms ('return', 'def', ...) would otherwise
+    funnel every (doc, tf) row of the term into one reducer. Phase 1
+    aggregates on (term, salt = pmod(hash(doc_id), S)); phase 2 merges
+    the <= S partials per term. Spark's AQE skew handling only covers
+    joins, not groupBy — hence explicit (SURVEY.md §4.2)."""
+    partial = (
+        tf.withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)))
+        .groupBy("term", "_salt")
+        .agg(F.count("*").alias("_df"), F.sum("tf").alias("_cf"))
+    )
+    return (
+        partial.groupBy("term")
+        .agg(
+            F.sum("_df").cast("long").alias("df"),
+            F.sum("_cf").cast("long").alias("cf"),
+        )
+    )
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    analyzer: str = "code",
+    tokenize_path: str = "udf",
+    docs_per_segment: int = 4096,
+    n_buckets: int = 16,
+    n_salts: int = DEFAULT_SALTS,
+    content_col: str = "content",
+) -> IndexBundle:
+    """Run the full build and return the index DataFrames.
+
+    ``docs_per_segment`` controls document partitioning (segment_id =
+    doc_id // docs_per_segment): on a real cluster this is sized so one
+    segment's posting lists fit an executor's memory; ``n_buckets`` is
+    the term-hash partition used for query-side partition pruning.
+
+    If the corpus already carries a ``doc_id`` column (e.g. the driver's
+    ``documents`` table) it is used as-is; otherwise dense ids are
+    assigned over the (repo, path, commit) key.
+    """
+    if content_col != "content":
+        corpus = corpus.withColumnRenamed(content_col, "content")
+    if "doc_id" in corpus.columns:
+        ids = corpus.withColumn("doc_id", F.col("doc_id").cast("long")).persist()
+    else:
+        ids = assign_doc_ids(corpus).persist()
+    toks = tokenized(ids, analyzer, tokenize_path)
+
+    doc_stats = toks.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("doc_len"),
+        F.sha2("content", 256).alias("content_sha256"),
+    ).persist()
+
+    stats_row = doc_stats.agg(
+        F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(stats_row["n_docs"]), float(stats_row["avgdl"])
+    corpus_stats = spark.createDataFrame(
+        pd.DataFrame({"n_docs": [n_docs], "avgdl": [avgdl]})
+    )
+
+    tf = term_frequencies(toks, analyzer, tokenize_path).persist()
+    term_stats = salted_term_stats(tf, n_salts)
+
+    postings = build_posting_lists(
+        tf.join(doc_stats.select("doc_id", "doc_len"), "doc_id"),
+        avgdl,
+        docs_per_segment,
+        n_buckets,
+    )
+
+    map_cols = [c for c in (*DOC_KEY, "lang", "source") if c in ids.columns]
+    doc_map = ids.select("doc_id", *map_cols)
+    return IndexBundle(
+        doc_map=doc_map,
+        doc_stats=doc_stats,
+        corpus_stats=corpus_stats,
+        term_stats=term_stats,
+        postings=postings,
+        avgdl=avgdl,
+        n_docs=n_docs,
+    )
+
+
+_POSTINGS_SCHEMA = (
+    "term string, bucket int, segment_id long, df_seg long, "
+    "payload binary, block_offsets array<int>, block_last array<long>, "
+    "block_max_impact array<double>"
+)
+
+
+def build_posting_lists(
+    tf_with_dl: DataFrame,
+    avgdl: float,
+    docs_per_segment: int = 4096,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """(doc_id, term, tf, doc_len) -> compressed per-(term, segment) lists.
+
+    groupBy(term, segment) bounds every group at docs_per_segment
+    postings — document partitioning is the structural skew defense; a
+    'the'-like term becomes one modest group PER SEGMENT instead of one
+    giant group. Encoding runs in applyInPandas (Arrow batches,
+    numpy-vectorized codec)."""
+
+    def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        payload, offs, last, maxima = codec.encode_postings(
+            pdf["doc_id"].to_numpy(),
+            pdf["tf"].to_numpy(),
+            pdf["doc_len"].to_numpy(),
+            avgdl,
+        )
+        return pd.DataFrame(
+            {
+                "term": [pdf["term"].iloc[0]],
+                "bucket": [int(pdf["bucket"].iloc[0])],
+                "segment_id": [int(pdf["segment_id"].iloc[0])],
+                "df_seg": [len(pdf)],
+                "payload": [payload],
+                "block_offsets": [offs],
+                "block_last": [last],
+                "block_max_impact": [maxima],
+            }
+        )
+
+    with_seg = tf_with_dl.withColumn(
+        "segment_id", (F.col("doc_id") / F.lit(docs_per_segment)).cast("long")
+    ).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+    return with_seg.groupBy("term", "segment_id").applyInPandas(
+        _encode, schema=_POSTINGS_SCHEMA
+    )

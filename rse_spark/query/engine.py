@@ -1,0 +1,172 @@
+"""BM25 query execution over the compressed index.
+
+GSE's query path (reference crawler/src/api/main.go:48-119) was:
+tokenize -> one SQL join for candidates (OR semantics, main.go:131-159)
+-> N+1 per-candidate queries -> qtf*tf dot-product score (no idf, no
+length norm, main.go:85-95) -> full sort, no limit (main.go:113-118).
+
+This engine keeps the same surface (multi-term query -> ranked docs)
+but executes Spark-first with proper BM25 (k1=1.2, b=0.75 per
+BASELINE.json:6):
+
+1. tokenize the query driver-side with the SAME analyzer as the index;
+2. filter the postings table on term IN (...) AND bucket IN (...) —
+   both predicates push down to parquet (partition pruning on bucket,
+   row-group min/max + dictionary on term);
+3. decode only the matched posting lists (Arrow UDF) -> explode to
+   (term, doc_id, tf, dl) — doc_len rides inside the posting payload so
+   scoring needs NO doc_stats join;
+4. BM25 as pure column expressions (whole-stage codegen);
+5. groupBy(doc_id) -> sum score [+ AND semantics via term-count];
+6. orderBy(score desc, doc_id asc).limit(k) — Spark plans
+   TakeOrderedAndProject: per-partition heaps + driver merge, never a
+   full sort (GSE sorted everything, main.go:113-116).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rse_spark.index.codec import B, K1, decode_postings
+from rse_spark.tokenizer import tokenize
+
+DECODED_SCHEMA = "term string, doc_id long, tf long, dl long"
+
+
+def idf(df: int, n_docs: int) -> float:
+    """BM25+ idf: ln((N - df + 0.5)/(df + 0.5) + 1) — always positive."""
+    return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+
+def query_terms(qtext: str, analyzer: str = "code") -> dict[str, int]:
+    """Query text -> {term: qtf}. GSE's extractKeywords analogue
+    (api/main.go:121-129) using the shared tokenizer."""
+    return dict(Counter(tokenize(qtext, analyzer)))
+
+
+def decode_matched(postings: DataFrame) -> DataFrame:
+    """Decode (already term-filtered) posting lists into flat rows."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for term, payload in zip(pdf["term"], pdf["payload"]):
+                doc_ids, tfs, dls = decode_postings(bytes(payload))
+                out.append(
+                    pd.DataFrame(
+                        {"term": term, "doc_id": doc_ids, "tf": tfs, "dl": dls}
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                {"term": [], "doc_id": [], "tf": [], "dl": []}
+            )
+
+    return postings.select("term", "payload").mapInPandas(
+        _decode, schema=DECODED_SCHEMA
+    )
+
+
+def bm25_score_col(avgdl: float, k1: float = K1, b: float = B):
+    """BM25 per-posting score as a JVM column expression.
+
+    Expects columns: tf, dl, idf, qtf."""
+    tf = F.col("tf").cast("double")
+    norm = tf * (k1 + 1.0) / (
+        tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl)
+    )
+    return F.col("qtf") * F.col("idf") * norm
+
+
+def search(
+    spark: SparkSession,
+    postings: DataFrame,
+    qtext: str,
+    *,
+    n_docs: int,
+    avgdl: float,
+    term_stats: DataFrame | None = None,
+    k: int = 10,
+    mode: str = "or",
+    analyzer: str = "code",
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Top-k BM25 search. Returns (doc_id, score, n_terms_matched).
+
+    ``mode='or'`` reproduces GSE's disjunctive candidate semantics
+    (DISTINCT over ANY-term matches, api/main.go:138-144); ``'and'``
+    keeps only docs matching every distinct query term (posting-list
+    intersection via term-count — no pairwise intersect op needed).
+    """
+    qtf = query_terms(qtext, analyzer)
+    if not qtf:
+        return spark.createDataFrame(
+            [], "doc_id long, score double, n_terms_matched int"
+        )
+    terms = sorted(qtf)
+
+    # df per query term: tiny lookup — collect from term_stats if given,
+    # else derive from the filtered postings themselves.
+    matched = postings.filter(F.col("term").isin(terms))
+    if "bucket" in postings.columns:
+        from pyspark.sql.functions import lit, pmod, xxhash64
+        bucket_vals = (
+            spark.createDataFrame(pd.DataFrame({"term": terms}))
+            .select(pmod(xxhash64("term"), lit(n_buckets)).cast("int").alias("b"))
+            .distinct()
+            .collect()
+        )
+        matched = matched.filter(
+            F.col("bucket").isin([r["b"] for r in bucket_vals])
+        )
+    if term_stats is not None:
+        df_rows = (
+            term_stats.filter(F.col("term").isin(terms))
+            .select("term", "df")
+            .collect()
+        )
+        dfs = {r["term"]: int(r["df"]) for r in df_rows}
+    else:
+        df_rows = (
+            matched.groupBy("term").agg(F.sum("df_seg").alias("df")).collect()
+        )
+        dfs = {r["term"]: int(r["df"]) for r in df_rows}
+
+    weights = pd.DataFrame(
+        {
+            "term": terms,
+            "qtf": [float(qtf[t]) for t in terms],
+            "idf": [idf(dfs.get(t, 0), n_docs) for t in terms],
+        }
+    )
+    w_df = F.broadcast(spark.createDataFrame(weights))
+
+    flat = decode_matched(matched)
+    scored = flat.join(w_df, "term").withColumn(
+        "contrib", bm25_score_col(avgdl)
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("contrib").alias("score"),
+        F.count("*").cast("int").alias("n_terms_matched"),
+    )
+    if mode == "and":
+        agg = agg.filter(F.col("n_terms_matched") == len(terms))
+    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def search_bundle(spark: SparkSession, bundle, qtext: str, **kw) -> DataFrame:
+    """Convenience: search over an in-memory IndexBundle."""
+    return search(
+        spark,
+        bundle.postings,
+        qtext,
+        n_docs=bundle.n_docs,
+        avgdl=bundle.avgdl,
+        term_stats=bundle.term_stats,
+        **kw,
+    )
