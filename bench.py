@@ -1,0 +1,123 @@
+"""Per-round benchmark: index-build throughput + BM25 query latency.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "index_build_sec": ..., "docs_per_sec": ...,
+   "query_p50_ms": ..., "query_p95_ms": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+
+The index corpus is the deterministic synthetic code corpus at the
+matching scale factor (50k docs @ sf0.1 — BASELINE.md "ref-subset
+SF=0.1 corpus"); build is timed through a full segment write to disk
+(tokenize -> tf -> salted stats -> compress -> parquet), not just a
+lazy plan. Query latency is measured over the persisted index with the
+fixed reference query set (k=10). Harness queries time the
+driver-contract operators on the sf-dir tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from rse_spark import harness
+    from rse_spark.fixtures import corpus_path, gen_query_set
+    from rse_spark.index.storage import IndexStorage, build_resumable
+    from rse_spark.query.wand import wand_search
+    from rse_spark.session import get_spark
+
+    corpus_pq = corpus_path(sf)  # generate outside the timed section
+    spark = get_spark("rse-bench", cores=cpus)
+
+    timings: dict[str, float] = {}
+    t_all = time.time()
+
+    # ---- 1. index build (timed through the disk write) ----
+    idx_root = tempfile.mkdtemp(prefix="rse_bench_idx_")
+    try:
+        corpus = spark.read.parquet(corpus_pq)
+        n_docs = corpus.count()
+        t0 = time.time()
+        build_resumable(
+            spark,
+            corpus,
+            idx_root,
+            analyzer="code",
+            docs_per_segment=4096,
+            segments_per_group=4,
+            source_snapshot=corpus_pq,
+        )
+        build_sec = time.time() - t0
+        timings["index_build"] = round(build_sec, 3)
+
+        # ---- 2. query latency over the persisted index ----
+        idx = IndexStorage(idx_root).load(spark)
+        postings = idx.postings.persist()
+        postings.count()  # warm the cache: steady-state serving
+        qset = gen_query_set(sf, n_queries=20)
+        lat: list[float] = []
+        for q in qset.itertuples():
+            t0 = time.time()
+            wand_search(
+                spark, postings, q.query_text,
+                n_docs=idx.n_docs, avgdl=idx.avgdl,
+                term_stats=idx.term_stats, k=10,
+            ).collect()
+            lat.append(time.time() - t0)
+        lat.sort()
+        p50 = lat[len(lat) // 2]
+        p95 = lat[max(0, int(len(lat) * 0.95) - 1)]
+        timings["query_set"] = round(sum(lat), 3)
+        postings.unpersist()
+    finally:
+        shutil.rmtree(idx_root, ignore_errors=True)
+
+    # ---- 3. driver-contract operators on the sf-dir tables ----
+    qs = harness.queries()
+    for name in [
+        "bm25_topk", "tf_postings", "tpch_q1", "dedup_exact",
+        "minhash_signature", "ngram_tf", "emb_cosine_topk",
+        "sessionize", "quality_score",
+    ]:
+        t0 = time.time()
+        qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = time.time() - t_all
+    print(
+        json.dumps(
+            {
+                "metric": "index_build+bm25_query+operators",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_docs": n_docs,
+                "index_build_sec": round(build_sec, 3),
+                "docs_per_sec": round(n_docs / build_sec, 1),
+                "query_p50_ms": round(1000 * p50, 1),
+                "query_p95_ms": round(1000 * p95, 1),
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,256 @@
+"""Block-max WAND top-k and conjunctive posting intersection.
+
+The exact path (engine.search) decodes every matched posting list in
+full. At 10^12-doc scale, high-df query terms make that wasteful: WAND
+(Broder et al., "Efficient query evaluation using a two-level retrieval
+process", CIKM 2003) prunes documents whose score UPPER BOUND cannot
+beat the current k-th best. Our index stores per-block maxima of the
+idf-less BM25 impact (index/codec.py), so:
+
+* term upper bound   = qtf * idf * (k1+1) * max_b block_max_impact
+* block skipping     = advance() steps over whole blocks using the
+                       block_last skip pointers WITHOUT decoding them;
+                       only blocks actually landed in are decoded.
+
+Parallelism model: segments are document partitions, so per-segment
+top-k lists are a safe superset of the global top-k (every doc lives in
+exactly one segment). The WAND loop runs inside applyInPandas per
+segment — Python, but over compressed bytes with numpy block decodes,
+and embarrassingly parallel across segments. A cluster run distributes
+segments across executors; the driver merges k rows per segment.
+
+AND mode is classic posting-list intersection with galloping advance
+over the same block structure (north_star: "posting-list intersection
+with block-max WAND pruning").
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rse_spark.index.codec import B, K1, decode_block
+from rse_spark.query.engine import idf as idf_fn
+from rse_spark.query.engine import query_terms
+
+
+class _ListIter:
+    """Cursor over one compressed posting list with block skipping."""
+
+    __slots__ = (
+        "payload", "offs", "last", "maxima", "ub", "qtf_idf",
+        "bi", "pos", "docs", "tfs", "dls", "done", "blocks_decoded",
+    )
+
+    def __init__(self, payload, offs, last, maxima, qtf_idf):
+        self.payload = payload
+        self.offs = list(offs)
+        self.last = list(last)
+        self.maxima = list(maxima)
+        self.qtf_idf = qtf_idf
+        self.ub = qtf_idf * (K1 + 1.0) * (max(maxima) if len(maxima) else 0.0)
+        self.bi = -1
+        self.pos = 0
+        self.docs = self.tfs = self.dls = None
+        self.done = not self.offs
+        self.blocks_decoded = 0
+        if not self.done:
+            self._enter_block(0)
+
+    def _enter_block(self, bi: int) -> None:
+        self.bi = bi
+        base = self.last[bi - 1] if bi > 0 else 0
+        nxt = self.offs[bi + 1] if bi + 1 < len(self.offs) else None
+        self.docs, self.tfs, self.dls = decode_block(
+            self.payload, self.offs[bi], nxt, base
+        )
+        self.pos = 0
+        self.blocks_decoded += 1
+
+    @property
+    def cur_doc(self) -> int:
+        return int(self.docs[self.pos])
+
+    def advance(self, target: int) -> None:
+        """Move to the first posting with doc_id >= target."""
+        if self.done:
+            return
+        if self.last[self.bi] < target:
+            # skip whole blocks via skip pointers — no decode
+            bi = self.bi + 1
+            while bi < len(self.last) and self.last[bi] < target:
+                bi += 1
+            if bi >= len(self.last):
+                self.done = True
+                return
+            self._enter_block(bi)
+        self.pos += int(np.searchsorted(self.docs[self.pos:], target, "left"))
+
+    def next(self) -> None:
+        self.pos += 1
+        if self.pos >= len(self.docs):
+            if self.bi + 1 < len(self.offs):
+                self._enter_block(self.bi + 1)
+            else:
+                self.done = True
+
+    def contrib(self, avgdl: float) -> float:
+        tf = float(self.tfs[self.pos])
+        dl = float(self.dls[self.pos])
+        return (
+            self.qtf_idf
+            * tf
+            * (K1 + 1.0)
+            / (tf + K1 * (1.0 - B + B * dl / avgdl))
+        )
+
+
+def wand_topk_lists(
+    lists: list[_ListIter], k: int, avgdl: float
+) -> list[tuple[int, float, int]]:
+    """WAND over one segment's iterators -> [(doc_id, score, n_matched)]."""
+    heap: list[tuple[float, int, int]] = []  # (score, -doc_id, n_matched)
+    theta = -np.inf
+    live = [it for it in lists if not it.done]
+    while live:
+        live.sort(key=lambda it: it.cur_doc)
+        # pivot: first prefix whose UB sum can beat theta
+        # >= not >: a doc whose true score TIES the k-th best can still
+        # win on the doc_id tie-break, so it must not be pruned
+        acc, pivot = 0.0, -1
+        for i, it in enumerate(live):
+            acc += it.ub
+            if acc >= theta:
+                pivot = i
+                break
+        if pivot < 0:
+            break
+        pivot_doc = live[pivot].cur_doc
+        if live[0].cur_doc == pivot_doc:
+            score, matched = 0.0, 0
+            for it in live:
+                if it.done or it.cur_doc != pivot_doc:
+                    continue
+                score += it.contrib(avgdl)
+                matched += 1
+            item = (score, -pivot_doc, matched)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+                if len(heap) == k:
+                    theta = heap[0][0]
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+                theta = heap[0][0]
+            for it in live:
+                if not it.done and it.cur_doc == pivot_doc:
+                    it.next()
+        else:
+            for it in live[:pivot]:
+                it.advance(pivot_doc)
+        live = [it for it in live if not it.done]
+    return [(-nd, s, m) for (s, nd, m) in heap]
+
+
+def intersect_and_lists(
+    lists: list[_ListIter], k: int, avgdl: float
+) -> list[tuple[int, float, int]]:
+    """Conjunctive intersection via galloping advance; exact scores."""
+    if not lists or any(it.done for it in lists):
+        return []
+    heap: list[tuple[float, int, int]] = []
+    n = len(lists)
+    target = max(it.cur_doc for it in lists)
+    while True:
+        aligned = True
+        for it in lists:
+            it.advance(target)
+            if it.done:
+                return [(-nd, s, m) for (s, nd, m) in heap]
+            if it.cur_doc > target:
+                target = it.cur_doc
+                aligned = False
+        if not aligned:
+            continue
+        score = sum(it.contrib(avgdl) for it in lists)
+        item = (score, -target, n)
+        if len(heap) < k:
+            heapq.heappush(heap, item)
+        elif item > heap[0]:
+            heapq.heapreplace(heap, item)
+        target += 1
+
+
+def wand_search(
+    spark: SparkSession,
+    postings: DataFrame,
+    qtext: str,
+    *,
+    n_docs: int,
+    avgdl: float,
+    term_stats: DataFrame | None = None,
+    k: int = 10,
+    mode: str = "or",
+    analyzer: str = "code",
+) -> DataFrame:
+    """Block-max-pruned top-k: per-segment WAND, driver-side k-merge.
+
+    Result is rank-identical to engine.search (equivalence-tested)."""
+    qtf = query_terms(qtext, analyzer)
+    if not qtf:
+        return spark.createDataFrame(
+            [], "doc_id long, score double, n_terms_matched int"
+        )
+    terms = sorted(qtf)
+    matched = postings.filter(F.col("term").isin(terms))
+    if term_stats is not None:
+        rows = (
+            term_stats.filter(F.col("term").isin(terms))
+            .select("term", "df")
+            .collect()
+        )
+        dfs = {r["term"]: int(r["df"]) for r in rows}
+    else:
+        rows = matched.groupBy("term").agg(F.sum("df_seg").alias("df")).collect()
+        dfs = {r["term"]: int(r["df"]) for r in rows}
+    weights = {
+        t: float(qtf[t]) * idf_fn(dfs.get(t, 0), n_docs) for t in terms
+    }
+    if mode == "and" and any(dfs.get(t, 0) == 0 for t in terms):
+        return spark.createDataFrame(
+            [], "doc_id long, score double, n_terms_matched int"
+        )
+    n_terms = len(terms)
+
+    def _per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        iters = [
+            _ListIter(
+                bytes(r.payload),
+                r.block_offsets,
+                r.block_last,
+                r.block_max_impact,
+                weights[r.term],
+            )
+            for r in pdf.itertuples()
+        ]
+        if mode == "and":
+            if len(iters) < n_terms:
+                rows = []
+            else:
+                rows = intersect_and_lists(iters, k, avgdl)
+        else:
+            rows = wand_topk_lists(iters, k, avgdl)
+        return pd.DataFrame(
+            rows, columns=["doc_id", "score", "n_terms_matched"]
+        ).astype({"doc_id": "int64", "score": "float64", "n_terms_matched": "int32"})
+
+    per_seg = matched.select(
+        "segment_id", "term", "payload", "block_offsets", "block_last",
+        "block_max_impact",
+    ).groupBy("segment_id").applyInPandas(
+        _per_segment, schema="doc_id long, score double, n_terms_matched int"
+    )
+    return per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

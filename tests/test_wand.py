@@ -1,0 +1,87 @@
+"""WAND correctness: rank-identical to exhaustive scoring (SURVEY.md
+§4.2.3 — "always shadow-test against exhaustive scoring"), and block
+skipping actually skips decodes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from rse_spark.fixtures import gen_code_corpus, gen_query_set
+from rse_spark.index.build import build_index
+from rse_spark.index.codec import encode_postings
+from rse_spark.query.engine import search_bundle
+from rse_spark.query.wand import _ListIter, wand_search
+
+
+@pytest.fixture(scope="module")
+def bundle(spark):
+    corpus = spark.createDataFrame(gen_code_corpus(0.0004))  # ~200 docs
+    b = build_index(spark, corpus, analyzer="code", docs_per_segment=32)
+    b.postings = b.postings.persist()
+    b.postings.count()
+    return b
+
+
+def _rows(df):
+    return [
+        (int(r.doc_id), round(float(r.score), 9), int(r.n_terms_matched))
+        for r in df.collect()
+    ]
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_wand_equals_exact(spark, bundle, mode):
+    queries = gen_query_set(0.0004, n_queries=10)
+    for q in queries.itertuples():
+        exact = _rows(
+            search_bundle(spark, bundle, q.query_text, k=10, mode=mode)
+        )
+        wand = _rows(
+            wand_search(
+                spark, bundle.postings, q.query_text,
+                n_docs=bundle.n_docs, avgdl=bundle.avgdl,
+                term_stats=bundle.term_stats, k=10, mode=mode,
+            )
+        )
+        # scores float-compared at 1e-9 after rounding; rank + ids exact
+        assert [(d, m) for d, s, m in wand] == [(d, m) for d, s, m in exact], (
+            f"q{q.query_id}: {q.query_text!r} mode={mode}"
+        )
+        for (d1, s1, m1), (d2, s2, m2) in zip(wand, exact):
+            assert abs(s1 - s2) < 1e-6
+
+
+def test_hot_term_query(spark, bundle):
+    exact = _rows(search_bundle(spark, bundle, "return def for", k=10))
+    wand = _rows(
+        wand_search(
+            spark, bundle.postings, "return def for",
+            n_docs=bundle.n_docs, avgdl=bundle.avgdl,
+            term_stats=bundle.term_stats, k=10,
+        )
+    )
+    assert [d for d, *_ in wand] == [d for d, *_ in exact]
+
+
+def test_block_skipping_skips_decodes():
+    """A selective advance across a long list must not decode every block."""
+    n = 128 * 50
+    doc_ids = np.arange(1, n + 1) * 3
+    tfs = np.ones(n, dtype=np.int64)
+    dls = np.full(n, 100)
+    payload, offs, last, maxima = encode_postings(doc_ids, tfs, dls, 100.0)
+    it = _ListIter(payload, offs, last, maxima, qtf_idf=1.0)
+    it.advance(int(doc_ids[-5]))  # jump near the end
+    assert not it.done
+    assert it.cur_doc == int(doc_ids[-5])
+    assert it.blocks_decoded <= 3  # first block + landing block only
+
+
+def test_wand_zero_hit(spark, bundle):
+    out = wand_search(
+        spark, bundle.postings, "zzzmissingterm",
+        n_docs=bundle.n_docs, avgdl=bundle.avgdl,
+        term_stats=bundle.term_stats, k=10,
+    )
+    assert out.count() == 0
