@@ -69,14 +69,18 @@ def main() -> None:
         idx = IndexStorage(idx_root).load(spark)
         postings = idx.postings.persist()
         postings.count()  # warm the cache: steady-state serving
+        idx.preload_terms()  # driver-side term dictionary: 1 job/query
         qset = gen_query_set(sf, n_queries=20)
         lat: list[float] = []
+        from rse_spark.query.engine import query_terms
+
         for q in qset.itertuples():
             t0 = time.time()
+            info = idx.term_info(sorted(query_terms(q.query_text)))
             wand_search(
                 spark, postings, q.query_text,
                 n_docs=idx.n_docs, avgdl=idx.avgdl,
-                term_stats=idx.term_stats, k=10,
+                term_info=info, k=10,
             ).collect()
             lat.append(time.time() - t0)
         lat.sort()

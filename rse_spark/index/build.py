@@ -36,7 +36,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rse_spark.index import codec
-from rse_spark.tokenizer import stem_term_udf, tokens_col, tokens_udf
+from rse_spark.tokenizer import (
+    stem_term_udf,
+    tf_map_udf,
+    tokens_col,
+    tokens_udf,
+)
 
 DEFAULT_SALTS = 16
 DOC_KEY = ["repo", "path", "commit"]
@@ -110,6 +115,30 @@ def tokenized(corpus_with_ids: DataFrame, analyzer: str = "code",
     return corpus_with_ids.withColumn("tokens", tokens_udf(analyzer)("content"))
 
 
+def enrich(corpus_with_ids: DataFrame, analyzer: str = "code") -> DataFrame:
+    """One UDF pass over content: + tf map, doc_len, content_sha256.
+
+    Everything the build needs in a single scan of the corpus; the
+    (doc_id, term, tf) rows are a shuffle-free ``explode(tf)`` away."""
+    return corpus_with_ids.withColumn(
+        "_s", tf_map_udf(analyzer)("content")
+    ).select(
+        *[c for c in corpus_with_ids.columns if c != "content"],
+        F.col("_s.tf").alias("tf_map"),
+        F.col("_s.doc_len").cast("long").alias("doc_len"),
+        F.sha2("content", 256).alias("content_sha256"),
+    )
+
+
+def explode_tf(enriched: DataFrame) -> DataFrame:
+    """(doc_id, term, tf, doc_len) from the enriched map — map-side only."""
+    return enriched.select(
+        "doc_id",
+        F.explode("tf_map").alias("term", "tf"),
+        "doc_len",
+    ).withColumn("tf", F.col("tf").cast("long"))
+
+
 def term_frequencies(toks: DataFrame, analyzer: str = "code",
                      tokenize_path: str = "udf") -> DataFrame:
     """tokens -> (doc_id, term, tf). The analogue of GSE's
@@ -128,14 +157,20 @@ def term_frequencies(toks: DataFrame, analyzer: str = "code",
     return tf_raw.withColumnRenamed("raw", "term")
 
 
-def salted_term_stats(tf: DataFrame, n_salts: int = DEFAULT_SALTS) -> DataFrame:
-    """(term, df, cf) via explicit two-phase salted aggregation.
+def salted_term_stats(
+    tf: DataFrame, n_salts: int = DEFAULT_SALTS, n_buckets: int = 16
+) -> DataFrame:
+    """(term, df, cf, bucket) via explicit two-phase salted aggregation.
 
     Hot stop-word-like terms ('return', 'def', ...) would otherwise
     funnel every (doc, tf) row of the term into one reducer. Phase 1
     aggregates on (term, salt = pmod(hash(doc_id), S)); phase 2 merges
     the <= S partials per term. Spark's AQE skew handling only covers
-    joins, not groupBy — hence explicit (SURVEY.md §4.2)."""
+    joins, not groupBy — hence explicit (SURVEY.md §4.2).
+
+    ``bucket`` is the term-hash storage partition — the term dictionary
+    records it so the query side prunes posting partitions without
+    recomputing hashes."""
     partial = (
         tf.withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)))
         .groupBy("term", "_salt")
@@ -147,6 +182,9 @@ def salted_term_stats(tf: DataFrame, n_salts: int = DEFAULT_SALTS) -> DataFrame:
             F.sum("_df").cast("long").alias("df"),
             F.sum("_cf").cast("long").alias("cf"),
         )
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+        )
     )
 
 
@@ -154,7 +192,6 @@ def build_index(
     spark: SparkSession,
     corpus: DataFrame,
     analyzer: str = "code",
-    tokenize_path: str = "udf",
     docs_per_segment: int = 4096,
     n_buckets: int = 16,
     n_salts: int = DEFAULT_SALTS,
@@ -174,16 +211,12 @@ def build_index(
     if content_col != "content":
         corpus = corpus.withColumnRenamed(content_col, "content")
     if "doc_id" in corpus.columns:
-        ids = corpus.withColumn("doc_id", F.col("doc_id").cast("long")).persist()
+        ids = corpus.withColumn("doc_id", F.col("doc_id").cast("long"))
     else:
-        ids = assign_doc_ids(corpus).persist()
-    toks = tokenized(ids, analyzer, tokenize_path)
+        ids = assign_doc_ids(corpus)
+    enriched = enrich(ids, analyzer).persist()
 
-    doc_stats = toks.select(
-        "doc_id",
-        F.size("tokens").cast("long").alias("doc_len"),
-        F.sha2("content", 256).alias("content_sha256"),
-    ).persist()
+    doc_stats = enriched.select("doc_id", "doc_len", "content_sha256")
 
     stats_row = doc_stats.agg(
         F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
@@ -193,18 +226,13 @@ def build_index(
         pd.DataFrame({"n_docs": [n_docs], "avgdl": [avgdl]})
     )
 
-    tf = term_frequencies(toks, analyzer, tokenize_path).persist()
-    term_stats = salted_term_stats(tf, n_salts)
+    tf = explode_tf(enriched)
+    term_stats = salted_term_stats(tf, n_salts, n_buckets)
 
-    postings = build_posting_lists(
-        tf.join(doc_stats.select("doc_id", "doc_len"), "doc_id"),
-        avgdl,
-        docs_per_segment,
-        n_buckets,
-    )
+    postings = build_posting_lists(tf, avgdl, docs_per_segment, n_buckets)
 
-    map_cols = [c for c in (*DOC_KEY, "lang", "source") if c in ids.columns]
-    doc_map = ids.select("doc_id", *map_cols)
+    map_cols = [c for c in (*DOC_KEY, "lang", "source") if c in enriched.columns]
+    doc_map = enriched.select("doc_id", *map_cols)
     return IndexBundle(
         doc_map=doc_map,
         doc_stats=doc_stats,
@@ -234,33 +262,65 @@ def build_posting_lists(
     groupBy(term, segment) bounds every group at docs_per_segment
     postings — document partitioning is the structural skew defense; a
     'the'-like term becomes one modest group PER SEGMENT instead of one
-    giant group. Encoding runs in applyInPandas (Arrow batches,
-    numpy-vectorized codec)."""
+    giant group.
 
-    def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        payload, offs, last, maxima = codec.encode_postings(
-            pdf["doc_id"].to_numpy(),
-            pdf["tf"].to_numpy(),
-            pdf["doc_len"].to_numpy(),
-            avgdl,
+    The list assembly (collect_list + sort_array) stays JVM-side in the
+    hash aggregate; only the byte encoding crosses into Python, as ONE
+    mapInPandas over Arrow batches of already-aligned primitive arrays
+    (pl.doc_id projection of the struct array) — thousands of lists per
+    Python call, each encoded by the vectorized numpy codec. (An
+    applyInPandas per (term, segment) group would pay per-group pandas
+    setup ~10^5 times.)"""
+    lists = (
+        tf_with_dl.withColumn(
+            "segment_id",
+            (F.col("doc_id") / F.lit(docs_per_segment)).cast("long"),
         )
-        return pd.DataFrame(
-            {
-                "term": [pdf["term"].iloc[0]],
-                "bucket": [int(pdf["bucket"].iloc[0])],
-                "segment_id": [int(pdf["segment_id"].iloc[0])],
-                "df_seg": [len(pdf)],
-                "payload": [payload],
-                "block_offsets": [offs],
-                "block_last": [last],
-                "block_max_impact": [maxima],
-            }
+        .groupBy("term", "segment_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "tf", "doc_len"))
+            ).alias("pl")
         )
-
-    with_seg = tf_with_dl.withColumn(
-        "segment_id", (F.col("doc_id") / F.lit(docs_per_segment)).cast("long")
-    ).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
-    return with_seg.groupBy("term", "segment_id").applyInPandas(
-        _encode, schema=_POSTINGS_SCHEMA
+        .select(
+            "term",
+            "segment_id",
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("bucket"),
+            F.col("pl.doc_id").alias("doc_ids"),
+            F.col("pl.tf").alias("tfs"),
+            F.col("pl.doc_len").alias("dls"),
+        )
     )
+
+    def _encode_batches(batches):
+        import numpy as np
+
+        for pdf in batches:
+            n = len(pdf)
+            payloads, offs_c, last_c, max_c, dfseg = [], [], [], [], []
+            for i in range(n):
+                payload, offs, last, maxima = codec.encode_postings(
+                    np.asarray(pdf["doc_ids"].iloc[i], dtype=np.int64),
+                    np.asarray(pdf["tfs"].iloc[i], dtype=np.int64),
+                    np.asarray(pdf["dls"].iloc[i], dtype=np.int64),
+                    avgdl,
+                )
+                payloads.append(payload)
+                offs_c.append(offs)
+                last_c.append(last)
+                max_c.append(maxima)
+                dfseg.append(len(pdf["doc_ids"].iloc[i]))
+            yield pd.DataFrame(
+                {
+                    "term": pdf["term"].values,
+                    "bucket": pdf["bucket"].values,
+                    "segment_id": pdf["segment_id"].values,
+                    "df_seg": dfseg,
+                    "payload": payloads,
+                    "block_offsets": offs_c,
+                    "block_last": last_c,
+                    "block_max_impact": max_c,
+                }
+            )
+
+    return lists.mapInPandas(_encode_batches, schema=_POSTINGS_SCHEMA)

@@ -42,9 +42,9 @@ from rse_spark.index.build import (
     IndexBundle,
     assign_doc_ids,
     build_posting_lists,
+    enrich,
+    explode_tf,
     salted_term_stats,
-    term_frequencies,
-    tokenized,
 )
 
 
@@ -56,6 +56,24 @@ class LoadedIndex:
     postings: DataFrame
     avgdl: float
     n_docs: int
+    _term_cache: dict | None = None
+
+    def preload_terms(self) -> None:
+        """Pull the term dictionary (term -> df, bucket) to the driver —
+        the in-memory dictionary a serving deployment keeps (GSE's
+        keywords_word_idx analogue). Fine up to ~10M terms; beyond that
+        stay with the per-query dictionary lookup job."""
+        rows = self.term_stats.select("term", "df", "bucket").collect()
+        self._term_cache = {
+            r["term"]: (int(r["df"]), int(r["bucket"])) for r in rows
+        }
+
+    def term_info(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        if self._term_cache is None:
+            from rse_spark.query.engine import lookup_term_info
+
+            return lookup_term_info(terms, self.term_stats)
+        return {t: self._term_cache[t] for t in terms if t in self._term_cache}
 
 
 class IndexStorage:
@@ -132,13 +150,13 @@ def build_resumable(
     corpus: DataFrame,
     root: str,
     analyzer: str = "code",
-    tokenize_path: str = "udf",
     docs_per_segment: int = 4096,
     segments_per_group: int = 4,
     n_buckets: int = 16,
     content_col: str = "content",
     source_snapshot: str = "",
     fail_after_units: int | None = None,
+    group_parallelism: int = 4,
 ) -> IndexStorage:
     """Checkpointed index build (north_rule: resumable + lineage + metrics).
 
@@ -149,31 +167,43 @@ def build_resumable(
     """
     store = IndexStorage(root)
     done = store.completed_units()
+    docs_per_group = docs_per_segment * segments_per_group
 
     if content_col != "content":
         corpus = corpus.withColumnRenamed(content_col, "content")
 
-    # ---- Stage A: ids + doc stats + term stats (unit "docs") ----
+    # ---- Stage A: one pass over content -> enriched table ----
+    # enrich() computes the tf map + doc_len + sha256 in a SINGLE scan
+    # (the tf counting is a per-doc map-side combine, no shuffle at all),
+    # written partitioned by seg_group. Every later artifact is a
+    # column-pruned projection or a shuffle over already-aggregated tf
+    # rows; stage B units are partition-pruned scans of their own group.
     if "docs" not in done:
         t0 = time.time()
         if "doc_id" in corpus.columns:
             ids = corpus.withColumn("doc_id", F.col("doc_id").cast("long"))
         else:
             ids = assign_doc_ids(corpus)
-        ids = ids.persist()
-        toks = tokenized(ids, analyzer, tokenize_path)
-        doc_stats = toks.select(
-            "doc_id",
-            F.size("tokens").cast("long").alias("doc_len"),
-            F.sha2("content", 256).alias("content_sha256"),
+        (
+            enrich(ids, analyzer)
+            .withColumn(
+                "seg_group",
+                (F.col("doc_id") / F.lit(docs_per_group)).cast("long"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("seg_group")
+            .parquet(store._p("enriched"))
         )
-        map_cols = [c for c in (*DOC_KEY, "lang", "source") if c in ids.columns]
-        ids.select("doc_id", *map_cols).write.mode("overwrite").parquet(
+        enriched = spark.read.parquet(store._p("enriched"))
+
+        enriched.select("doc_id", "doc_len", "content_sha256").write.mode(
+            "overwrite"
+        ).parquet(store._p("doc_stats"))
+        map_cols = [c for c in (*DOC_KEY, "lang", "source") if c in enriched.columns]
+        enriched.select("doc_id", *map_cols).write.mode("overwrite").parquet(
             store._p("doc_map")
         )
-        doc_stats.write.mode("overwrite").parquet(store._p("doc_stats"))
-        ds = spark.read.parquet(store._p("doc_stats"))
-        row = ds.agg(
+        row = enriched.agg(
             F.count("*").alias("n"), F.avg("doc_len").alias("a")
         ).collect()[0]
         import pandas as pd
@@ -181,12 +211,9 @@ def build_resumable(
         spark.createDataFrame(
             pd.DataFrame({"n_docs": [int(row["n"])], "avgdl": [float(row["a"])]})
         ).write.mode("overwrite").parquet(store._p("corpus_stats"))
-
-        tf = term_frequencies(toks, analyzer, tokenize_path)
-        salted_term_stats(tf).write.mode("overwrite").parquet(
-            store._p("term_stats")
-        )
-        ids.unpersist()
+        salted_term_stats(explode_tf(enriched), n_buckets=n_buckets).write.mode(
+            "overwrite"
+        ).parquet(store._p("term_stats"))
         store.mark_done(
             "docs",
             n_docs=int(row["n"]),
@@ -200,39 +227,27 @@ def build_resumable(
     avgdl = done["docs"]["avgdl"]
 
     # ---- Stage B: posting segments, one group per unit ----
-    docs_per_group = docs_per_segment * segments_per_group
+    # Groups are independent (document-partitioned), so pending groups
+    # run as CONCURRENT Spark jobs (thread pool): the scheduler
+    # interleaves their tasks and keeps all cores busy — sequential
+    # groups would leave the cluster idle during each group's stragglers.
     n_groups = (n_docs + docs_per_group - 1) // docs_per_group
+    enriched_all = spark.read.parquet(store._p("enriched"))
 
-    # re-derive (doc_id, term, tf, doc_len) lazily; each group filters its
-    # doc_id range BEFORE tokenization so a group's work is proportional
-    # to the group (filter pushes down to the doc_map/corpus join scan)
-    if "doc_id" in corpus.columns:
-        with_ids = corpus.withColumn("doc_id", F.col("doc_id").cast("long"))
-    else:
-        doc_map = spark.read.parquet(store._p("doc_map"))
-        with_ids = corpus.join(doc_map, DOC_KEY)
-    dl = spark.read.parquet(store._p("doc_stats")).select("doc_id", "doc_len")
-
-    units_done = 0
-    for g in range(n_groups):
-        unit = f"group={g:06d}"
-        if unit in done:
-            continue
-        if fail_after_units is not None and units_done >= fail_after_units:
-            raise RuntimeError(f"injected failure before {unit}")
+    def _build_group(g: int) -> None:
         t0 = time.time()
         lo, hi = g * docs_per_group, (g + 1) * docs_per_group
-        part = with_ids.filter(
-            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-        )
-        toks = tokenized(part, analyzer, tokenize_path)
-        tf = term_frequencies(toks, analyzer, tokenize_path)
+        part = enriched_all.filter(F.col("seg_group") == g)  # partition-pruned
         postings = build_posting_lists(
-            tf.join(dl, "doc_id"), avgdl, docs_per_segment, n_buckets
+            explode_tf(part), avgdl, docs_per_segment, n_buckets
         )
         out_dir = os.path.join(store._p("postings"), f"seg_group={g}")
-        postings.sortWithinPartitions("term").write.mode("overwrite").parquet(
-            out_dir
+        (
+            postings.repartition("bucket")
+            .sortWithinPartitions("bucket", "term")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(out_dir)
         )
         # lineage: rows written + content hash of per-term df counts
         written = spark.read.parquet(out_dir)
@@ -241,13 +256,16 @@ def build_resumable(
             F.sum("df_seg").alias("postings"),
             F.sha2(
                 F.concat_ws(
-                    "|", F.sort_array(F.collect_list(F.concat_ws(":", "term", "df_seg")))
+                    "|",
+                    F.sort_array(
+                        F.collect_list(F.concat_ws(":", "term", "df_seg"))
+                    ),
                 ),
                 256,
             ).alias("sha"),
         ).collect()[0]
         store.mark_done(
-            unit,
+            f"group={g:06d}",
             seg_group=g,
             doc_lo=lo,
             doc_hi=hi,
@@ -257,5 +275,18 @@ def build_resumable(
             source_snapshot=source_snapshot,
             wall_ms=int(1000 * (time.time() - t0)),
         )
-        units_done += 1
+
+    pending = [g for g in range(n_groups) if f"group={g:06d}" not in done]
+    if fail_after_units is not None:
+        # deterministic sequential mode for the kill/resume test
+        for i, g in enumerate(pending):
+            if i >= fail_after_units:
+                raise RuntimeError(f"injected failure before group={g:06d}")
+            _build_group(g)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=group_parallelism) as ex:
+            for fut in [ex.submit(_build_group, g) for g in pending]:
+                fut.result()
     return store

@@ -83,6 +83,38 @@ def bm25_score_col(avgdl: float, k1: float = K1, b: float = B):
     return F.col("qtf") * F.col("idf") * norm
 
 
+def lookup_term_info(
+    terms: list[str], term_stats: DataFrame
+) -> dict[str, tuple[int, int]]:
+    """term -> (df, bucket) from the term dictionary: ONE tiny collect —
+    the analogue of GSE's keywords_word_idx B-tree probe (init_db.sql:30)."""
+    cols = ["term", "df"] + (
+        ["bucket"] if "bucket" in term_stats.columns else []
+    )
+    rows = term_stats.filter(F.col("term").isin(terms)).select(*cols).collect()
+    return {
+        r["term"]: (int(r["df"]), int(r["bucket"]) if "bucket" in cols else -1)
+        for r in rows
+    }
+
+
+def _match_postings(
+    postings: DataFrame, terms: list[str], term_info: dict | None
+) -> DataFrame:
+    """Filter the postings table: term IN (...) always; bucket IN (...)
+    additionally when the dictionary gave us buckets — on bucket-
+    partitioned storage that's directory-level partition pruning."""
+    matched = postings.filter(F.col("term").isin(terms))
+    if (
+        term_info
+        and "bucket" in postings.columns
+        and all(b >= 0 for _, b in term_info.values())
+    ):
+        buckets = sorted({b for _, b in term_info.values()})
+        matched = matched.filter(F.col("bucket").isin(buckets))
+    return matched
+
+
 def search(
     spark: SparkSession,
     postings: DataFrame,
@@ -91,10 +123,10 @@ def search(
     n_docs: int,
     avgdl: float,
     term_stats: DataFrame | None = None,
+    term_info: dict[str, tuple[int, int]] | None = None,
     k: int = 10,
     mode: str = "or",
     analyzer: str = "code",
-    n_buckets: int = 16,
 ) -> DataFrame:
     """Top-k BM25 search. Returns (doc_id, score, n_terms_matched).
 
@@ -102,6 +134,10 @@ def search(
     (DISTINCT over ANY-term matches, api/main.go:138-144); ``'and'``
     keeps only docs matching every distinct query term (posting-list
     intersection via term-count — no pairwise intersect op needed).
+
+    ``term_info`` (term -> (df, bucket)) skips the dictionary lookup
+    job entirely (preloaded/cached driver-side dictionary): the whole
+    query is then ONE Spark job.
     """
     qtf = query_terms(qtext, analyzer)
     if not qtf:
@@ -110,27 +146,11 @@ def search(
         )
     terms = sorted(qtf)
 
-    # df per query term: tiny lookup — collect from term_stats if given,
-    # else derive from the filtered postings themselves.
-    matched = postings.filter(F.col("term").isin(terms))
-    if "bucket" in postings.columns:
-        from pyspark.sql.functions import lit, pmod, xxhash64
-        bucket_vals = (
-            spark.createDataFrame(pd.DataFrame({"term": terms}))
-            .select(pmod(xxhash64("term"), lit(n_buckets)).cast("int").alias("b"))
-            .distinct()
-            .collect()
-        )
-        matched = matched.filter(
-            F.col("bucket").isin([r["b"] for r in bucket_vals])
-        )
-    if term_stats is not None:
-        df_rows = (
-            term_stats.filter(F.col("term").isin(terms))
-            .select("term", "df")
-            .collect()
-        )
-        dfs = {r["term"]: int(r["df"]) for r in df_rows}
+    if term_info is None and term_stats is not None:
+        term_info = lookup_term_info(terms, term_stats)
+    matched = _match_postings(postings, terms, term_info)
+    if term_info is not None:
+        dfs = {t: df for t, (df, _) in term_info.items()}
     else:
         df_rows = (
             matched.groupBy("term").agg(F.sum("df_seg").alias("df")).collect()

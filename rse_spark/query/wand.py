@@ -192,6 +192,7 @@ def wand_search(
     n_docs: int,
     avgdl: float,
     term_stats: DataFrame | None = None,
+    term_info: dict[str, tuple[int, int]] | None = None,
     k: int = 10,
     mode: str = "or",
     analyzer: str = "code",
@@ -199,20 +200,19 @@ def wand_search(
     """Block-max-pruned top-k: per-segment WAND, driver-side k-merge.
 
     Result is rank-identical to engine.search (equivalence-tested)."""
+    from rse_spark.query.engine import _match_postings, lookup_term_info
+
     qtf = query_terms(qtext, analyzer)
     if not qtf:
         return spark.createDataFrame(
             [], "doc_id long, score double, n_terms_matched int"
         )
     terms = sorted(qtf)
-    matched = postings.filter(F.col("term").isin(terms))
-    if term_stats is not None:
-        rows = (
-            term_stats.filter(F.col("term").isin(terms))
-            .select("term", "df")
-            .collect()
-        )
-        dfs = {r["term"]: int(r["df"]) for r in rows}
+    if term_info is None and term_stats is not None:
+        term_info = lookup_term_info(terms, term_stats)
+    matched = _match_postings(postings, terms, term_info)
+    if term_info is not None:
+        dfs = {t: df for t, (df, _) in term_info.items()}
     else:
         rows = matched.groupBy("term").agg(F.sum("df_seg").alias("df")).collect()
         dfs = {r["term"]: int(r["df"]) for r in rows}

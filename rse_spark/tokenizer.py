@@ -243,6 +243,36 @@ def tokens_udf(analyzer: str = "code"):
     return _tok
 
 
+def tf_map_udf(analyzer: str = "code"):
+    """Arrow UDF: content -> struct(tf: map<term,int>, doc_len: int).
+
+    Term frequencies are counted PER DOCUMENT inside the UDF (a natural
+    map-side combiner): the downstream (doc_id, term, tf) rows come from
+    a shuffle-free explode of the map, instead of exploding 10-100x more
+    raw token rows and paying a (doc_id, token) groupBy shuffle. At
+    100 TB this removes the largest shuffle of the build entirely."""
+    out_type = T.StructType(
+        [
+            T.StructField("tf", T.MapType(T.StringType(), T.IntegerType())),
+            T.StructField("doc_len", T.IntegerType()),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def _tf(s: pd.Series) -> pd.DataFrame:
+        from collections import Counter
+
+        tfs: list[dict] = []
+        lens: list[int] = []
+        for x in s:
+            toks = tokenize(x, analyzer) if x is not None else []
+            tfs.append(dict(Counter(toks)))
+            lens.append(len(toks))
+        return pd.DataFrame({"tf": tfs, "doc_len": lens})
+
+    return _tf
+
+
 @F.pandas_udf(T.StringType())
 def stem_term_udf(s: pd.Series) -> pd.Series:
     """Vectorized Porter stem of already-lowercased terms.

@@ -112,13 +112,21 @@ def test_invariant_doc_ids_dense_unique(bundle):
 
 
 def test_jvm_tokenize_path_equivalent(spark, corpus_pdf, bundle):
-    """tokenize_path='jvm' (pure-JVM split + stem-dict join) must produce
-    identical term stats to the UDF path."""
+    """The pure-JVM split + stem-dict-join tf pipeline must produce the
+    same term stats as the tf-map UDF path used by build_index."""
+    from rse_spark.index.build import (
+        salted_term_stats,
+        term_frequencies,
+        tokenized,
+    )
+
     corpus = spark.createDataFrame(corpus_pdf)
-    b2 = build_index(
-        spark, corpus, analyzer="code", tokenize_path="jvm",
-        docs_per_segment=32,
+    ids = bundle.doc_map.select("doc_id", "repo", "path", "commit").join(
+        corpus, ["repo", "path", "commit"]
+    )
+    tf_jvm = term_frequencies(
+        tokenized(ids, "code", "jvm"), "code", "jvm"
     )
     a = bundle.term_stats.orderBy("term").toPandas()
-    b = b2.term_stats.orderBy("term").toPandas()
+    b = salted_term_stats(tf_jvm).orderBy("term").toPandas()
     pd.testing.assert_frame_equal(a, b)
