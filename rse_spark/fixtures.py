@@ -149,11 +149,38 @@ _CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".cache", 
 
 
 def corpus_path(sf: float, seed: int = SEED) -> str:
-    """Materialize (once) and return the parquet path for the corpus at sf."""
+    """Materialize (once) and return the parquet path for the corpus at sf.
+
+    Large scale factors are generated in chunks (bounded memory) and
+    written as multiple row groups so Spark gets parallel input splits.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     os.makedirs(_CACHE_DIR, exist_ok=True)
     path = os.path.join(_CACHE_DIR, f"code_files_sf{sf}_seed{seed}.parquet")
-    if not os.path.exists(path):
-        gen_code_corpus(sf, seed).to_parquet(path, index=False)
+    if os.path.exists(path):
+        return path
+    chunk_sf = 0.05  # 25k docs per chunk
+    if sf <= chunk_sf:
+        gen_code_corpus(sf, seed).to_parquet(path, index=False, row_group_size=8192)
+        return path
+    n_chunks = int(round(sf / chunk_sf))
+    tmp = path + ".tmp"
+    writer = None
+    try:
+        for i in range(n_chunks):
+            pdf = gen_code_corpus(chunk_sf, seed + 1000 * i)
+            # re-key repo/path so chunks don't collide on (repo,path,commit)
+            pdf["path"] = [f"c{i}/{p}" for p in pdf["path"]]
+            table = pa.Table.from_pandas(pdf, preserve_index=False)
+            if writer is None:
+                writer = pq.ParquetWriter(tmp, table.schema)
+            writer.write_table(table, row_group_size=8192)
+    finally:
+        if writer is not None:
+            writer.close()
+    os.replace(tmp, path)
     return path
 
 

@@ -346,6 +346,138 @@ def q_minhash_signature(spark, sf_dir):
     )
 
 
+def q_simhash(spark, sf_dir):
+    """48-bit tf-weighted SimHash fingerprints (near-dup signature) —
+    pure JVM bit extraction from md5 nibbles (functions/dedup.py)."""
+    from rse_spark.functions.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir), n_bits=48).select(
+        "doc_id", "simhash"
+    )
+
+
+def q_minhash_band_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs: docs sharing >=1 band bucket
+    (16 hashes, 4 bands of 4)."""
+    from rse_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    sh = word_shingles(_docs(spark, sf_dir), n=1)  # token sets
+    sig = minhash_signatures(sh, n_hashes=N_MINHASH)
+    return lsh_candidate_pairs(
+        sig, n_hashes=N_MINHASH, bands=4, max_bucket=10_000
+    )
+
+
+def q_ngram_jaccard_top(spark, sf_dir):
+    """Top-20 document pairs by exact 3-gram Jaccard similarity."""
+    from rse_spark.functions.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.0, max_shingle_df=10**9
+    )
+    return pairs.orderBy(
+        F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b")
+    ).limit(20)
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-profile language ID (argmax over marker-hit counts)."""
+    from rse_spark.functions.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir)).select("doc_id", "pred_lang")
+
+
+def q_emb_pair_topk(spark, sf_dir):
+    """Top-20 most-similar embedding pairs (exact pairwise cosine)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    dot = "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (s, x) -> s + x)"
+    na = "aggregate(va, 0D, (s, x) -> s + x * x)"
+    nb = "aggregate(vb, 0D, (s, x) -> s + x * x)"
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.expr(f"{dot} / (sqrt({na}) * sqrt({nb}))"))
+        .orderBy(F.desc("cos"), F.asc("id_a"), F.asc("id_b"))
+        .limit(20)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN top-10 for vec_id=0 (no SQL oracle — ANN is
+    approximate by design; recall vs. brute force is pytest-checked)."""
+    from rse_spark.functions.simsearch import lsh_ann_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return lsh_ann_topk(
+        e.filter(F.col("vec_id") != 0), [float(x) for x in q], k=10
+    )
+
+
+def q_doc_rolling_fp(spark, sf_dir):
+    """Polynomial rolling-hash fingerprint (numpy/Arrow UDF — no SQL
+    oracle; determinism is pytest-checked)."""
+    from rse_spark.functions.textstats import rolling_hash_udf
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", rolling_hash_udf()("text").alias("rolling_fp")
+    )
+
+
+def q_tpch_q3(spark, sf_dir):
+    """Shipping-priority: 3-way join + filter + agg + top-10."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cutoff = F.to_timestamp(F.lit("1995-03-15 00:00:00"))
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_cube_agg(spark, sf_dir):
+    """CUBE grouping over returnflag x linestatus."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def q_pivot_status(spark, sf_dir):
+    """Pivot linestatus into columns (portable conditional-agg form)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("O", "qty_o")
+        .withColumnRenamed("F", "qty_f")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Events: windowed aggregation + sessionization
 # ---------------------------------------------------------------------------
@@ -418,6 +550,16 @@ def q_emb_cosine_topk(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "simhash": q_simhash,
+        "minhash_band_pairs": q_minhash_band_pairs,
+        "ngram_jaccard_top": q_ngram_jaccard_top,
+        "lang_id": q_lang_id,
+        "emb_pair_topk": q_emb_pair_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "doc_rolling_fp": q_doc_rolling_fp,
+        "tpch_q3": q_tpch_q3,
+        "cube_agg": q_cube_agg,
+        "pivot_status": q_pivot_status,
         "tf_postings": q_tf_postings,
         "term_df": q_term_df,
         "doc_stats": q_doc_stats,
@@ -445,6 +587,147 @@ def oracle_sql() -> dict[str, str]:
     terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
     stop = ", ".join(f"'{s}'" for s in STOPWORDS)
     return {
+        "simhash": f"""
+            WITH tf AS ({_TF_SQL}),
+            bits AS (
+              SELECT doc_id, tf, md5(term) AS h FROM tf
+            ),
+            exploded AS (
+              SELECT doc_id,
+                     i.bit_pos,
+                     ((strpos('0123456789abcdef',
+                              substr(h, (i.bit_pos // 4)::int + 1, 1)) - 1)
+                      >> (3 - (i.bit_pos % 4)::int)) & 1 AS bit,
+                     tf
+              FROM bits,
+                   (SELECT unnest(range(48)) AS bit_pos) i
+            ),
+            sums AS (
+              SELECT doc_id, bit_pos,
+                     sum(tf * (2 * bit - 1)) AS s
+              FROM exploded GROUP BY doc_id, bit_pos
+            )
+            SELECT doc_id,
+                   string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+                              ORDER BY bit_pos) AS simhash
+            FROM sums GROUP BY doc_id
+        """,
+        "minhash_band_pairs": f"""
+            WITH toks AS (SELECT DISTINCT doc_id, term AS shingle FROM ({_TOKS_SQL})),
+            seeded AS (
+              SELECT doc_id, s.seed::int AS seed,
+                     md5(s.seed::varchar || ':' || shingle) AS h
+              FROM toks CROSS JOIN (SELECT unnest(range({N_MINHASH})) AS seed) s
+            ),
+            sig AS (
+              SELECT doc_id, seed, min(h) AS minhash
+              FROM seeded GROUP BY doc_id, seed
+            ),
+            banded AS (
+              SELECT doc_id, (seed // 4)::int AS band,
+                     md5(string_agg(seed::varchar || ':' || minhash, '|'
+                                    ORDER BY seed::varchar || ':' || minhash))
+                       AS band_hash
+              FROM sig GROUP BY doc_id, (seed // 4)::int
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*)::bigint AS n_shared_bands
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        """,
+        "ngram_jaccard_top": """
+            WITH sh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(sp) >= 3 THEN
+                         list_transform(range(1, len(sp) - 1),
+                                        i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2])
+                         ELSE [] END) AS shingle
+                FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)
+              )
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            ORDER BY n_inter / (sa.n_sh + sb.n_sh - n_inter) DESC,
+                     doc_a ASC, doc_b ASC
+            LIMIT 20
+        """,
+        "lang_id": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            hit AS (
+              SELECT doc_id,
+                sum(CASE WHEN term IN ('der','die','das','und','nicht','ist','ein') THEN 1 ELSE 0 END) AS hits_de,
+                sum(CASE WHEN term IN ('the','a','of','and','to','in','is','that') THEN 1 ELSE 0 END) AS hits_en,
+                sum(CASE WHEN term IN ('el','la','y','los','las','un','una','es') THEN 1 ELSE 0 END) AS hits_es,
+                sum(CASE WHEN term IN ('le','la','et','les','des','un','une','est') THEN 1 ELSE 0 END) AS hits_fr
+              FROM toks GROUP BY doc_id
+            ),
+            long AS (
+              SELECT doc_id, 'de' AS lang, hits_de AS hits FROM hit
+              UNION ALL SELECT doc_id, 'en', hits_en FROM hit
+              UNION ALL SELECT doc_id, 'es', hits_es FROM hit
+              UNION ALL SELECT doc_id, 'fr', hits_fr FROM hit
+            )
+            SELECT doc_id, lang AS pred_lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY hits DESC, lang ASC) AS rn
+              FROM long
+            ) WHERE rn = 1
+        """,
+        "emb_pair_topk": """
+            WITH e AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings
+            ),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_sum(list_transform(range(1, len(a.v) + 1),
+                                             i -> a.v[i] * b.v[i]))
+                     / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                        * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(cos, 6) AS cosine
+            FROM pairs ORDER BY cos DESC, id_a ASC, id_b ASC LIMIT 20
+        """,
+        "tpch_q3": """
+            SELECT o_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "cube_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*)::bigint AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "pivot_status": """
+            SELECT l_returnflag,
+                   round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o,
+                   round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f
+            FROM lineitem GROUP BY l_returnflag
+        """,
         "tf_postings": _TF_SQL,
         "term_df": f"""
             SELECT term, count(*)::bigint AS df, sum(tf)::bigint AS cf

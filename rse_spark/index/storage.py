@@ -116,8 +116,9 @@ class IndexStorage:
 
     def write_bundle(self, bundle: IndexBundle) -> None:
         """Non-resumable full write of an in-memory bundle."""
-        bundle.doc_map.write.mode("overwrite").parquet(self._p("doc_map"))
-        bundle.doc_stats.write.mode("overwrite").parquet(self._p("doc_stats"))
+        bundle.doc_stats.join(bundle.doc_map, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(self._p("docs_meta"))
         bundle.corpus_stats.write.mode("overwrite").parquet(self._p("corpus_stats"))
         bundle.term_stats.write.mode("overwrite").parquet(self._p("term_stats"))
         (
@@ -135,9 +136,14 @@ class IndexStorage:
 
     def load(self, spark: SparkSession) -> LoadedIndex:
         stats = spark.read.parquet(self._p("corpus_stats")).collect()[0]
+        meta = spark.read.parquet(self._p("docs_meta"))
+        map_cols = [
+            c for c in meta.columns
+            if c not in ("doc_len", "content_sha256")
+        ]
         return LoadedIndex(
-            doc_map=spark.read.parquet(self._p("doc_map")),
-            doc_stats=spark.read.parquet(self._p("doc_stats")),
+            doc_map=meta.select(*map_cols),
+            doc_stats=meta.select("doc_id", "doc_len", "content_sha256"),
             term_stats=spark.read.parquet(self._p("term_stats")),
             postings=spark.read.parquet(self._p("postings")),
             avgdl=float(stats["avgdl"]),
@@ -156,7 +162,7 @@ def build_resumable(
     content_col: str = "content",
     source_snapshot: str = "",
     fail_after_units: int | None = None,
-    group_parallelism: int = 4,
+    groups_per_job: int = 8,
 ) -> IndexStorage:
     """Checkpointed index build (north_rule: resumable + lineage + metrics).
 
@@ -180,10 +186,24 @@ def build_resumable(
     # rows; stage B units are partition-pruned scans of their own group.
     if "docs" not in done:
         t0 = time.time()
+        phases: dict[str, float] = {}
+
+        def _mark(name: str, since: list[float]) -> None:
+            now = time.time()
+            phases[name] = round(now - since[0], 3)
+            since[0] = now
+
+        tick = [t0]
         if "doc_id" in corpus.columns:
-            ids = corpus.withColumn("doc_id", F.col("doc_id").cast("long"))
+            # pre-keyed corpus (e.g. the documents table): spread a
+            # small/compacted source across the cluster explicitly
+            ids = corpus.withColumn(
+                "doc_id", F.col("doc_id").cast("long")
+            ).repartition(2 * spark.sparkContext.defaultParallelism)
         else:
+            # assign_doc_ids already leaves shuffle.partitions partitions
             ids = assign_doc_ids(corpus)
+        _mark("assign_ids", tick)
         (
             enrich(ids, analyzer)
             .withColumn(
@@ -194,15 +214,16 @@ def build_resumable(
             .partitionBy("seg_group")
             .parquet(store._p("enriched"))
         )
+        _mark("enrich_write", tick)
         enriched = spark.read.parquet(store._p("enriched"))
 
-        enriched.select("doc_id", "doc_len", "content_sha256").write.mode(
-            "overwrite"
-        ).parquet(store._p("doc_stats"))
+        # one combined per-doc metadata table; doc_stats/doc_map are
+        # column-pruned projections of it at load time
         map_cols = [c for c in (*DOC_KEY, "lang", "source") if c in enriched.columns]
-        enriched.select("doc_id", *map_cols).write.mode("overwrite").parquet(
-            store._p("doc_map")
-        )
+        enriched.select(
+            "doc_id", "doc_len", "content_sha256", *map_cols
+        ).write.mode("overwrite").parquet(store._p("docs_meta"))
+        _mark("doc_tables", tick)
         row = enriched.agg(
             F.count("*").alias("n"), F.avg("doc_len").alias("a")
         ).collect()[0]
@@ -214,79 +235,92 @@ def build_resumable(
         salted_term_stats(explode_tf(enriched), n_buckets=n_buckets).write.mode(
             "overwrite"
         ).parquet(store._p("term_stats"))
+        _mark("stats", tick)
         store.mark_done(
             "docs",
             n_docs=int(row["n"]),
             avgdl=float(row["a"]),
             source_snapshot=source_snapshot,
             wall_ms=int(1000 * (time.time() - t0)),
+            phases=phases,
         )
         done = store.completed_units()
 
     n_docs = done["docs"]["n_docs"]
     avgdl = done["docs"]["avgdl"]
 
-    # ---- Stage B: posting segments, one group per unit ----
-    # Groups are independent (document-partitioned), so pending groups
-    # run as CONCURRENT Spark jobs (thread pool): the scheduler
-    # interleaves their tasks and keeps all cores busy — sequential
-    # groups would leave the cluster idle during each group's stragglers.
+    # ---- Stage B: posting segments, groups batched into big jobs ----
+    # The unit of CHECKPOINTING stays the segment group, but the unit of
+    # EXECUTION is a batch of ``groups_per_job`` groups: one Spark job
+    # per batch writes all its seg_group partitions at once (dynamic
+    # partition overwrite), which keeps every core busy — many tiny
+    # per-group jobs leave the cluster mostly idle on scheduling and
+    # Python-worker spin-up.
     n_groups = (n_docs + docs_per_group - 1) // docs_per_group
     enriched_all = spark.read.parquet(store._p("enriched"))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    def _build_group(g: int) -> None:
+    def _build_batch(batch: list[int]) -> None:
         t0 = time.time()
-        lo, hi = g * docs_per_group, (g + 1) * docs_per_group
-        part = enriched_all.filter(F.col("seg_group") == g)  # partition-pruned
+        part = enriched_all.filter(F.col("seg_group").isin(batch))
         postings = build_posting_lists(
             explode_tf(part), avgdl, docs_per_segment, n_buckets
+        ).withColumn(
+            "seg_group", F.floor(F.col("segment_id") / segments_per_group)
         )
-        out_dir = os.path.join(store._p("postings"), f"seg_group={g}")
         (
-            postings.repartition("bucket")
-            .sortWithinPartitions("bucket", "term")
+            postings.repartition("seg_group", "bucket")
+            .sortWithinPartitions("term")
             .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(out_dir)
+            .partitionBy("seg_group", "bucket")
+            .parquet(store._p("postings"))
         )
-        # lineage: rows written + content hash of per-term df counts
-        written = spark.read.parquet(out_dir)
-        agg = written.agg(
-            F.count("*").alias("lists"),
-            F.sum("df_seg").alias("postings"),
-            F.sha2(
-                F.concat_ws(
-                    "|",
-                    F.sort_array(
-                        F.collect_list(F.concat_ws(":", "term", "df_seg"))
+        # lineage per group: rows + content hash of per-term df counts
+        written = spark.read.parquet(store._p("postings")).filter(
+            F.col("seg_group").isin(batch)
+        )
+        aggs = (
+            written.groupBy("seg_group")
+            .agg(
+                F.count("*").alias("lists"),
+                F.sum("df_seg").alias("postings"),
+                F.sha2(
+                    F.concat_ws(
+                        "|",
+                        F.sort_array(
+                            F.collect_list(
+                                F.concat_ws(":", "term", "df_seg")
+                            )
+                        ),
                     ),
-                ),
-                256,
-            ).alias("sha"),
-        ).collect()[0]
-        store.mark_done(
-            f"group={g:06d}",
-            seg_group=g,
-            doc_lo=lo,
-            doc_hi=hi,
-            rows=int(agg["lists"]),
-            n_postings=int(agg["postings"] or 0),
-            sha=agg["sha"],
-            source_snapshot=source_snapshot,
-            wall_ms=int(1000 * (time.time() - t0)),
+                    256,
+                ).alias("sha"),
+            )
+            .collect()
         )
+        wall = int(1000 * (time.time() - t0))
+        by_group = {int(r["seg_group"]): r for r in aggs}
+        for g in batch:
+            r = by_group.get(g)
+            store.mark_done(
+                f"group={g:06d}",
+                seg_group=g,
+                doc_lo=g * docs_per_group,
+                doc_hi=(g + 1) * docs_per_group,
+                rows=int(r["lists"]) if r else 0,
+                n_postings=int(r["postings"]) if r else 0,
+                sha=r["sha"] if r else "",
+                source_snapshot=source_snapshot,
+                wall_ms=wall // max(1, len(batch)),
+            )
 
     pending = [g for g in range(n_groups) if f"group={g:06d}" not in done]
-    if fail_after_units is not None:
-        # deterministic sequential mode for the kill/resume test
-        for i, g in enumerate(pending):
-            if i >= fail_after_units:
-                raise RuntimeError(f"injected failure before group={g:06d}")
-            _build_group(g)
-    else:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=group_parallelism) as ex:
-            for fut in [ex.submit(_build_group, g) for g in pending]:
-                fut.result()
+    batches = [
+        pending[i: i + groups_per_job]
+        for i in range(0, len(pending), groups_per_job)
+    ]
+    for i, batch in enumerate(batches):
+        if fail_after_units is not None and i >= fail_after_units:
+            raise RuntimeError(f"injected failure before batch {batch}")
+        _build_batch(batch)
     return store

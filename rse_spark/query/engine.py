@@ -179,6 +179,86 @@ def search(
     return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def search_many(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries: list[tuple[int, str]],
+    *,
+    n_docs: int,
+    avgdl: float,
+    term_stats: DataFrame | None = None,
+    term_info: dict[str, tuple[int, int]] | None = None,
+    k: int = 10,
+    mode: str = "or",
+    analyzer: str = "code",
+) -> DataFrame:
+    """Batch top-k for a whole query set in ONE Spark job.
+
+    Sequential per-query jobs pay Spark's fixed scheduling + Python
+    worker cost per query; a serving cluster amortizes it by joining the
+    posting rows against a broadcast (query_id, term, qtf, idf) table
+    and ranking per query with a window. Returns
+    (query_id, rank, doc_id, score, n_terms_matched).
+    """
+    from pyspark.sql import Window
+
+    per_q: dict[int, dict[str, int]] = {
+        qid: query_terms(text, analyzer) for qid, text in queries
+    }
+    all_terms = sorted({t for qt in per_q.values() for t in qt})
+    if not all_terms:
+        return spark.createDataFrame(
+            [],
+            "query_id long, rank int, doc_id long, score double,"
+            " n_terms_matched int",
+        )
+    if term_info is None and term_stats is not None:
+        term_info = lookup_term_info(all_terms, term_stats)
+    matched = _match_postings(postings, all_terms, term_info)
+    if term_info is not None:
+        dfs = {t: df for t, (df, _) in term_info.items()}
+    else:
+        dfs = {
+            r["term"]: int(r["df"])
+            for r in matched.groupBy("term")
+            .agg(F.sum("df_seg").alias("df"))
+            .collect()
+        }
+
+    rows = [
+        {
+            "query_id": qid,
+            "term": t,
+            "qtf": float(q),
+            "idf": idf(dfs.get(t, 0), n_docs),
+            "n_q_terms": len(qt),
+        }
+        for qid, qt in per_q.items()
+        for t, q in qt.items()
+    ]
+    w_df = F.broadcast(spark.createDataFrame(pd.DataFrame(rows)))
+
+    flat = decode_matched(matched)
+    scored = flat.join(w_df, "term").withColumn(
+        "contrib", bm25_score_col(avgdl)
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").alias("score"),
+        F.count("*").cast("int").alias("n_terms_matched"),
+        F.first("n_q_terms").alias("n_q_terms"),
+    )
+    if mode == "and":
+        agg = agg.filter(F.col("n_terms_matched") == F.col("n_q_terms"))
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score", "n_terms_matched")
+    )
+
+
 def search_bundle(spark: SparkSession, bundle, qtext: str, **kw) -> DataFrame:
     """Convenience: search over an in-memory IndexBundle."""
     return search(

@@ -1,0 +1,196 @@
+"""Incremental index maintenance via Structured Streaming.
+
+The reference's ingestion is an unbounded crawl loop feeding a queue
+(reference crawler/src/crawler/crawler/crawler.go:111-126) with a
+Redis visited-set for dedup (crawler.go:147-155). The Spark-idiomatic
+equivalent is a file-source stream over the corpus directory:
+``readStream`` discovers new files per micro-batch (the queue), the
+checkpoint directory remembers processed files (the visited set), and
+``foreachBatch`` appends each batch as new index segment groups with
+the SAME storage layout + manifest lineage the batch builder writes —
+so batch-built and stream-grown indexes are interchangeable to the
+query engine.
+
+doc_id allocation across batches: each batch claims a contiguous id
+range starting at the next multiple of ``docs_per_group`` above the
+current maximum (recorded in the manifest) — ids stay dense-ish and
+segment ranges never straddle batches, so a batch is exactly N new
+segment groups and the incremental build reuses ``build_resumable``'s
+stage-B writer unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rse_spark.index.build import build_posting_lists, enrich, explode_tf
+from rse_spark.index.storage import IndexStorage
+
+
+def _next_group(store: IndexStorage) -> int:
+    done = store.completed_units()
+    groups = [
+        rec["seg_group"] for u, rec in done.items() if u.startswith("group=")
+    ]
+    return (max(groups) + 1) if groups else 0
+
+
+def append_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    root: str,
+    analyzer: str = "simple",
+    content_col: str = "text",
+    docs_per_segment: int = 1024,
+    segments_per_group: int = 4,
+    n_buckets: int = 16,
+    batch_id: int = -1,
+) -> int:
+    """Index one micro-batch as fresh segment groups; returns docs added.
+
+    Used as the foreachBatch body; also callable directly for batch
+    increments. Corpus-level stats (avgdl, n_docs, df) are recomputed
+    cheaply from the persisted doc_stats/term_stats plus the delta —
+    BM25 scores therefore reflect the full corpus after every batch.
+    """
+    if batch_df.isEmpty():
+        return 0
+    store = IndexStorage(root)
+    docs_per_group = docs_per_segment * segments_per_group
+    g0 = _next_group(store)
+    base_doc = g0 * docs_per_group
+
+    if content_col != "content":
+        batch_df = batch_df.withColumnRenamed(content_col, "content")
+    # assign batch-local dense ids on top of the claimed range
+    w = Window.orderBy(F.monotonically_increasing_id())
+    ids = batch_df.withColumn(
+        "doc_id", (F.row_number().over(w) - 1 + F.lit(base_doc)).cast("long")
+    )
+    enriched = enrich(ids, analyzer).withColumn(
+        "seg_group", (F.col("doc_id") / F.lit(docs_per_group)).cast("long")
+    ).persist()
+    n_new = enriched.count()
+
+    t0 = time.time()
+    enriched.write.mode("append").partitionBy("seg_group").parquet(
+        store._p("enriched")
+    )
+    map_cols = [
+        c for c in ("repo", "path", "commit", "lang", "source")
+        if c in enriched.columns
+    ]
+    enriched.select(
+        "doc_id", "doc_len", "content_sha256", *map_cols
+    ).write.mode("append").parquet(store._p("docs_meta"))
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    postings = build_posting_lists(
+        explode_tf(enriched), _avgdl_estimate(spark, store), docs_per_segment,
+        n_buckets,
+    ).withColumn(
+        "seg_group", F.floor(F.col("segment_id") / segments_per_group)
+    )
+    (
+        postings.repartition("seg_group", "bucket")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("seg_group", "bucket")
+        .parquet(store._p("postings"))
+    )
+
+    # refresh global stats tables (cheap: doc_stats is columnar + small
+    # relative to the corpus; term_stats reaggregates the enriched maps)
+    import pandas as pd
+
+    ds = spark.read.parquet(store._p("docs_meta"))
+    row = ds.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    spark.createDataFrame(
+        pd.DataFrame({"n_docs": [int(row["n"])], "avgdl": [float(row["a"])]})
+    ).write.mode("overwrite").parquet(store._p("corpus_stats"))
+    from rse_spark.index.build import salted_term_stats
+
+    salted_term_stats(
+        explode_tf(spark.read.parquet(store._p("enriched"))),
+        n_buckets=n_buckets,
+    ).write.mode("overwrite").parquet(store._p("term_stats"))
+
+    groups = sorted(
+        int(r["seg_group"])
+        for r in enriched.select("seg_group").distinct().collect()
+    )
+    for g in groups:
+        store.mark_done(
+            f"group={g:06d}",
+            seg_group=g,
+            doc_lo=g * docs_per_group,
+            doc_hi=(g + 1) * docs_per_group,
+            rows=-1,
+            n_postings=-1,
+            sha="",
+            source_snapshot=f"stream-batch-{batch_id}",
+            wall_ms=int(1000 * (time.time() - t0)) // max(1, len(groups)),
+        )
+    if "docs" not in store.completed_units():
+        store.mark_done(
+            "docs", n_docs=int(row["n"]), avgdl=float(row["a"]),
+            source_snapshot=f"stream-batch-{batch_id}", wall_ms=0,
+        )
+    else:
+        rec = store.completed_units()["docs"]
+        rec.update(n_docs=int(row["n"]), avgdl=float(row["a"]))
+        store.mark_done("docs", **{k: v for k, v in rec.items()
+                                   if k not in ("unit", "status")})
+    enriched.unpersist()
+    return n_new
+
+
+def _avgdl_estimate(spark: SparkSession, store: IndexStorage) -> float:
+    path = store._p("corpus_stats")
+    try:
+        return float(spark.read.parquet(path).collect()[0]["avgdl"])
+    except Exception:  # noqa: BLE001 — first batch: no stats yet
+        return 100.0
+
+
+def start_stream(
+    spark: SparkSession,
+    input_dir: str,
+    root: str,
+    checkpoint_dir: str,
+    schema,
+    analyzer: str = "simple",
+    content_col: str = "text",
+    docs_per_segment: int = 1024,
+    segments_per_group: int = 4,
+    trigger_once: bool = True,
+):
+    """File-source stream -> foreachBatch incremental indexing.
+
+    ``checkpoint_dir`` is the processed-files ledger (the Redis
+    visited-set analogue, crawler.go:28) — restarts resume exactly."""
+    stream = (
+        spark.readStream.schema(schema).parquet(input_dir)
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        append_batch(
+            spark, batch_df, root,
+            analyzer=analyzer, content_col=content_col,
+            docs_per_segment=docs_per_segment,
+            segments_per_group=segments_per_group,
+            batch_id=batch_id,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,230 @@
+"""Dedup / simsearch / textstats / multimodal operator tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rse_spark.functions import dedup, multimodal, simsearch, textstats
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS).persist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(EMB).persist()
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def test_exact_duplicates_finds_planted(spark, docs):
+    dup = docs.limit(3).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    with_dups = docs.union(dup)
+    out = dedup.exact_duplicates(with_dups).filter(F.col("n_dups") > 1)
+    got = out.toPandas()
+    assert len(got) == 3
+    assert (got["n_dups"] == 2).all()
+    # keeper is the original (smaller) id
+    assert (got["keeper_doc_id"] < 100000).all()
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    """A doc and its lightly-edited copy must share LSH bands."""
+    base = docs.limit(5).toPandas()
+    edited = base.copy()
+    edited["doc_id"] += 100000
+    edited["text"] = edited["text"].map(
+        lambda t: " ".join(t.split(" ")[:-1] + ["zzedit"])
+    )
+    both = spark.createDataFrame(pd.concat([base, edited]))
+    sh = dedup.word_shingles(both, n=3)
+    sig = dedup.minhash_signatures(sh, n_hashes=16)
+    pairs = dedup.lsh_candidate_pairs(sig, n_hashes=16, bands=8).toPandas()
+    found = {
+        (a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])
+    }
+    for did in base["doc_id"]:
+        assert (did, did + 100000) in found, f"near-dup pair {did} missed"
+
+
+def test_ngram_jaccard_exactness(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "a b c d e f",
+                "a b c d e zz",   # shares shingles with 1
+                "q r s t u v",    # disjoint
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.1).toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    # shingles(1): {abc,bcd,cde,def}; shingles(2): {abc,bcd,cde,dezz...}
+    # intersection = 3 of (4 + 4 - 3)
+    assert (row.doc_a, row.doc_b) == (1, 2)
+    assert abs(row.jaccard - 3 / 5) < 1e-9
+
+
+def test_simhash_near_for_similar(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "spark query engine index " * 10,
+                "spark query engine index " * 10 + "tiny edit",
+                "completely different words entirely here now",
+            ],
+        }
+    )
+    out = dedup.simhash(spark.createDataFrame(pdf), n_bits=48).toPandas()
+    sh = dict(zip(out["doc_id"], out["simhash"]))
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    assert ham(sh[1], sh[2]) <= 8
+    assert ham(sh[1], sh[3]) > 8
+
+
+# ---------------------------------------------------------------------------
+# simsearch
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    pdf = emb.toPandas()
+    q = np.asarray(pdf.loc[pdf.vec_id == 0, "embedding"].iloc[0], dtype=np.float64)
+    out = simsearch.cosine_topk(
+        emb.filter(F.col("vec_id") != 0), list(q), k=5
+    ).toPandas()
+    mat = np.stack(
+        pdf.loc[pdf.vec_id != 0, "embedding"].map(
+            lambda v: np.asarray(v, dtype=np.float64)
+        )
+    )
+    ids = pdf.loc[pdf.vec_id != 0, "vec_id"].to_numpy()
+    cos = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -cos))[:5]
+    assert out["vec_id"].tolist() == ids[order].tolist()
+    np.testing.assert_allclose(
+        out["cosine"].to_numpy(), np.round(cos[order], 6), atol=1e-6
+    )
+
+
+def test_lsh_ann_recall(spark, emb):
+    pdf = emb.toPandas()
+    q = list(np.asarray(pdf.loc[pdf.vec_id == 0, "embedding"].iloc[0], dtype=np.float64))
+    exact = set(
+        simsearch.cosine_topk(emb.filter(F.col("vec_id") != 0), q, k=10)
+        .toPandas()["vec_id"]
+    )
+    ann = set(
+        simsearch.lsh_ann_topk(
+            emb.filter(F.col("vec_id") != 0), q, k=10, n_planes=4, n_tables=16
+        ).toPandas()["vec_id"]
+    )
+    recall = len(exact & ann) / 10
+    assert recall >= 0.6, f"recall@10 {recall}"  # LSH on random gaussians
+
+
+def test_cosine_neardup_pairs_planted(spark, emb):
+    base = emb.limit(4).toPandas()
+    near = base.copy()
+    near["vec_id"] += 100000
+    near["embedding"] = near["embedding"].map(
+        lambda v: [float(x) * 1.0001 for x in v]  # same direction
+    )
+    both = spark.createDataFrame(pd.concat([base, near]))
+    pairs = simsearch.cosine_neardup_pairs(both, threshold=0.999).toPandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    for vid in base["vec_id"]:
+        assert (vid, vid + 100000) in got
+
+
+# ---------------------------------------------------------------------------
+# textstats
+# ---------------------------------------------------------------------------
+
+
+def test_quality_and_counts(spark, docs):
+    q = textstats.quality_features(docs).toPandas()
+    assert (q["ttr"] <= 1).all() and (q["ttr"] > 0).all()
+    c = textstats.token_counts(docs).toPandas()
+    assert (c["n_tokens"] > 0).all()
+
+
+def test_lang_id_deterministic(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the cat and the dog in the house",
+                "der hund und die katze ist nicht hier",
+                "el perro y la casa es un lugar",
+            ],
+        }
+    )
+    out = textstats.lang_id(spark.createDataFrame(pdf)).toPandas()
+    pred = dict(zip(out["doc_id"], out["pred_lang"]))
+    assert pred == {1: "en", 2: "de", 3: "es"}
+
+
+def test_rolling_hash_stable(spark):
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["a b c", "a b d"]})
+    df = spark.createDataFrame(pdf)
+    out1 = df.select("doc_id", textstats.rolling_hash_udf()("text").alias("h")).toPandas()
+    out2 = df.select("doc_id", textstats.rolling_hash_udf()("text").alias("h")).toPandas()
+    pd.testing.assert_frame_equal(out1, out2)
+    assert out1.loc[0, "h"] != out1.loc[1, "h"]
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_pipeline(spark):
+    assets = multimodal.synth_assets(spark, n=30)
+    feats = multimodal.decode_and_featurize(assets, fake=True).toPandas()
+    assert len(feats) == 30
+    assert all(len(f) == 16 for f in feats["feat"])
+    # deterministic across runs
+    feats2 = multimodal.decode_and_featurize(
+        multimodal.synth_assets(spark, n=30), fake=True
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        feats.sort_values("asset_id").reset_index(drop=True),
+        feats2.sort_values("asset_id").reset_index(drop=True),
+    )
+
+
+def test_multimodal_real_decode_raises(spark):
+    assets = multimodal.synth_assets(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        multimodal.decode_and_featurize(assets, fake=False).collect()
+
+
+def test_frame_sampling(spark):
+    assets = multimodal.synth_assets(spark, n=9)
+    frames = multimodal.frame_sample(assets, every_ms=5000).toPandas()
+    vids = assets.filter(F.col("kind") == "video").toPandas()
+    want = sum(
+        len(range(0, int(m["duration_ms"]), 5000)) for m in vids["meta"]
+    )
+    assert len(frames) == want

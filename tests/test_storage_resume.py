@@ -32,7 +32,8 @@ def test_kill_resume_identical(spark, corpus, tmp_path_factory):
     resumed_root = str(tmp_path_factory.mktemp("idx_resumed"))
 
     build_resumable(
-        spark, corpus, clean_root, docs_per_segment=16, segments_per_group=2
+        spark, corpus, clean_root, docs_per_segment=16, segments_per_group=2,
+        groups_per_job=1,
     )
 
     # killed run: crash after 2 committed groups
@@ -40,6 +41,7 @@ def test_kill_resume_identical(spark, corpus, tmp_path_factory):
         build_resumable(
             spark, corpus, resumed_root,
             docs_per_segment=16, segments_per_group=2, fail_after_units=2,
+            groups_per_job=1,
         )
     done_before = set(IndexStorage(resumed_root).completed_units())
     assert "docs" in done_before
@@ -47,7 +49,8 @@ def test_kill_resume_identical(spark, corpus, tmp_path_factory):
 
     # resume: completes, does NOT recompute committed units
     store = build_resumable(
-        spark, corpus, resumed_root, docs_per_segment=16, segments_per_group=2
+        spark, corpus, resumed_root, docs_per_segment=16, segments_per_group=2,
+        groups_per_job=1,
     )
     manifest = store.manifest()
     units = [r["unit"] for r in manifest]
