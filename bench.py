@@ -88,6 +88,21 @@ def main() -> None:
         p95 = lat[max(0, int(len(lat) * 0.95) - 1)]
         timings["query_set"] = round(sum(lat), 3)
         postings.unpersist()
+
+        # low-latency serving tier: same index files, pyarrow + numpy
+        # WAND driver-side (query/serve.py) — GSE's API-tier analogue
+        from rse_spark.query.serve import DirectSearcher
+
+        searcher = DirectSearcher(idx_root, analyzer="code")
+        searcher.search("warm up", k=10)
+        dlat: list[float] = []
+        for q in qset.itertuples():
+            t0 = time.time()
+            searcher.search(q.query_text, k=10)
+            dlat.append(time.time() - t0)
+        dlat.sort()
+        d50 = dlat[len(dlat) // 2]
+        d95 = dlat[max(0, int(len(dlat) * 0.95) - 1)]
     finally:
         shutil.rmtree(idx_root, ignore_errors=True)
 
@@ -116,6 +131,8 @@ def main() -> None:
                 "docs_per_sec": round(n_docs / build_sec, 1),
                 "query_p50_ms": round(1000 * p50, 1),
                 "query_p95_ms": round(1000 * p95, 1),
+                "serve_p50_ms": round(1000 * d50, 2),
+                "serve_p95_ms": round(1000 * d95, 2),
                 "cpus": int(cpus),
             }
         )

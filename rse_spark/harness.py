@@ -260,6 +260,38 @@ def q_backlink_count(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_link_rank(spark, sf_dir):
+    """GSE's damped backlink rank (api/main.go:97-111) corrected: one
+    pass of rank(dst) = 0.85*(1 + sum(score/outdeg)) over a derived
+    edge list (customer -> order-bucket) with c_acctbal as relevance."""
+    from rse_spark.functions.linkrank import gse_link_rank
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    edges = o.select(
+        F.col("o_custkey").alias("src"),
+        F.pmod(F.col("o_orderkey"), F.lit(100)).cast("long").alias("dst"),
+    )
+    scores = c.select(
+        F.col("c_custkey").alias("src"), F.col("c_acctbal").alias("score")
+    )
+    return gse_link_rank(edges, scores)
+
+
+def q_pagerank(spark, sf_dir):
+    """10-iteration damped PageRank over the derived edge graph
+    (iterative — no SQL oracle; convergence is pytest-checked)."""
+    from rse_spark.functions.linkrank import pagerank
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    edges = o.select(
+        F.col("o_custkey").alias("src"),
+        F.pmod(F.col("o_orderkey"), F.lit(100)).cast("long").alias("dst"),
+    ).distinct()
+    pr = pagerank(edges, iterations=5)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup via content-hash groupBy (scales: one shuffle on the
     hash, no pairwise compare)."""
@@ -571,6 +603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_order_per_customer": q_top_order_per_customer,
         "order_customer_join": q_order_customer_join,
         "backlink_count": q_backlink_count,
+        "link_rank": q_link_rank,
+        "pagerank": q_pagerank,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
@@ -782,6 +816,18 @@ def oracle_sql() -> dict[str, str]:
         "backlink_count": """
             SELECT o_custkey AS src, count(*)::bigint AS n_backlinks
             FROM orders GROUP BY o_custkey
+        """,
+        "link_rank": """
+            WITH edges AS (
+              SELECT o_custkey AS src, (o_orderkey % 100)::bigint AS dst
+              FROM orders
+            ),
+            outd AS (SELECT src, count(*)::bigint AS outdeg FROM edges GROUP BY src),
+            scores AS (SELECT c_custkey AS src, c_acctbal AS score FROM customer)
+            SELECT dst,
+                   round(0.85 * (1.0 + sum(score / outdeg)), 6) AS rank
+            FROM edges JOIN outd USING (src) JOIN scores USING (src)
+            GROUP BY dst
         """,
         "dedup_exact": """
             SELECT md5(text) AS fp, count(*)::bigint AS n_dups,

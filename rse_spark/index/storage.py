@@ -14,11 +14,11 @@ sandbox — a real deployment swaps the writer for an Iceberg catalog
 without touching the build logic):
 
     root/
-      doc_map/            doc_id -> (repo, path, commit, lang, ...)
-      doc_stats/          doc_id, doc_len, content_sha256
+      enriched/seg_group=K/   per-doc tf map + doc_len + sha (build artifact)
+      docs_meta/          doc_id, doc_len, content_sha256, repo/path/... cols
       corpus_stats/       n_docs, avgdl
-      term_stats/         term, df, cf
-      postings/seg_group=K/   term, bucket, segment_id, payload, block_*
+      term_stats/         term, df, cf, bucket
+      postings/seg_group=K/bucket=B/  term, segment_id, payload, block_*
       manifest/           one JSON lineage record per completed unit
 
 The unit of resumable work is a SEGMENT GROUP — a contiguous doc_id

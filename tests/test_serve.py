@@ -1,0 +1,58 @@
+"""DirectSearcher (pyarrow serving path) equals the Spark paths, fast."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from rse_spark.fixtures import gen_code_corpus, gen_query_set
+from rse_spark.index.storage import IndexStorage, build_resumable
+from rse_spark.query.serve import DirectSearcher
+from rse_spark.query.wand import wand_search
+
+
+@pytest.fixture(scope="module")
+def root(spark, tmp_path_factory):
+    r = str(tmp_path_factory.mktemp("serve_idx"))
+    corpus = spark.createDataFrame(gen_code_corpus(0.0004))
+    build_resumable(spark, corpus, r, analyzer="code", docs_per_segment=64)
+    return r
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_direct_equals_spark(spark, root, mode):
+    idx = IndexStorage(root).load(spark)
+    searcher = DirectSearcher(root, analyzer="code")
+    for q in gen_query_set(0.0004, n_queries=8).itertuples():
+        direct = searcher.search(q.query_text, k=10, mode=mode)
+        dist = [
+            (r.doc_id, round(r.score, 9), r.n_terms_matched)
+            for r in wand_search(
+                spark, idx.postings, q.query_text,
+                n_docs=idx.n_docs, avgdl=idx.avgdl,
+                term_stats=idx.term_stats, k=10, mode=mode,
+            ).collect()
+        ]
+        got = [(d, round(s, 9), m) for d, s, m in direct]
+        assert [x[0] for x in got] == [x[0] for x in dist], (q.query_text, mode)
+        for (d1, s1, m1), (d2, s2, m2) in zip(got, dist):
+            assert abs(s1 - s2) < 1e-6
+            assert m1 == m2
+
+
+def test_direct_latency(root):
+    searcher = DirectSearcher(root, analyzer="code")
+    searcher.search("parse index", k=10)  # warm
+    t0 = time.time()
+    n = 20
+    for _ in range(n):
+        searcher.search("parse index merge", k=10)
+    per_q = (time.time() - t0) / n
+    assert per_q < 0.25, f"direct path should be fast, got {per_q:.3f}s"
+
+
+def test_direct_zero_hit(root):
+    searcher = DirectSearcher(root, analyzer="code")
+    assert searcher.search("zzzmissingterm") == []
+    assert searcher.search("   ") == []

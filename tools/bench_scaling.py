@@ -48,9 +48,14 @@ def run_level(cores: int, sf: float, n_queries: int) -> dict:
         SCALING_SF=str(sf),
         SCALING_QUERIES=str(n_queries),
     )
+    cmd = [sys.executable, os.path.join(REPO, "tools", "_scaling_child.py")]
+    # pin the whole process tree (JVM + python workers) to exactly
+    # ``cores`` CPUs — otherwise the "N-core" JVM borrows idle cores for
+    # GC/shuffle/IO threads and the comparison understates true scaling
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["/usr/bin/taskset", "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "_scaling_child.py")],
-        env=env, capture_output=True, text=True, check=True,
+        cmd, env=env, capture_output=True, text=True, check=True,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
