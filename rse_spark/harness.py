@@ -164,6 +164,71 @@ def q_bm25_and(spark, sf_dir):
     return _bm25(spark, sf_dir, "and")
 
 
+_INDEX_CACHE: dict = {}
+
+
+def _built_index(spark, sf_dir):
+    """Real compressed index over the documents table (memoized per dir) —
+    lets the driver gate the ENGINE paths (WAND, batch) against the same
+    declarative-SQL oracle as the DataFrame BM25."""
+    key = (id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        from rse_spark.index.build import build_index
+
+        bundle = build_index(
+            spark, _docs(spark, sf_dir), analyzer="simple",
+            content_col="text", docs_per_segment=256,
+        )
+        bundle.postings = bundle.postings.persist()
+        bundle.postings.count()
+        _INDEX_CACHE[key] = bundle
+    return _INDEX_CACHE[key]
+
+
+def q_bm25_wand_topk(spark, sf_dir):
+    """Block-max WAND top-10 over the compressed index — must be
+    rank-identical to the declarative BM25 oracle."""
+    from rse_spark.query.wand import wand_search
+
+    b = _built_index(spark, sf_dir)
+    out = wand_search(
+        spark, b.postings, " ".join(BM25_TERMS),
+        n_docs=b.n_docs, avgdl=b.avgdl, term_stats=b.term_stats,
+        k=10, mode="or", analyzer="simple",
+    )
+    return out.select(
+        "doc_id", F.round("score", 6).alias("score"), "n_terms_matched"
+    )
+
+
+BATCH_QUERIES = [
+    (0, "spark join filter"),
+    (1, "data group"),
+    (2, "the"),
+    (3, "zzzabsent qqqnope"),
+    (4, "window sort merge fast"),
+]
+
+
+def q_bm25_batch(spark, sf_dir):
+    """search_many: the whole query set in one Spark job, top-10 each."""
+    from rse_spark.query.engine import search_many
+
+    b = _built_index(spark, sf_dir)
+    out = search_many(
+        spark, b.postings, BATCH_QUERIES,
+        n_docs=b.n_docs, avgdl=b.avgdl, term_stats=b.term_stats,
+        k=10, mode="or", analyzer="simple",
+    )
+    return out.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        "rank",
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        "n_terms_matched",
+    )
+
+
 def _bm25_sql(mode: str) -> str:
     terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
     having = (
@@ -599,6 +664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidates_or": q_candidates_or,
         "bm25_topk": q_bm25_topk,
         "bm25_and": q_bm25_and,
+        "bm25_wand_topk": q_bm25_wand_topk,
+        "bm25_batch": q_bm25_batch,
         "tpch_q1": q_tpch_q1,
         "top_order_per_customer": q_top_order_per_customer,
         "order_customer_join": q_order_customer_join,
@@ -783,6 +850,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _bm25_sql("or"),
         "bm25_and": _bm25_sql("and"),
+        "bm25_wand_topk": _bm25_sql("or"),
+        "bm25_batch": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            tf AS (SELECT doc_id, term, count(*)::bigint AS tf FROM toks GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*)::bigint AS dl FROM toks GROUP BY doc_id),
+            stats AS (SELECT count(*)::bigint AS n_docs, avg(dl) AS avgdl FROM dl),
+            q(query_id, term) AS (VALUES
+              {", ".join(f"({qid}, '{t}')" for qid, text in BATCH_QUERIES for t in text.split())}
+            ),
+            dfx AS (
+              SELECT term, count(*)::bigint AS df FROM tf
+              WHERE term IN (SELECT term FROM q) GROUP BY term
+            ),
+            scored AS (
+              SELECT q.query_id, tf.doc_id,
+                     sum( ln((stats.n_docs - dfx.df + 0.5)/(dfx.df + 0.5) + 1.0)
+                          * tf.tf * {K1 + 1.0}
+                          / (tf.tf + {K1}*(1.0 - {B} + {B}*dl.dl/stats.avgdl)) ) AS s,
+                     count(*)::int AS n_terms_matched
+              FROM q JOIN tf USING (term) JOIN dfx USING (term)
+                   JOIN dl USING (doc_id) CROSS JOIN stats
+              GROUP BY q.query_id, tf.doc_id
+            )
+            SELECT query_id::int AS query_id, rank, doc_id,
+                   round(s, 6) AS score, n_terms_matched
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY s DESC, doc_id ASC
+              )::int AS rank FROM scored
+            ) WHERE rank <= 10
+        """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
