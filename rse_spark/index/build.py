@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from rse_spark.index import codec
 from rse_spark.tokenizer import (
     stem_term_udf,
-    tf_map_udf,
+    tf_arrays_udf,
     tokens_col,
     tokens_udf,
 )
@@ -116,27 +116,33 @@ def tokenized(corpus_with_ids: DataFrame, analyzer: str = "code",
 
 
 def enrich(corpus_with_ids: DataFrame, analyzer: str = "code") -> DataFrame:
-    """One UDF pass over content: + tf map, doc_len, content_sha256.
+    """One UDF pass over content: + tf term/count arrays, doc_len, sha256.
 
     Everything the build needs in a single scan of the corpus; the
-    (doc_id, term, tf) rows are a shuffle-free ``explode(tf)`` away."""
+    (doc_id, term, tf) rows are a shuffle-free arrays_zip explode away."""
     return corpus_with_ids.withColumn(
-        "_s", tf_map_udf(analyzer)("content")
+        "_s", tf_arrays_udf(analyzer)("content")
     ).select(
         *[c for c in corpus_with_ids.columns if c != "content"],
-        F.col("_s.tf").alias("tf_map"),
+        F.col("_s.terms").alias("tf_terms"),
+        F.col("_s.tfs").alias("tf_counts"),
         F.col("_s.doc_len").cast("long").alias("doc_len"),
         F.sha2("content", 256).alias("content_sha256"),
     )
 
 
 def explode_tf(enriched: DataFrame) -> DataFrame:
-    """(doc_id, term, tf, doc_len) from the enriched map — map-side only."""
+    """(doc_id, term, tf, doc_len) from the enriched arrays — map-side only."""
     return enriched.select(
         "doc_id",
-        F.explode("tf_map").alias("term", "tf"),
+        F.explode(F.arrays_zip("tf_terms", "tf_counts")).alias("_z"),
         "doc_len",
-    ).withColumn("tf", F.col("tf").cast("long"))
+    ).select(
+        "doc_id",
+        F.col("_z.tf_terms").alias("term"),
+        F.col("_z.tf_counts").cast("long").alias("tf"),
+        "doc_len",
+    )
 
 
 def term_frequencies(toks: DataFrame, analyzer: str = "code",
