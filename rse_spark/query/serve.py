@@ -49,42 +49,64 @@ class DirectSearcher:
                 tdict["bucket"].to_pylist(),
             )
         }
+        self._bucket_cache: dict[int, dict[str, list[dict]]] = {}
 
-    def _matched_lists(self, terms: list[str], weights: dict[str, float]):
-        """Read only the bucket partitions of the query terms."""
-        by_bucket: dict[int, list[str]] = {}
-        for t in terms:
-            info = self.term_dict.get(t)
-            if info:
-                by_bucket.setdefault(info[1], []).append(t)
-        iters: dict[int, list[_ListIter]] = {}
-        for bucket, bterms in by_bucket.items():
+    _COLS = [
+        "term", "segment_id", "payload", "block_offsets",
+        "block_last", "block_max_impact",
+    ]
+
+    def _bucket_rows(self, bucket: int, term: str) -> list[dict]:
+        """All (segment) posting rows of one term, via a per-bucket
+        in-memory cache: first touch reads the bucket's files once and
+        indexes rows by term (terms are file-sorted, so this is the
+        in-memory analogue of the term dictionary's leaf level). A
+        serving replica amortizes this across its query stream; memory
+        is bounded by the buckets actually queried."""
+        cache = self._bucket_cache.get(bucket)
+        if cache is None:
+            cache = {}
             pattern = os.path.join(
-                self.root, "postings", "seg_group=*", f"bucket={bucket}", "*.parquet"
+                self.root, "postings", "seg_group=*",
+                f"bucket={bucket}", "*.parquet",
             )
             for path in sorted(glob.glob(pattern)):
-                tbl = pq.read_table(
-                    path,
-                    filters=[("term", "in", bterms)],
-                    columns=[
-                        "term", "segment_id", "payload", "block_offsets",
-                        "block_last", "block_max_impact",
-                    ],
-                )
+                tbl = pq.read_table(path, columns=self._COLS)
                 for row in tbl.to_pylist():
-                    iters.setdefault(int(row["segment_id"]), []).append(
-                        _ListIter(
-                            row["payload"],
-                            row["block_offsets"],
-                            row["block_last"],
-                            row["block_max_impact"],
-                            weights[row["term"]],
-                        )
+                    cache.setdefault(row["term"], []).append(row)
+            self._bucket_cache[bucket] = cache
+        return cache.get(term, [])
+
+    def _matched_lists(self, terms: list[str], weights: dict[str, float]):
+        """Collect posting-list cursors for the query terms."""
+        iters: dict[int, list[_ListIter]] = {}
+        for t in terms:
+            info = self.term_dict.get(t)
+            if not info:
+                continue
+            for row in self._bucket_rows(info[1], t):
+                iters.setdefault(int(row["segment_id"]), []).append(
+                    _ListIter(
+                        row["payload"],
+                        row["block_offsets"],
+                        row["block_last"],
+                        row["block_max_impact"],
+                        weights[t],
                     )
+                )
         return iters
 
-    def search(self, qtext: str, k: int = 10, mode: str = "or"):
-        """Top-k BM25 — returns [(doc_id, score, n_terms_matched)]."""
+    def search(self, qtext: str, k: int = 10, mode: str = "or",
+               algo: str = "numpy"):
+        """Top-k BM25 — returns [(doc_id, score, n_terms_matched)].
+
+        ``algo='numpy'`` (default): decode every matched list with the
+        vectorized codec and aggregate scores with bincount — exact,
+        and at posting counts up to ~10^6 faster than cursor-based
+        pruning because ALL per-posting math is C. ``algo='wand'``:
+        the block-skipping cursor path (identical results) — wins when
+        a single giant list dwarfs k and block upper bounds are tight.
+        """
         qtf = query_terms(qtext, self.analyzer)
         if not qtf:
             return []
@@ -93,6 +115,8 @@ class DirectSearcher:
             t: qtf[t] * idf_fn(self.term_dict.get(t, (0, 0))[0], self.n_docs)
             for t in terms
         }
+        if algo == "numpy":
+            return self._search_numpy(terms, weights, k, mode)
         per_segment = self._matched_lists(terms, weights)
         results: list[tuple[int, float, int]] = []
         n_terms = len(terms)
@@ -105,3 +129,49 @@ class DirectSearcher:
                 results.extend(wand_topk_lists(iters, k, self.avgdl))
         results.sort(key=lambda r: (-r[1], r[0]))
         return results[:k]
+
+    def _search_numpy(self, terms, weights, k: int, mode: str):
+        """Vectorized exact scoring across all matched lists."""
+        import numpy as np
+
+        from rse_spark.index.codec import B, K1, decode_postings
+
+        doc_chunks, score_chunks = [], []
+        for t in terms:
+            info = self.term_dict.get(t)
+            if not info:
+                continue
+            w = weights[t]
+            for row in self._bucket_rows(info[1], t):
+                doc_ids, tfs, dls = decode_postings(bytes(row["payload"]))
+                tf = tfs.astype(np.float64)
+                contrib = w * tf * (K1 + 1.0) / (
+                    tf + K1 * (1.0 - B + B * dls.astype(np.float64) / self.avgdl)
+                )
+                doc_chunks.append(doc_ids)
+                score_chunks.append(contrib)
+        if not doc_chunks:
+            return []
+        docs = np.concatenate(doc_chunks)
+        scores = np.concatenate(score_chunks)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        agg = np.bincount(inv, weights=scores)
+        matched = np.bincount(inv).astype(np.int64)
+        if mode == "and":
+            keep = matched == len(terms)
+            uniq, agg, matched = uniq[keep], agg[keep], matched[keep]
+            if len(uniq) == 0:
+                return []
+        if len(uniq) > k:
+            # all docs scoring >= the k-th best (ties included, so the
+            # doc_id tie-break below stays exact)
+            kth = np.partition(agg, len(agg) - k)[len(agg) - k]
+            cand = np.nonzero(agg >= kth)[0]
+        else:
+            cand = np.arange(len(uniq))
+        order = sorted(
+            cand.tolist(), key=lambda i: (-agg[i], uniq[i])
+        )[:k]
+        return [
+            (int(uniq[i]), float(agg[i]), int(matched[i])) for i in order
+        ]
