@@ -70,9 +70,15 @@ def assign_doc_ids(corpus: DataFrame, key: list[str] | None = None) -> DataFrame
     """
     key = key or DOC_KEY
     spark = corpus.sparkSession
+    # hash partitioning (not repartitionByRange): range partitioning
+    # SAMPLES the input first — a whole extra scan of the corpus. Hash
+    # on the unique key is deterministic, one shuffle, and the dense-id
+    # contract only needs uniqueness + per-run stability, not global
+    # lexicographic order.
+    n_parts = max(8, 2 * spark.sparkContext.defaultParallelism)
     # persist so the partition layout (and thus _pid) is identical between
     # the counts action and the downstream plan
-    parts = corpus.repartitionByRange(*key).withColumn(
+    parts = corpus.repartition(n_parts, *key).withColumn(
         "_pid", F.spark_partition_id()
     ).persist()
     counts = (
