@@ -613,6 +613,73 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_events_json(spark, sf_dir):
+    """JSON scalar extraction: parse props, bucket the numeric field."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.withColumn(
+            "k", F.get_json_object("props", "$.k").cast("long")
+        )
+        .groupBy((F.col("k") / 10).cast("long").alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+def q_tpch_q6(spark, sf_dir):
+    """Forecast revenue: tight scan-side predicate + single agg."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1994-01-01 00:00:00")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1995-01-01 00:00:00")))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """Set operators: customers with orders EXCEPT top-spend segment
+    (semi/anti-join composition)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    with_orders = c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey")
+    big = (
+        o.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("s"))
+        .filter(F.col("s") > 500000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return with_orders.exceptAll(big).distinct()
+
+
+def q_string_funcs(spark, sf_dir):
+    """String/regex scalar functions over part names."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return p.select(
+        "p_partkey",
+        F.upper(F.col("p_brand")).alias("brand_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_head"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.concat_ws("-", "p_brand", F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -678,6 +745,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "ngram_tf": q_ngram_tf,
         "minhash_signature": q_minhash_signature,
+        "events_json": q_events_json,
+        "tpch_q6": q_tpch_q6,
+        "set_ops": q_set_ops,
+        "string_funcs": q_string_funcs,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -973,6 +1044,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, seed, min(h) AS minhash
             FROM seeded GROUP BY doc_id, seed
+        """,
+        "events_json": """
+            SELECT (json_extract_string(props, '$.k')::bigint // 10)::bigint
+                     AS k_bucket,
+                   count(*)::bigint AS n,
+                   round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1
+        """,
+        "tpch_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*)::bigint AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "set_ops": """
+            SELECT DISTINCT c_custkey FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+              AND c_custkey NOT IN (
+                SELECT o_custkey FROM orders
+                GROUP BY o_custkey HAVING sum(o_totalprice) > 500000
+              )
+        """,
+        "string_funcs": """
+            SELECT p_partkey,
+                   upper(p_brand) AS brand_upper,
+                   len(p_name)::bigint AS name_len,
+                   regexp_extract(p_type, '^(\\w+)', 1) AS type_head,
+                   substr(p_name, 1, 5) AS name5,
+                   p_brand || '-' || p_size::varchar AS brand_size
+            FROM part
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
