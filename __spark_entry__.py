@@ -24,8 +24,11 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from pyspark.sql import functions as F
 
+    from rse_spark.deploy import ensure_shipped
     from rse_spark.index.build import build_index
     from rse_spark.query.engine import search_bundle
+
+    ensure_shipped(spark)  # UDFs import rse_spark on the workers
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     bundle = build_index(
@@ -41,7 +44,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return harness.queries()
+    from rse_spark.deploy import ensure_shipped
+
+    def shipped(fn):
+        def wrapper(spark, sf_dir):
+            ensure_shipped(spark)
+            return fn(spark, sf_dir)
+
+        return wrapper
+
+    return {name: shipped(fn) for name, fn in harness.queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
