@@ -43,6 +43,9 @@ def main() -> None:
 
     corpus_pq = corpus_path(sf)  # generate outside the timed section
     spark = get_spark("rse-bench", cores=cpus)
+    from rse_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)  # workers import rse_spark regardless of cwd
 
     timings: dict[str, float] = {}
     t_all = time.time()

@@ -43,9 +43,11 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
 
+    from rse_spark.deploy import ensure_shipped
     from rse_spark.session import get_spark
 
     spark = get_spark(f"rse-cli-{args.cmd}")
+    ensure_shipped(spark)
 
     if args.cmd == "build":
         from rse_spark.index.storage import build_resumable
