@@ -60,31 +60,35 @@ class IndexBundle:
     n_docs: int
 
 
-def assign_doc_ids(corpus: DataFrame, key: list[str] | None = None) -> DataFrame:
+def assign_doc_ids(corpus: DataFrame, key: list[str] | None = None,
+                   base: int = 0) -> DataFrame:
     """Dense, deterministic doc_id without a global single-partition sort.
 
-    Range-partition by the unique key, per-partition row_number, then add
+    Hash-partition by the unique key, per-partition row_number, then add
     driver-side cumulative partition offsets (O(#partitions) rows on the
     driver). Replaces GSE's Postgres SERIAL pk (init_db.sql:3) and stays
-    parallel at 10^12 rows.
+    parallel at 10^12 rows. ``base`` shifts the whole id range — the
+    streaming incremental indexer claims disjoint ranges per batch.
+
+    hash partitioning (not repartitionByRange): range partitioning
+    SAMPLES the input first — a whole extra scan of the corpus. Hash on
+    the unique key is a PURE FUNCTION of the key, so the counts action
+    and the downstream plan agree on _pid without persisting the corpus
+    (round 1 pinned the full corpus, content included, in executor
+    memory here); the counts pass below scans only the key columns.
     """
     key = key or DOC_KEY
     spark = corpus.sparkSession
-    # hash partitioning (not repartitionByRange): range partitioning
-    # SAMPLES the input first — a whole extra scan of the corpus. Hash
-    # on the unique key is deterministic, one shuffle, and the dense-id
-    # contract only needs uniqueness + per-run stability, not global
-    # lexicographic order.
     n_parts = max(8, 2 * spark.sparkContext.defaultParallelism)
-    # persist so the partition layout (and thus _pid) is identical between
-    # the counts action and the downstream plan
-    parts = corpus.repartition(n_parts, *key).withColumn(
-        "_pid", F.spark_partition_id()
-    ).persist()
     counts = (
-        parts.groupBy("_pid").count().orderBy("_pid").collect()
+        corpus.select(*key)
+        .repartition(n_parts, *key)
+        .groupBy(F.spark_partition_id().alias("_pid"))
+        .count()
+        .orderBy("_pid")
+        .collect()
     )
-    offsets, acc = {}, 0
+    offsets, acc = {}, base
     for row in counts:
         offsets[row["_pid"]] = acc
         acc += row["count"]
@@ -92,6 +96,9 @@ def assign_doc_ids(corpus: DataFrame, key: list[str] | None = None) -> DataFrame
         pd.DataFrame(
             {"_pid": list(offsets), "_off": [offsets[p] for p in offsets]}
         )
+    )
+    parts = corpus.repartition(n_parts, *key).withColumn(
+        "_pid", F.spark_partition_id()
     )
     w = Window.partitionBy("_pid").orderBy(*key)
     return (
@@ -241,7 +248,7 @@ def build_index(
     tf = explode_tf(enriched)
     term_stats = salted_term_stats(tf, n_salts, n_buckets)
 
-    postings = build_posting_lists(tf, avgdl, docs_per_segment, n_buckets)
+    postings = build_posting_lists(tf, docs_per_segment, n_buckets)
 
     map_cols = [c for c in (*DOC_KEY, "lang", "source") if c in enriched.columns]
     doc_map = enriched.select("doc_id", *map_cols)
@@ -259,13 +266,12 @@ def build_index(
 _POSTINGS_SCHEMA = (
     "term string, bucket int, segment_id long, df_seg long, "
     "payload binary, block_offsets array<int>, block_last array<long>, "
-    "block_max_impact array<double>"
+    "block_max_tf array<long>, block_min_dl array<long>"
 )
 
 
 def build_posting_lists(
     tf_with_dl: DataFrame,
-    avgdl: float,
     docs_per_segment: int = 4096,
     n_buckets: int = 16,
 ) -> DataFrame:
@@ -309,18 +315,18 @@ def build_posting_lists(
 
         for pdf in batches:
             n = len(pdf)
-            payloads, offs_c, last_c, max_c, dfseg = [], [], [], [], []
+            payloads, offs_c, last_c, mtf_c, mdl_c, dfseg = [], [], [], [], [], []
             for i in range(n):
-                payload, offs, last, maxima = codec.encode_postings(
+                payload, offs, last, max_tf, min_dl = codec.encode_postings(
                     np.asarray(pdf["doc_ids"].iloc[i], dtype=np.int64),
                     np.asarray(pdf["tfs"].iloc[i], dtype=np.int64),
                     np.asarray(pdf["dls"].iloc[i], dtype=np.int64),
-                    avgdl,
                 )
                 payloads.append(payload)
                 offs_c.append(offs)
                 last_c.append(last)
-                max_c.append(maxima)
+                mtf_c.append(max_tf)
+                mdl_c.append(min_dl)
                 dfseg.append(len(pdf["doc_ids"].iloc[i]))
             yield pd.DataFrame(
                 {
@@ -331,7 +337,8 @@ def build_posting_lists(
                     "payload": payloads,
                     "block_offsets": offs_c,
                     "block_last": last_c,
-                    "block_max_impact": max_c,
+                    "block_max_tf": mtf_c,
+                    "block_min_dl": mdl_c,
                 }
             )
 

@@ -73,25 +73,43 @@ def bm25_impact(tf: np.ndarray, dl: np.ndarray, avgdl: float,
     return tf * (k1 + 1.0) / denom
 
 
+def block_bounds(max_tfs, min_dls, avgdl: float,
+                 k1: float = K1, b: float = B) -> np.ndarray:
+    """Per-block upper bound of the idf-less BM25 impact, computed at
+    QUERY time from avgdl-independent block metadata.
+
+    The impact tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) is increasing in tf
+    and decreasing in dl, so evaluating it at (max_tf, min_dl) of a block
+    bounds every posting in the block — for whatever avgdl the corpus has
+    at query time. This is what lets stream-appended segments stay valid
+    for WAND after corpus-level avgdl drifts (round-1 VERDICT item 1)."""
+    return bm25_impact(
+        np.asarray(max_tfs, dtype=np.int64),
+        np.asarray(min_dls, dtype=np.int64),
+        avgdl, k1, b,
+    )
+
+
 def encode_postings(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
-    avgdl: float,
     block_size: int = BLOCK_SIZE,
-) -> tuple[bytes, list[int], list[int], list[float]]:
+) -> tuple[bytes, list[int], list[int], list[int], list[int]]:
     """Encode one posting list (sorted by doc_id ascending).
 
-    Returns (payload, block_offsets, block_last_doc, block_max_impact):
-    ``block_offsets[i]`` is the byte offset where block i starts,
-    ``block_last_doc[i]`` the last absolute doc_id of block i (the skip
-    pointer), ``block_max_impact[i]`` the max idf-less BM25 impact in
-    block i (block-max WAND upper bound = idf * max_impact).
-    """
+    Returns (payload, block_offsets, block_last_doc, block_max_tf,
+    block_min_dl): ``block_offsets[i]`` is the byte offset where block i
+    starts, ``block_last_doc[i]`` the last absolute doc_id of block i
+    (the skip pointer), ``block_max_tf[i]`` / ``block_min_dl[i]`` the
+    block's max tf and min doc_len. Block metadata is deliberately
+    avgdl-FREE: the WAND upper bound is derived query-side via
+    :func:`block_bounds`, so encoded segments never go stale when the
+    corpus avgdl shifts under streaming appends."""
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
     n = len(doc_ids)
     if n == 0:
-        return b"", [], [], []
+        return b"", [], [], [], []
     if n > 1 and not (np.diff(doc_ids) > 0).all():
         raise ValueError("doc_ids must be strictly increasing")
     gaps = np.empty(n, dtype=np.uint64)
@@ -112,16 +130,19 @@ def encode_postings(
     val_ends = np.cumsum(nb)
     posting_starts = np.concatenate(([0], val_ends[2::3][:-1]))  # byte offset of each posting
 
-    impacts = bm25_impact(np.asarray(tfs), np.asarray(dls), avgdl)
+    tfs_a = np.ascontiguousarray(tfs, dtype=np.int64)
+    dls_a = np.ascontiguousarray(dls, dtype=np.int64)
     block_offsets: list[int] = []
     block_last: list[int] = []
-    block_max: list[float] = []
+    block_max_tf: list[int] = []
+    block_min_dl: list[int] = []
     for s in range(0, n, block_size):
         e = min(s + block_size, n)
         block_offsets.append(int(posting_starts[s]))
         block_last.append(int(doc_ids[e - 1]))
-        block_max.append(float(impacts[s:e].max()))
-    return payload.tobytes(), block_offsets, block_last, block_max
+        block_max_tf.append(int(tfs_a[s:e].max()))
+        block_min_dl.append(int(dls_a[s:e].min()))
+    return payload.tobytes(), block_offsets, block_last, block_max_tf, block_min_dl
 
 
 def decode_postings(payload: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -139,7 +139,7 @@ class IndexStorage:
         meta = spark.read.parquet(self._p("docs_meta"))
         map_cols = [
             c for c in meta.columns
-            if c not in ("doc_len", "content_sha256")
+            if c not in ("doc_len", "content_sha256", "seg_group")
         ]
         return LoadedIndex(
             doc_map=meta.select(*map_cols),
@@ -218,11 +218,15 @@ def build_resumable(
         enriched = spark.read.parquet(store._p("enriched"))
 
         # one combined per-doc metadata table; doc_stats/doc_map are
-        # column-pruned projections of it at load time
+        # column-pruned projections of it at load time. Partitioned by
+        # seg_group so incremental/upsert paths can rewrite exactly the
+        # groups they touch (partition-scoped overwrite, idempotent).
         map_cols = [c for c in (*DOC_KEY, "lang", "source") if c in enriched.columns]
         enriched.select(
-            "doc_id", "doc_len", "content_sha256", *map_cols
-        ).write.mode("overwrite").parquet(store._p("docs_meta"))
+            "doc_id", "doc_len", "content_sha256", *map_cols, "seg_group"
+        ).write.mode("overwrite").partitionBy("seg_group").parquet(
+            store._p("docs_meta")
+        )
         _mark("doc_tables", tick)
         row = enriched.agg(
             F.count("*").alias("n"), F.avg("doc_len").alias("a")
@@ -247,7 +251,6 @@ def build_resumable(
         done = store.completed_units()
 
     n_docs = done["docs"]["n_docs"]
-    avgdl = done["docs"]["avgdl"]
 
     # ---- Stage B: posting segments, groups batched into big jobs ----
     # The unit of CHECKPOINTING stays the segment group, but the unit of
@@ -264,7 +267,7 @@ def build_resumable(
         t0 = time.time()
         part = enriched_all.filter(F.col("seg_group").isin(batch))
         postings = build_posting_lists(
-            explode_tf(part), avgdl, docs_per_segment, n_buckets
+            explode_tf(part), docs_per_segment, n_buckets
         ).withColumn(
             "seg_group", F.floor(F.col("segment_id") / segments_per_group)
         )

@@ -53,7 +53,7 @@ class DirectSearcher:
 
     _COLS = [
         "term", "segment_id", "payload", "block_offsets",
-        "block_last", "block_max_impact",
+        "block_last", "block_max_tf", "block_min_dl",
     ]
 
     def _bucket_rows(self, bucket: int, term: str) -> list[dict]:
@@ -90,8 +90,10 @@ class DirectSearcher:
                         row["payload"],
                         row["block_offsets"],
                         row["block_last"],
-                        row["block_max_impact"],
+                        row["block_max_tf"],
+                        row["block_min_dl"],
                         weights[t],
+                        self.avgdl,
                     )
                 )
         return iters

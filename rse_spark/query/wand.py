@@ -4,13 +4,23 @@ The exact path (engine.search) decodes every matched posting list in
 full. At 10^12-doc scale, high-df query terms make that wasteful: WAND
 (Broder et al., "Efficient query evaluation using a two-level retrieval
 process", CIKM 2003) prunes documents whose score UPPER BOUND cannot
-beat the current k-th best. Our index stores per-block maxima of the
-idf-less BM25 impact (index/codec.py), so:
+beat the current k-th best. Our index stores per-block (max_tf, min_dl)
+— avgdl-independent metadata (index/codec.py) — so:
 
-* term upper bound   = qtf * idf * (k1+1) * max_b block_max_impact
+* block upper bound  = qtf * idf * impact(max_tf, min_dl, avgdl),
+                       computed QUERY-side with the live corpus avgdl
+                       (stream-appended segments can never under-bound);
+* term upper bound   = max over the list's block bounds;
 * block skipping     = advance() steps over whole blocks using the
                        block_last skip pointers WITHOUT decoding them;
-                       only blocks actually landed in are decoded.
+                       only blocks actually landed in are decoded;
+* block-max (BMW)    = after pivot selection, the pivot is re-checked
+                       against the SUM OF BLOCK bounds of the lists that
+                       can contain it (Ding & Suel, "Faster top-k
+                       document retrieval using block-max indexes",
+                       SIGIR 2011); if even that local bound cannot beat
+                       the heap floor, the cursors jump past the
+                       shallowest block boundary without decoding.
 
 Parallelism model: segments are document partitions, so per-segment
 top-k lists are a safe superset of the global top-k (every doc lives in
@@ -33,7 +43,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rse_spark.index.codec import B, K1, decode_block
+from rse_spark.index.codec import B, K1, block_bounds, decode_block
 from rse_spark.query.engine import idf as idf_fn
 from rse_spark.query.engine import query_terms
 
@@ -42,17 +52,23 @@ class _ListIter:
     """Cursor over one compressed posting list with block skipping."""
 
     __slots__ = (
-        "payload", "offs", "last", "maxima", "ub", "qtf_idf",
+        "payload", "offs", "last", "block_ubs", "ub", "qtf_idf", "avgdl",
         "bi", "pos", "docs", "tfs", "dls", "done", "blocks_decoded",
     )
 
-    def __init__(self, payload, offs, last, maxima, qtf_idf):
+    def __init__(self, payload, offs, last, max_tfs, min_dls, qtf_idf,
+                 avgdl):
         self.payload = payload
         self.offs = list(offs)
         self.last = list(last)
-        self.maxima = list(maxima)
         self.qtf_idf = qtf_idf
-        self.ub = qtf_idf * (K1 + 1.0) * (max(maxima) if len(maxima) else 0.0)
+        self.avgdl = float(avgdl)
+        if len(self.offs):
+            self.block_ubs = qtf_idf * block_bounds(max_tfs, min_dls, avgdl)
+            self.ub = float(self.block_ubs.max())
+        else:
+            self.block_ubs = np.empty(0, dtype=np.float64)
+            self.ub = 0.0
         self.bi = -1
         self.pos = 0
         self.docs = self.tfs = self.dls = None
@@ -98,6 +114,21 @@ class _ListIter:
             else:
                 self.done = True
 
+    def shallow_info(self, target: int) -> tuple[float, int] | None:
+        """(block upper bound, block_last) of the block that would hold
+        the first posting >= ``target`` — WITHOUT decoding anything.
+        None when the list has no posting >= target."""
+        if self.done:
+            return None
+        bi = self.bi
+        if self.last[bi] < target:
+            bi += int(np.searchsorted(
+                np.asarray(self.last[bi:], dtype=np.int64), target, "left"
+            ))
+            if bi >= len(self.last):
+                return None
+        return float(self.block_ubs[bi]), self.last[bi]
+
     def contrib(self, avgdl: float) -> float:
         tf = float(self.tfs[self.pos])
         dl = float(self.dls[self.pos])
@@ -130,6 +161,32 @@ def wand_topk_lists(
         if pivot < 0:
             break
         pivot_doc = live[pivot].cur_doc
+        # ---- block-max (BMW) refinement: re-check the pivot against the
+        # SUM of per-block bounds of every list positioned at or before
+        # pivot_doc. Only those lists can contain a doc <= the next
+        # list's cursor, so this is a valid local upper bound. Strictly
+        # < theta (never <=): a tying score can still win on doc_id.
+        ext = pivot
+        while ext + 1 < len(live) and live[ext + 1].cur_doc <= pivot_doc:
+            ext += 1
+        bub, boundary = 0.0, None
+        for it in live[: ext + 1]:
+            s = it.shallow_info(pivot_doc)
+            if s is None:
+                continue
+            bub += s[0]
+            boundary = s[1] if boundary is None else min(boundary, s[1])
+        if bub < theta:
+            # nothing in [pivot_doc, d) can enter the heap: jump the
+            # prefix cursors past the shallowest block boundary (or to
+            # the next list's cursor) without decoding.
+            d = boundary + 1  # boundary is never None: pivot's own block qualifies
+            if ext + 1 < len(live):
+                d = min(d, live[ext + 1].cur_doc)
+            for it in live[: ext + 1]:
+                it.advance(d)
+            live = [it for it in live if not it.done]
+            continue
         if live[0].cur_doc == pivot_doc:
             score, matched = 0.0, 0
             for it in live:
@@ -231,8 +288,10 @@ def wand_search(
                 bytes(r.payload),
                 r.block_offsets,
                 r.block_last,
-                r.block_max_impact,
+                r.block_max_tf,
+                r.block_min_dl,
                 weights[r.term],
+                avgdl,
             )
             for r in pdf.itertuples()
         ]
@@ -249,7 +308,7 @@ def wand_search(
 
     per_seg = matched.select(
         "segment_id", "term", "payload", "block_offsets", "block_last",
-        "block_max_impact",
+        "block_max_tf", "block_min_dl",
     ).groupBy("segment_id").applyInPandas(
         _per_segment, schema="doc_id long, score double, n_terms_matched int"
     )

