@@ -114,7 +114,8 @@ def main() -> None:
     for name in [
         "bm25_topk", "tf_postings", "tpch_q1", "dedup_exact",
         "minhash_signature", "ngram_tf", "emb_cosine_topk",
-        "sessionize", "quality_score",
+        "sessionize", "quality_score", "filter_gate", "extract_refs",
+        "doc_rolling_fp",
     ]:
         t0 = time.time()
         qs[name](spark, sf_dir).collect()

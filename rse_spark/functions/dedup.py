@@ -160,7 +160,9 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
             F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("doc_a", "doc_b", "jaccard")  # unrounded: callers that
+        # ORDER BY jaccard must sort the exact value (rounding first can
+        # flip ties at a top-k boundary); round only in final output
     )
 
 

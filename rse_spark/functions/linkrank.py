@@ -69,7 +69,12 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     ranked_edges = edges.join(outd, "src").persist()
 
     ranks = nodes.withColumn("rank", F.lit(1.0))
-    for _ in range(iterations):
+    for it in range(iterations):
+        if it and it % 3 == 0:
+            # truncate lineage: without this the plan deepens linearly
+            # (every iteration re-derives all previous ones) and 10+
+            # iterations on a big graph re-execute the whole chain
+            ranks = ranks.localCheckpoint()
         contribs = (
             ranked_edges.join(
                 ranks.withColumnRenamed("node", "src"), "src"

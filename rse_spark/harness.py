@@ -175,6 +175,14 @@ def _built_index(spark, sf_dir):
     if key not in _INDEX_CACHE:
         from rse_spark.index.build import build_index
 
+        # bound the cache: long-lived sessions over many sf dirs must
+        # not accumulate persisted postings (round-1 ADVICE)
+        while len(_INDEX_CACHE) >= 2:
+            _, old = _INDEX_CACHE.popitem()
+            try:
+                old.postings.unpersist()
+            except Exception:  # noqa: BLE001 — session may be gone
+                pass
         bundle = build_index(
             spark, _docs(spark, sf_dir), analyzer="simple",
             content_col="text", docs_per_segment=256,
@@ -344,8 +352,9 @@ def q_link_rank(spark, sf_dir):
 
 
 def q_pagerank(spark, sf_dir):
-    """10-iteration damped PageRank over the derived edge graph
-    (iterative — no SQL oracle; convergence is pytest-checked)."""
+    """5-iteration damped PageRank over the derived edge graph, oracled
+    by the same update unrolled as chained DuckDB CTEs (_pagerank_sql);
+    convergence additionally pytest-checked."""
     from rse_spark.functions.linkrank import pagerank
 
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -469,16 +478,25 @@ def q_minhash_band_pairs(spark, sf_dir):
     )
 
 
+JACCARD_MAX_DF = 100  # stop-shingle guard, mirrored in the SQL oracle
+
+
 def q_ngram_jaccard_top(spark, sf_dir):
-    """Top-20 document pairs by exact 3-gram Jaccard similarity."""
+    """Top-20 document pairs by 3-gram Jaccard. The hot-shingle guard
+    (df > JACCARD_MAX_DF excluded from pair generation — the O(df^2)
+    defense) stays ON and the DuckDB oracle applies the identical
+    filter; ordering uses the UNROUNDED jaccard on both sides."""
     from rse_spark.functions.dedup import ngram_jaccard_pairs
 
     pairs = ngram_jaccard_pairs(
-        _docs(spark, sf_dir), n=3, threshold=0.0, max_shingle_df=10**9
+        _docs(spark, sf_dir), n=3, threshold=0.0,
+        max_shingle_df=JACCARD_MAX_DF,
     )
     return pairs.orderBy(
         F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b")
-    ).limit(20)
+    ).limit(20).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
 
 
 def q_lang_id(spark, sf_dir):
@@ -522,8 +540,9 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_doc_rolling_fp(spark, sf_dir):
-    """Polynomial rolling-hash fingerprint (numpy/Arrow UDF — no SQL
-    oracle; determinism is pytest-checked)."""
+    """Polynomial rolling-hash fingerprint (vectorized numpy/Arrow UDF),
+    oracled by DuckDB HUGEINT list_reduce over the same Horner
+    recurrences; bit-exactness vs the scalar spec is also pytest-golden."""
     from rse_spark.functions.textstats import rolling_hash_udf
 
     return _docs(spark, sf_dir).select(
@@ -708,6 +727,82 @@ def q_emb_cosine_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Ingestion gate, reference extraction, doc-level upsert (S6/E3-E5/S7)
+# ---------------------------------------------------------------------------
+
+
+def q_filter_gate(spark, sf_dir):
+    """Named robots-gate analogue (crawler.go:351-383): allow/deny
+    predicates that push down to the parquet scan."""
+    from rse_spark.functions.gate import filter_gate
+
+    return filter_gate(
+        _docs(spark, sf_dir),
+        allow_langs=["en", "de"],
+        deny_sources=["src3"],
+        min_chars=200,
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+def q_extract_refs(spark, sf_dir):
+    """Link extraction FROM content (crawler.go:294-349 analogue):
+    extract candidate tokens, resolve against the title dictionary,
+    validate (drop self/unresolved) -> distinct (src, dst) edges."""
+    from rse_spark.functions.refs import doc_link_edges
+
+    return doc_link_edges(_docs(spark, sf_dir).filter(F.col("doc_id") < 1000))
+
+
+def q_extracted_backlinks(spark, sf_dir):
+    """Backlink counts over edges EXTRACTED from the corpus itself —
+    the full crawl->extract->count pipeline GSE intended (main.go:74-83)."""
+    from rse_spark.functions.linkrank import backlink_counts
+    from rse_spark.functions.refs import doc_link_edges
+
+    edges = doc_link_edges(_docs(spark, sf_dir).filter(F.col("doc_id") < 1000))
+    return backlink_counts(edges).select(
+        "dst", F.col("n_backlinks").cast("long").alias("n_backlinks")
+    )
+
+
+_UPSERT_CACHE: dict = {}
+UPSERT_MARK = "updatedmarker alpha"
+
+
+def q_upsert_tf(spark, sf_dir):
+    """Doc-level upsert (ON CONFLICT DO UPDATE, crawler.go:216-228):
+    index the first 400 docs, REPLACE docs 0-49 with updated text via
+    upsert_docs, then report per-term df read back FROM THE POSTINGS —
+    proving the replaced docs' old postings are physically gone and the
+    new versions are searchable."""
+    key = (id(spark), sf_dir)
+    if key not in _UPSERT_CACHE:
+        import tempfile
+
+        from rse_spark.index.upsert import upsert_docs
+        from rse_spark.streaming.stream_index import append_batch
+
+        root = tempfile.mkdtemp(prefix="rse_upsert_")
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
+        append_batch(
+            spark, docs, root, analyzer="simple", content_col="text",
+            docs_per_segment=64, segments_per_group=2,
+        )
+        updates = docs.filter(F.col("doc_id") < 50).withColumn(
+            "text", F.concat(F.lit(UPSERT_MARK + " "), F.col("text"))
+        )
+        upsert_docs(
+            spark, updates, root, key=("src_doc_id",),
+            analyzer="simple", content_col="text",
+        )
+        _UPSERT_CACHE[key] = root
+    postings = spark.read.parquet(f"{_UPSERT_CACHE[key]}/postings")
+    return postings.groupBy("term").agg(
+        F.sum("df_seg").cast("long").alias("df")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -752,7 +847,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "emb_cosine_topk": q_emb_cosine_topk,
+        "filter_gate": q_filter_gate,
+        "extract_refs": q_extract_refs,
+        "extracted_backlinks": q_extracted_backlinks,
+        "upsert_tf": q_upsert_tf,
     }
+
+
+_ROLL_MOD = (1 << 61) - 1
+
+# extract -> resolve -> validate edge pipeline (q_extract_refs twin)
+_EDGES_SQL = """
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+    dict AS (
+      SELECT string_split(text, ' ')[1] AS ref, min(doc_id) AS dst
+      FROM d GROUP BY string_split(text, ' ')[1]
+    ),
+    refs AS (
+      SELECT DISTINCT doc_id AS src, unnest(string_split(text, ' ')) AS ref
+      FROM d
+    ),
+    edges AS (
+      SELECT DISTINCT src, dst FROM refs JOIN dict USING (ref)
+      WHERE src <> dst
+    )
+"""
+
+
+def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """Unrolled damped PageRank as chained CTEs — the DuckDB twin of
+    linkrank.pagerank (dangling mass redistributed uniformly). Literals
+    are written as (1.0 - d) / d expressions so both engines do the
+    identical IEEE arithmetic."""
+    parts = [f"""
+        WITH edges AS (
+          SELECT DISTINCT o_custkey AS src, (o_orderkey % 100)::bigint AS dst
+          FROM orders
+        ),
+        nodes AS (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ),
+        nn AS (SELECT count(*)::double AS n FROM nodes),
+        outd AS (
+          SELECT src, count(*)::double AS outdeg FROM edges GROUP BY src
+        ),
+        r0 AS (SELECT node, 1.0::double AS rank FROM nodes)"""]
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+        c{i} AS (
+          SELECT e.dst, sum(r.rank / o.outdeg) AS contrib
+          FROM edges e JOIN outd o USING (src)
+          JOIN r{i - 1} r ON r.node = e.src
+          GROUP BY e.dst
+        ),
+        d{i} AS (
+          SELECT coalesce(sum(rank), 0.0) AS dang FROM r{i - 1}
+          WHERE node NOT IN (SELECT src FROM outd)
+        ),
+        r{i} AS (
+          SELECT nodes.node,
+                 (1.0 - {damping}) + {damping} *
+                 (coalesce(c{i}.contrib, 0.0) + d{i}.dang / nn.n) AS rank
+          FROM nodes LEFT JOIN c{i} ON c{i}.dst = nodes.node, d{i}, nn
+        )""")
+    parts.append(f"""
+        SELECT node, round(rank, 6) AS rank FROM r{iterations}""")
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -809,7 +969,7 @@ def oracle_sql() -> dict[str, str]:
              AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
         """,
-        "ngram_jaccard_top": """
+        "ngram_jaccard_top": f"""
             WITH sh AS (
               SELECT DISTINCT doc_id, shingle FROM (
                 SELECT doc_id,
@@ -821,9 +981,17 @@ def oracle_sql() -> dict[str, str]:
               )
             ),
             sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            hot AS (
+              SELECT shingle FROM sh GROUP BY shingle
+              HAVING count(*) > {JACCARD_MAX_DF}
+            ),
+            cold AS (
+              SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)
+            ),
             inter AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              FROM cold a JOIN cold b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id
             )
             SELECT doc_a, doc_b,
@@ -1113,5 +1281,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, round(cos, 6) AS cosine
             FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+        """,
+        "filter_gate": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE lang IN ('en', 'de') AND source NOT IN ('src3')
+              AND n_chars >= 200
+        """,
+        "extract_refs": f"{_EDGES_SQL}\nSELECT src, dst FROM edges",
+        "extracted_backlinks": f"""{_EDGES_SQL}
+            SELECT dst, count(*)::bigint AS n_backlinks
+            FROM edges GROUP BY dst
+        """,
+        "upsert_tf": f"""
+            WITH eff AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id < 50
+                          THEN '{UPSERT_MARK} ' || text ELSE text END AS text
+              FROM documents WHERE doc_id < 400
+            ),
+            toks AS (
+              SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM eff
+            )
+            SELECT term, count(*)::bigint AS df FROM toks GROUP BY term
+        """,
+        "pagerank": _pagerank_sql(iterations=5),
+        # HUGEINT arithmetic mirrors the uint64 Mersenne-mod math; corpus
+        # text is ASCII so unicode(char) == byte value
+        "doc_rolling_fp": f"""
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(0::HUGEINT,
+                       list_transform(string_split(text, ' '),
+                         t -> list_reduce(
+                                list_prepend(0::HUGEINT,
+                                  list_transform(range(1, length(t) + 1),
+                                    i -> unicode(substr(t, i, 1))::HUGEINT)),
+                                (a, b) -> (a * 131 + b) % {_ROLL_MOD}))),
+                     (a, t) -> (a * 1000003 + t) % {_ROLL_MOD}
+                   )::BIGINT AS rolling_fp
+            FROM documents
         """,
     }

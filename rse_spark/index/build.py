@@ -61,7 +61,8 @@ class IndexBundle:
 
 
 def assign_doc_ids(corpus: DataFrame, key: list[str] | None = None,
-                   base: int = 0) -> DataFrame:
+                   base: int = 0,
+                   persist_handles: list | None = None) -> DataFrame:
     """Dense, deterministic doc_id without a global single-partition sort.
 
     Hash-partition by the unique key, per-partition row_number, then add
@@ -80,14 +81,15 @@ def assign_doc_ids(corpus: DataFrame, key: list[str] | None = None,
     key = key or DOC_KEY
     spark = corpus.sparkSession
     n_parts = max(8, 2 * spark.sparkContext.defaultParallelism)
-    counts = (
-        corpus.select(*key)
-        .repartition(n_parts, *key)
-        .groupBy(F.spark_partition_id().alias("_pid"))
-        .count()
-        .orderBy("_pid")
-        .collect()
-    )
+    # keys-only working set (tiny vs the corpus): persisted so the
+    # counts action and the row_number window share one scan + shuffle;
+    # the caller unpersists via persist_handles once ids are consumed
+    parts = corpus.select(*key).repartition(n_parts, *key).withColumn(
+        "_pid", F.spark_partition_id()
+    ).persist()
+    if persist_handles is not None:
+        persist_handles.append(parts)
+    counts = parts.groupBy("_pid").count().orderBy("_pid").collect()
     offsets, acc = {}, base
     for row in counts:
         offsets[row["_pid"]] = acc
@@ -97,16 +99,22 @@ def assign_doc_ids(corpus: DataFrame, key: list[str] | None = None,
             {"_pid": list(offsets), "_off": [offsets[p] for p in offsets]}
         )
     )
-    parts = corpus.repartition(n_parts, *key).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    # ids are computed over the KEY COLUMNS ONLY and mapped back onto the
+    # corpus — the document CONTENT never crosses a shuffle (measured:
+    # shuffling content through the old repartition was the worst-scaling
+    # phase of stage A on a bandwidth-bound host). The map-back join
+    # broadcasts the (key, doc_id) table when it fits (hash join
+    # fallback via AQE beyond spark.sql.autoBroadcastJoinThreshold — at
+    # 10^12 docs that join shuffles keys+ids, still never content).
     w = Window.partitionBy("_pid").orderBy(*key)
-    return (
+    key_ids = (
         parts.withColumn("_rn", F.row_number().over(w))
         .join(F.broadcast(off_df), "_pid")
         .withColumn("doc_id", (F.col("_off") + F.col("_rn") - F.lit(1)).cast("long"))
         .drop("_pid", "_rn", "_off")
     )
+    small = (acc - base) <= 20_000_000  # force broadcast only when sane
+    return corpus.join(F.broadcast(key_ids) if small else key_ids, key)
 
 
 def tokenized(corpus_with_ids: DataFrame, analyzer: str = "code",
@@ -145,7 +153,15 @@ def enrich(corpus_with_ids: DataFrame, analyzer: str = "code") -> DataFrame:
 
 
 def explode_tf(enriched: DataFrame) -> DataFrame:
-    """(doc_id, term, tf, doc_len) from the enriched arrays — map-side only."""
+    """(doc_id, term, tf, doc_len) from either enriched format.
+
+    Array format (UDF stage A): shuffle-free arrays_zip explode.
+    Flat format (JVM stage A, :func:`tf_flat_jvm`): already one row per
+    (doc, term) — a pure projection."""
+    if "tf_terms" not in enriched.columns:
+        return enriched.select(
+            "doc_id", "term", F.col("tf").cast("long").alias("tf"), "doc_len"
+        )
     return enriched.select(
         "doc_id",
         F.explode(F.arrays_zip("tf_terms", "tf_counts")).alias("_z"),
@@ -155,6 +171,56 @@ def explode_tf(enriched: DataFrame) -> DataFrame:
         F.col("_z.tf_terms").alias("term"),
         F.col("_z.tf_counts").cast("long").alias("tf"),
         "doc_len",
+    )
+
+
+def jvm_base(corpus_with_ids: DataFrame, analyzer: str) -> DataFrame:
+    """Pure-JVM per-doc columns: tokens, doc_len, content_sha256.
+
+    Whole-stage-codegen from parquet scan to output — zero Python
+    workers in the hot path (the round-1 build-scaling miss was Arrow
+    transfer + Python-worker memory bandwidth in stage A)."""
+    split = "simple" if analyzer == "simple" else "code_nostem"
+    return corpus_with_ids.withColumn(
+        "tokens", tokens_col("content", split)
+    ).withColumn(
+        "doc_len", F.size("tokens").cast("long")
+    ).withColumn("content_sha256", F.sha2("content", 256))
+
+
+def tf_flat_jvm(base: DataFrame, analyzer: str,
+                persist_handles: list | None = None) -> DataFrame:
+    """JVM tokens -> flat (doc_id, term, tf, doc_len[, seg_group]) rows.
+
+    explode + groupBy(doc_id, term): Spark's hash aggregate does the
+    map-side combine, so the shuffle carries tf rows (≈ the UDF path's
+    array payload), not raw tokens. For the ``code`` analyzer, Porter
+    stemming runs over the DISTINCT-term dictionary only — Python
+    touches O(|vocab|) rows instead of O(tokens) (tokenizer.py design;
+    equivalence is test-proven since stemming is per-token)."""
+    carry = [c for c in ("seg_group",) if c in base.columns]
+    flat = base.select(
+        "doc_id", "doc_len", *carry, F.explode("tokens").alias("raw")
+    )
+    tf_raw = flat.groupBy("doc_id", "doc_len", *carry, "raw").agg(
+        F.count("*").alias("tf")
+    )
+    if analyzer == "simple":
+        return tf_raw.withColumnRenamed("raw", "term")
+    from pyspark import StorageLevel
+
+    # persisted so the distinct-vocab pass doesn't recompute the corpus
+    # scan; the caller unpersists via persist_handles once consumed
+    tf_raw = tf_raw.persist(StorageLevel.MEMORY_AND_DISK)
+    if persist_handles is not None:
+        persist_handles.append(tf_raw)
+    stem_map = tf_raw.select("raw").distinct().withColumn(
+        "term", stem_term_udf("raw")
+    )
+    return (
+        tf_raw.join(stem_map, "raw")
+        .groupBy("doc_id", "doc_len", *carry, "term")
+        .agg(F.sum("tf").cast("long").alias("tf"))
     )
 
 
@@ -264,10 +330,26 @@ def build_index(
 
 
 _POSTINGS_SCHEMA = (
-    "term string, bucket int, segment_id long, df_seg long, "
+    "term string, bucket int, segment_id long, df_seg long, cf_seg long, "
     "payload binary, block_offsets array<int>, block_last array<long>, "
     "block_max_tf array<long>, block_min_dl array<long>"
 )
+
+
+def term_stats_from_postings(postings: DataFrame) -> DataFrame:
+    """(term, df, cf, bucket) derived from posting-list metadata.
+
+    A document lives in exactly one segment, so sum(df_seg) is the true
+    document frequency and sum(cf_seg) the collection frequency. This
+    replaces a full re-scan + explode + salted shuffle of the corpus tf
+    with a small aggregation over O(#lists) metadata rows (payload
+    column pruned away) — it was the worst-scaling phase of stage A.
+    Skew-free structurally: a hot term contributes one row per segment."""
+    return postings.groupBy("term").agg(
+        F.sum("df_seg").cast("long").alias("df"),
+        F.sum("cf_seg").cast("long").alias("cf"),
+        F.max("bucket").cast("int").alias("bucket"),
+    )
 
 
 def build_posting_lists(
@@ -315,11 +397,13 @@ def build_posting_lists(
 
         for pdf in batches:
             n = len(pdf)
-            payloads, offs_c, last_c, mtf_c, mdl_c, dfseg = [], [], [], [], [], []
+            payloads, offs_c, last_c, mtf_c, mdl_c = [], [], [], [], []
+            dfseg, cfseg = [], []
             for i in range(n):
+                tfs = np.asarray(pdf["tfs"].iloc[i], dtype=np.int64)
                 payload, offs, last, max_tf, min_dl = codec.encode_postings(
                     np.asarray(pdf["doc_ids"].iloc[i], dtype=np.int64),
-                    np.asarray(pdf["tfs"].iloc[i], dtype=np.int64),
+                    tfs,
                     np.asarray(pdf["dls"].iloc[i], dtype=np.int64),
                 )
                 payloads.append(payload)
@@ -327,13 +411,15 @@ def build_posting_lists(
                 last_c.append(last)
                 mtf_c.append(max_tf)
                 mdl_c.append(min_dl)
-                dfseg.append(len(pdf["doc_ids"].iloc[i]))
+                dfseg.append(len(tfs))
+                cfseg.append(int(tfs.sum()))
             yield pd.DataFrame(
                 {
                     "term": pdf["term"].values,
                     "bucket": pdf["bucket"].values,
                     "segment_id": pdf["segment_id"].values,
                     "df_seg": dfseg,
+                    "cf_seg": cfseg,
                     "payload": payloads,
                     "block_offsets": offs_c,
                     "block_last": last_c,

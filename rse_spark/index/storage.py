@@ -44,7 +44,9 @@ from rse_spark.index.build import (
     build_posting_lists,
     enrich,
     explode_tf,
-    salted_term_stats,
+    jvm_base,
+    term_stats_from_postings,
+    tf_flat_jvm,
 )
 
 
@@ -163,6 +165,7 @@ def build_resumable(
     source_snapshot: str = "",
     fail_after_units: int | None = None,
     groups_per_job: int = 8,
+    tokenize_path: str = "auto",
 ) -> IndexStorage:
     """Checkpointed index build (north_rule: resumable + lineage + metrics).
 
@@ -170,10 +173,24 @@ def build_resumable(
     group at a time, committing a manifest record after each. A rerun
     with the same root skips every committed unit. ``fail_after_units``
     injects a crash after N group commits (used by the resume test).
+
+    ``tokenize_path``: 'udf' (the measured default) is the Arrow-batched
+    single-pass tokenizer with array-form enriched rows — map-side tf
+    counting inside the UDF avoids the token-level shuffle entirely.
+    'jvm' keeps stage A inside whole-stage codegen (JVM regex split +
+    explode/groupBy tf; Porter stemming only over the distinct-term
+    dictionary) and stores the enriched table in FLAT (doc_id, term,
+    tf, doc_len) form — rank-parity is test-proven (test_jvm_build),
+    but the explode+groupBy shuffle measures ~3x slower than the UDF
+    scan at 32 cores (23s vs 7s @ sf0.1), so it stays an option for
+    environments where Python workers are the constraint, not the
+    default. 'auto' = 'udf'.
     """
     store = IndexStorage(root)
     done = store.completed_units()
     docs_per_group = docs_per_segment * segments_per_group
+    if tokenize_path == "auto":
+        tokenize_path = "udf"
 
     if content_col != "content":
         corpus = corpus.withColumnRenamed(content_col, "content")
@@ -194,6 +211,7 @@ def build_resumable(
             since[0] = now
 
         tick = [t0]
+        id_handles: list = []
         if "doc_id" in corpus.columns:
             # pre-keyed corpus (e.g. the documents table): spread a
             # small/compacted source across the cluster explicitly
@@ -201,44 +219,71 @@ def build_resumable(
                 "doc_id", F.col("doc_id").cast("long")
             ).repartition(2 * spark.sparkContext.defaultParallelism)
         else:
-            # assign_doc_ids already leaves shuffle.partitions partitions
-            ids = assign_doc_ids(corpus)
+            ids = assign_doc_ids(corpus, persist_handles=id_handles)
         _mark("assign_ids", tick)
-        (
-            enrich(ids, analyzer)
-            .withColumn(
-                "seg_group",
-                (F.col("doc_id") / F.lit(docs_per_group)).cast("long"),
+        seg_col = (F.col("doc_id") / F.lit(docs_per_group)).cast("long")
+        if tokenize_path == "jvm":
+            # scan 1: per-doc metadata (JVM split/size/sha only — no
+            # Python workers); scan 2: flat tf rows. Two column-pruned
+            # JVM scans beat one Arrow round-trip through Python on
+            # both wall-time and scaling (round-1 BASELINE.md analysis).
+            base = jvm_base(ids, analyzer).withColumn("seg_group", seg_col)
+            map_cols = [
+                c for c in (*DOC_KEY, "lang", "source") if c in base.columns
+            ]
+            base.select(
+                "doc_id", "doc_len", "content_sha256", *map_cols, "seg_group"
+            ).write.mode("overwrite").partitionBy("seg_group").parquet(
+                store._p("docs_meta")
             )
-            .write.mode("overwrite")
-            .partitionBy("seg_group")
-            .parquet(store._p("enriched"))
-        )
-        _mark("enrich_write", tick)
-        enriched = spark.read.parquet(store._p("enriched"))
+            _mark("doc_tables", tick)
+            handles: list = []
+            tf_flat_jvm(base, analyzer, handles).select(
+                "doc_id", "term", "tf", "doc_len", "seg_group"
+            ).write.mode("overwrite").partitionBy("seg_group").parquet(
+                store._p("enriched")
+            )
+            for h in handles + id_handles:
+                h.unpersist()
+            _mark("enrich_write", tick)
+            row = spark.read.parquet(store._p("docs_meta")).agg(
+                F.count("*").alias("n"), F.avg("doc_len").alias("a")
+            ).collect()[0]
+        else:
+            (
+                enrich(ids, analyzer)
+                .withColumn("seg_group", seg_col)
+                .write.mode("overwrite")
+                .partitionBy("seg_group")
+                .parquet(store._p("enriched"))
+            )
+            for h in id_handles:
+                h.unpersist()
+            _mark("enrich_write", tick)
+            enriched = spark.read.parquet(store._p("enriched"))
 
-        # one combined per-doc metadata table; doc_stats/doc_map are
-        # column-pruned projections of it at load time. Partitioned by
-        # seg_group so incremental/upsert paths can rewrite exactly the
-        # groups they touch (partition-scoped overwrite, idempotent).
-        map_cols = [c for c in (*DOC_KEY, "lang", "source") if c in enriched.columns]
-        enriched.select(
-            "doc_id", "doc_len", "content_sha256", *map_cols, "seg_group"
-        ).write.mode("overwrite").partitionBy("seg_group").parquet(
-            store._p("docs_meta")
-        )
-        _mark("doc_tables", tick)
-        row = enriched.agg(
-            F.count("*").alias("n"), F.avg("doc_len").alias("a")
-        ).collect()[0]
+            # one combined per-doc metadata table; doc_stats/doc_map are
+            # column-pruned projections of it at load time. Partitioned
+            # by seg_group so incremental/upsert paths can rewrite
+            # exactly the groups they touch.
+            map_cols = [
+                c for c in (*DOC_KEY, "lang", "source")
+                if c in enriched.columns
+            ]
+            enriched.select(
+                "doc_id", "doc_len", "content_sha256", *map_cols, "seg_group"
+            ).write.mode("overwrite").partitionBy("seg_group").parquet(
+                store._p("docs_meta")
+            )
+            _mark("doc_tables", tick)
+            row = enriched.agg(
+                F.count("*").alias("n"), F.avg("doc_len").alias("a")
+            ).collect()[0]
         import pandas as pd
 
         spark.createDataFrame(
             pd.DataFrame({"n_docs": [int(row["n"])], "avgdl": [float(row["a"])]})
         ).write.mode("overwrite").parquet(store._p("corpus_stats"))
-        salted_term_stats(explode_tf(enriched), n_buckets=n_buckets).write.mode(
-            "overwrite"
-        ).parquet(store._p("term_stats"))
         _mark("stats", tick)
         store.mark_done(
             "docs",
@@ -247,6 +292,10 @@ def build_resumable(
             source_snapshot=source_snapshot,
             wall_ms=int(1000 * (time.time() - t0)),
             phases=phases,
+            tokenize_path=tokenize_path,
+            layout={"docs_per_segment": docs_per_segment,
+                    "segments_per_group": segments_per_group,
+                    "n_buckets": n_buckets},
         )
         done = store.completed_units()
 
@@ -326,4 +375,20 @@ def build_resumable(
         if fail_after_units is not None and i >= fail_after_units:
             raise RuntimeError(f"injected failure before batch {batch}")
         _build_batch(batch)
+
+    # ---- Stage C: term dictionary FROM posting metadata ----
+    # sum(df_seg)/sum(cf_seg) over the (payload-pruned) posting rows —
+    # replaces a second full corpus scan + explode + salted shuffle
+    # (formerly the worst-scaling stage-A phase). Checkpointed like any
+    # unit; recomputed after resume if groups were added.
+    if "term_stats" not in done or pending:
+        t0 = time.time()
+        term_stats_from_postings(
+            spark.read.parquet(store._p("postings"))
+        ).write.mode("overwrite").parquet(store._p("term_stats"))
+        store.mark_done(
+            "term_stats",
+            source_snapshot=source_snapshot,
+            wall_ms=int(1000 * (time.time() - t0)),
+        )
     return store

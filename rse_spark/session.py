@@ -42,6 +42,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # zstd over snappy: this host (and a bandwidth-bound cluster) is
+        # limited by bytes moved, not cycles — smaller files cut scan +
+        # write + page-cache traffic for a modest parallel CPU cost
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("RSE_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")

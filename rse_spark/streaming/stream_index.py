@@ -115,7 +115,7 @@ def append_batch(
         store._p("enriched")
     )
     map_cols = [
-        c for c in ("repo", "path", "commit", "lang", "source")
+        c for c in ("repo", "path", "commit", "lang", "source", "src_doc_id")
         if c in enriched.columns
     ]
     enriched.select(
@@ -146,11 +146,10 @@ def append_batch(
     spark.createDataFrame(
         pd.DataFrame({"n_docs": [int(row["n"])], "avgdl": [float(row["a"])]})
     ).write.mode("overwrite").parquet(store._p("corpus_stats"))
-    from rse_spark.index.build import salted_term_stats
+    from rse_spark.index.build import term_stats_from_postings
 
-    salted_term_stats(
-        explode_tf(spark.read.parquet(store._p("enriched"))),
-        n_buckets=n_buckets,
+    term_stats_from_postings(
+        spark.read.parquet(store._p("postings"))
     ).write.mode("overwrite").parquet(store._p("term_stats"))
 
     groups = sorted(
@@ -173,6 +172,9 @@ def append_batch(
         store.mark_done(
             "docs", n_docs=int(row["n"]), avgdl=float(row["a"]),
             source_snapshot=f"stream-batch-{batch_id}", wall_ms=0,
+            layout={"docs_per_segment": docs_per_segment,
+                    "segments_per_group": segments_per_group,
+                    "n_buckets": n_buckets},
         )
     else:
         rec = store.completed_units()["docs"]

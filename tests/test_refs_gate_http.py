@@ -1,0 +1,120 @@
+"""extract_refs edge pipeline (E3-E5), filter_gate pushdown (S6), and
+the HTTP /search endpoint (R9)."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from rse_spark.functions.gate import filter_gate
+from rse_spark.functions.refs import doc_link_edges, extract_refs
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def test_extract_refs_pattern(spark):
+    import pandas as pd
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["import foo.bar then baz", "no3 refs x y"],
+    }))
+    refs = extract_refs(docs, pattern=r"[a-z]+\.[a-z]+").collect()
+    assert [(r["src"], r["ref"]) for r in refs] == [(1, "foo.bar")]
+
+
+def test_doc_link_edges_semantics(spark):
+    import pandas as pd
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "alpha one two",        # title: alpha
+            "beta alpha alpha",     # title: beta; mentions alpha -> 0
+            "gamma beta",           # title: gamma; mentions beta -> 1
+            "alpha gamma",          # duplicate title alpha: doc 0 wins;
+                                    # mentions gamma -> 2 (self-ref to
+                                    # alpha -> 0 kept: src != dst)
+        ],
+    }))
+    edges = sorted(
+        (r["src"], r["dst"]) for r in doc_link_edges(docs).collect()
+    )
+    assert edges == [(1, 0), (2, 1), (3, 0), (3, 2)]
+    # feeds the link-graph rankers directly
+    from rse_spark.functions.linkrank import backlink_counts
+
+    bl = {r["dst"]: r["n_backlinks"]
+          for r in backlink_counts(doc_link_edges(docs)).collect()}
+    assert bl == {0: 2, 1: 1, 2: 1}
+
+
+def test_filter_gate_pushdown(spark, tmp_path_factory):
+    # own parquet copy: other tests persist DataFrames over the shared
+    # sf0.001 path, and Spark's cache manager substitutes the cached
+    # relation into any later plan over the same source — hiding the
+    # FileScan whose PushedFilters this test asserts on
+    path = str(tmp_path_factory.mktemp("gate")) + "/docs.parquet"
+    spark.read.parquet(DOCS).write.parquet(path)
+    docs = spark.read.parquet(path)
+    out = filter_gate(docs, allow_langs=["en"], deny_sources=["src0"],
+                      min_chars=100)
+    rows = out.select("lang", "source", "n_chars").collect()
+    assert rows, "gate should keep something at sf0.001"
+    assert all(
+        r["lang"] == "en" and r["source"] != "src0" and r["n_chars"] >= 100
+        for r in rows
+    )
+    # predicates must reach the scan (PushedFilters), not a post-filter
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(lang)" in plan or "In(lang" in plan
+
+
+@pytest.fixture(scope="module")
+def http_index(spark, tmp_path_factory):
+    from rse_spark.streaming.stream_index import append_batch
+
+    root = str(tmp_path_factory.mktemp("http_idx"))
+    docs = spark.read.parquet(DOCS).filter(F.col("doc_id") < 200)
+    append_batch(spark, docs, root, analyzer="simple", content_col="text")
+    return root
+
+
+def test_http_search_endpoint(http_index):
+    from rse_spark.query.http import SearchServer
+
+    srv = SearchServer(http_index, analyzer="simple").start()
+    try:
+        url = f"{srv.address}/search?q=spark+join&k=5"
+        with urllib.request.urlopen(url, timeout=10) as resp:
+            assert resp.status == 200
+            body = json.load(resp)
+        assert body["n_results"] == 5
+        assert body["results"] == sorted(
+            body["results"],
+            key=lambda r: (-r["score"], r["doc_id"]),
+        )
+        # identical to the serving tier it wraps
+        direct = srv.searcher.search("spark join", k=5)
+        assert [r["doc_id"] for r in body["results"]] == [
+            d for d, _, _ in direct
+        ]
+        # GSE parity: empty query -> 400 (api/main.go:210-214)
+        try:
+            urllib.request.urlopen(f"{srv.address}/search?q=", timeout=10)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        # unknown path -> 404
+        try:
+            urllib.request.urlopen(f"{srv.address}/nope", timeout=10)
+            raise AssertionError("expected HTTP 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.stop()

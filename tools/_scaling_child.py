@@ -40,7 +40,9 @@ def main() -> None:
             docs_per_segment=4096, segments_per_group=4,
         )
         build_sec = time.time() - t0
-        stage_a_sec = store.completed_units()["docs"]["wall_ms"] / 1000
+        docs_rec = store.completed_units()["docs"]
+        stage_a_sec = docs_rec["wall_ms"] / 1000
+        phases = docs_rec.get("phases", {})
 
         idx = IndexStorage(idx_root).load(spark)
         idx.preload_terms()
@@ -72,6 +74,7 @@ def main() -> None:
                 "n_docs": n_docs,
                 "build_sec": round(build_sec, 3),
                 "stage_a_sec": round(stage_a_sec, 3),
+                "stage_a_phases": phases,
                 "build_docs_per_sec": round(n_docs / build_sec, 1),
                 "n_queries": n_queries,
                 "query_sec": round(query_sec, 3),
