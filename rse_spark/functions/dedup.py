@@ -166,6 +166,68 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     )
 
 
+def connected_components(edges: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b",
+                         max_iter: int = 50) -> DataFrame:
+    """(doc_id, cluster_id): connected components over near-dup pair
+    edges — the dedup CLUSTERING step (candidate pairs -> groups, keep
+    one representative per group). cluster_id = min doc_id in the
+    component.
+
+    Min-label propagation to fixpoint: each round every node takes the
+    min of its own and its neighbors' labels (one join + one groupBy on
+    the symmetrized edges — the standard large-scale CC loop), with
+    localCheckpoint per round so lineage stays flat. Converges in
+    O(longest min-path) rounds; the loop exits on the first round with
+    zero changes."""
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(
+        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().persist()
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("label").alias("nl")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nl").alias("nbr_min"))
+            .withColumnRenamed("a", "node")
+        )
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce("nbr_min", F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old"), "node"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def _nibble_bits(hash_col: str, n_bits: int):
     """SQL expr: bit i (0-based, MSB-first per nibble) of a hex digest."""
     return (

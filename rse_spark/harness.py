@@ -802,6 +802,42 @@ def q_upsert_tf(spark, sf_dir):
     )
 
 
+BPE_PATTERN = "[a-z]{1,4}|[0-9]{1,3}"
+
+
+def q_token_count_bpe(spark, sf_dir):
+    """Subword ('BPE-ish') token counting: greedy fixed-merge chunks via
+    one JVM regex — the tokenizer-budget estimator of a training-data
+    pipeline (whitespace counts live in token_count)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))
+        ).cast("long").alias("n_subwords"),
+    )
+
+
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING: connected components over strong LSH
+    candidate edges (>= 2 shared bands) — the pair->group step that
+    picks one representative per duplicate cluster. Oracled by a DuckDB
+    recursive-CTE transitive closure."""
+    from rse_spark.functions.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 1000)
+    sh = word_shingles(d, n=1)
+    sig = minhash_signatures(sh, n_hashes=N_MINHASH)
+    pairs = lsh_candidate_pairs(
+        sig, n_hashes=N_MINHASH, bands=4, max_bucket=10_000
+    ).filter(F.col("n_shared_bands") >= 2)
+    return connected_components(pairs)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -851,6 +887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_refs": q_extract_refs,
         "extracted_backlinks": q_extracted_backlinks,
         "upsert_tf": q_upsert_tf,
+        "token_count_bpe": q_token_count_bpe,
+        "dup_clusters": q_dup_clusters,
     }
 
 
@@ -1321,5 +1359,56 @@ def oracle_sql() -> dict[str, str]:
                      (a, t) -> (a * 1000003 + t) % {_ROLL_MOD}
                    )::BIGINT AS rolling_fp
             FROM documents
+        """,
+        "token_count_bpe": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{BPE_PATTERN}'))::bigint
+                     AS n_subwords
+            FROM documents
+        """,
+        "dup_clusters": f"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, term AS shingle FROM ({_TOKS_SQL})
+              WHERE doc_id < 1000
+            ),
+            seeded AS (
+              SELECT doc_id, s.seed::int AS seed,
+                     md5(s.seed::varchar || ':' || shingle) AS h
+              FROM toks CROSS JOIN
+                   (SELECT unnest(range({N_MINHASH})) AS seed) s
+            ),
+            sig AS (
+              SELECT doc_id, seed, min(h) AS minhash
+              FROM seeded GROUP BY doc_id, seed
+            ),
+            banded AS (
+              SELECT doc_id, (seed // 4)::int AS band,
+                     md5(string_agg(seed::varchar || ':' || minhash, '|'
+                                    ORDER BY seed::varchar || ':' || minhash))
+                       AS band_hash
+              FROM sig GROUP BY doc_id, (seed // 4)::int
+            ),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+              HAVING count(*) >= 2
+            ),
+            sym AS (
+              SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs
+            ),
+            reach AS (
+              WITH RECURSIVE walk(node, r) AS (
+                SELECT DISTINCT a, a FROM sym
+                UNION
+                SELECT s.b, walk.r FROM walk JOIN sym s ON s.a = walk.node
+              )
+              SELECT * FROM walk
+            )
+            SELECT node AS doc_id, min(r)::bigint AS cluster_id
+            FROM reach GROUP BY node
         """,
     }

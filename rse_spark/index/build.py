@@ -114,7 +114,14 @@ def assign_doc_ids(corpus: DataFrame, key: list[str] | None = None,
         .drop("_pid", "_rn", "_off")
     )
     small = (acc - base) <= 20_000_000  # force broadcast only when sane
-    return corpus.join(F.broadcast(key_ids) if small else key_ids, key)
+    joined = corpus.join(F.broadcast(key_ids) if small else key_ids, key)
+    # one bounded repartition of the joined rows: the map-side join
+    # inherits the SCAN's splits (a single small parquet file = one
+    # task), so the downstream tokenizer UDF would run on a handful of
+    # cores. Evening out before the heaviest scan is worth exactly one
+    # content shuffle — the same count the round-1 plan paid, now with
+    # the id window itself touching keys only.
+    return joined.repartition(2 * spark.sparkContext.defaultParallelism)
 
 
 def tokenized(corpus_with_ids: DataFrame, analyzer: str = "code",

@@ -228,3 +228,36 @@ def test_frame_sampling(spark):
         len(range(0, int(m["duration_ms"]), 5000)) for m in vids["meta"]
     )
     assert len(frames) == want
+
+
+def test_connected_components_clusters(spark):
+    import pandas as pd
+
+    from rse_spark.functions.dedup import connected_components
+
+    edges = spark.createDataFrame(pd.DataFrame({
+        "doc_a": [1, 2, 5, 9, 10],
+        "doc_b": [2, 3, 6, 10, 11],
+    }))
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges).collect()
+    }
+    # components {1,2,3}, {5,6}, {9,10,11} labeled by their min member
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9, 10: 9, 11: 9}
+
+
+def test_connected_components_chain_converges(spark):
+    import pandas as pd
+
+    from rse_spark.functions.dedup import connected_components
+
+    # a long path graph needs many label-propagation rounds
+    n = 24
+    edges = spark.createDataFrame(pd.DataFrame({
+        "doc_a": list(range(n - 1)),
+        "doc_b": list(range(1, n)),
+    }))
+    got = connected_components(edges).collect()
+    assert {r["cluster_id"] for r in got} == {0}
+    assert len(got) == n
