@@ -838,6 +838,70 @@ def q_dup_clusters(spark, sf_dir):
     return connected_components(pairs)
 
 
+def q_asof_attribution(spark, sf_dir):
+    """Point-in-time attribution: each purchase joined to the user's
+    latest click at-or-before it (backward inclusive as-of join — the
+    operator Spark lacks as a built-in, composed from one union +
+    window; DuckDB's native ASOF JOIN is the oracle)."""
+    from rse_spark.functions.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(purchases, clicks, by="user_id", ts="ts",
+                    right_cols=["click_id"])
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("purchase_us"),
+        F.col("r_click_id").alias("click_id"),
+    )
+
+
+def q_range_join(spark, sf_dir):
+    """Interval/range join: purchases falling inside each signup's
+    2-hour activation window of the same user (hash join on the key +
+    range predicate — never a cartesian), aggregated per window."""
+    from rse_spark.functions.asof import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    hits = interval_join(purchases, signups, ts="ts", by="user_id")
+    return hits.groupBy("signup_id").agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont` — both linear interpolation)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile(l_quantity, array(0.25, 0.5, 0.75))"
+        ).alias("qs")
+    )
+    return q.select(
+        "l_returnflag",
+        F.round(F.col("qs")[0], 6).alias("q25"),
+        F.round(F.col("qs")[1], 6).alias("q50"),
+        F.round(F.col("qs")[2], 6).alias("q75"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -889,6 +953,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_tf": q_upsert_tf,
         "token_count_bpe": q_token_count_bpe,
         "dup_clusters": q_dup_clusters,
+        "asof_attribution": q_asof_attribution,
+        "range_join": q_range_join,
+        "quantiles": q_quantiles,
     }
 
 
@@ -1365,6 +1432,50 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '{BPE_PATTERN}'))::bigint
                      AS n_subwords
             FROM documents
+        """,
+        "asof_attribution": """
+            WITH l AS (
+              SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'purchase'
+            ),
+            r0 AS (
+              SELECT user_id, ts, event_id AS click_id FROM events
+              WHERE event_type = 'click'
+            ),
+            r AS (
+              SELECT user_id, ts, click_id FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY user_id, ts ORDER BY click_id DESC
+                ) AS rn FROM r0
+              ) WHERE rn = 1
+            )
+            SELECT l.event_id AS purchase_id, l.user_id,
+                   epoch_us(l.ts) AS purchase_us, r.click_id
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join": """
+            WITH s AS (
+              SELECT event_id AS signup_id, user_id, ts AS start_ts,
+                     ts + INTERVAL 2 HOUR AS end_ts
+              FROM events WHERE event_type = 'signup'
+            ),
+            p AS (
+              SELECT user_id, ts, value FROM events
+              WHERE event_type = 'purchase'
+            )
+            SELECT signup_id, count(*)::bigint AS n_purchases,
+                   round(sum(value), 2) AS sum_value
+            FROM s JOIN p ON s.user_id = p.user_id
+                         AND p.ts >= s.start_ts AND p.ts <= s.end_ts
+            GROUP BY signup_id
+        """,
+        "quantiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+                   round(quantile_cont(l_quantity, 0.50), 6) AS q50,
+                   round(quantile_cont(l_quantity, 0.75), 6) AS q75
+            FROM lineitem GROUP BY l_returnflag
         """,
         "dup_clusters": f"""
             WITH toks AS (
