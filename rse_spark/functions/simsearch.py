@@ -134,6 +134,86 @@ def lsh_ann_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     return cosine_topk(cands, query_vec, k, id_col, emb_col)
 
 
+def kmeans_centroids(emb: DataFrame, n_clusters: int = 16, iters: int = 8,
+                     sample_n: int = 4096, id_col: str = "vec_id",
+                     emb_col: str = EMB) -> list[list[float]]:
+    """Train the IVF coarse quantizer: Lloyd's k-means over a
+    deterministic sample (first ``sample_n`` ids), numpy on the driver.
+
+    The centroid table is k x dim — kilobytes — so training on a sample
+    and broadcasting is the standard IVF recipe; only the ASSIGNMENT
+    pass (ivf_assign) touches the full table, distributed."""
+    import numpy as np
+
+    rows = (
+        emb.orderBy(id_col).limit(sample_n).select(emb_col).collect()
+    )
+    x = np.asarray([list(map(float, r[0])) for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    # deterministic spread init: every (n/k)-th sample vector
+    step = max(1, len(x) // n_clusters)
+    c = x[::step][:n_clusters].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(len(c)):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+        c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    return [list(map(float, row)) for row in c]
+
+
+def _sq_dist(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+        " 0D, (s, v) -> s + v)"
+    )
+
+
+def ivf_assign(emb: DataFrame, centroids: list[list[float]],
+               id_col: str = "vec_id", emb_col: str = EMB) -> DataFrame:
+    """+ cluster column: argmin centroid distance as one JVM expression
+    (array of (dist, cid) structs, array_sort, take [0]) over the
+    l2-normalized vector — whole-stage codegen, no Python."""
+    unit = with_unit_vec(emb, emb_col)
+    cells = []
+    for cid, cvec in enumerate(centroids):
+        clit = "array(" + ", ".join(f"{x}D" for x in cvec) + ")"
+        cells.append(
+            f"struct({_sq_dist('v', clit)} AS d, {cid} AS cid)"
+        )
+    return unit.withColumn(
+        "cluster",
+        F.expr(f"array_sort(array({', '.join(cells)}))[0].cid"),
+    ).drop("v")
+
+
+def ivf_ann_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                 n_clusters: int = 16, nprobe: int = 4,
+                 centroids: list[list[float]] | None = None,
+                 id_col: str = "vec_id", emb_col: str = EMB) -> DataFrame:
+    """IVF ANN: candidates = vectors assigned to the query's ``nprobe``
+    nearest centroids, exact cosine re-rank inside them. nprobe ==
+    n_clusters degrades to exact search (recall 1.0) — the standard
+    recall/latency dial. At scale the assignment table is written
+    partitioned by cluster, so a probe is a partition-pruned scan."""
+    import numpy as np
+
+    if centroids is None:
+        centroids = kmeans_centroids(
+            emb, n_clusters=n_clusters, id_col=id_col, emb_col=emb_col
+        )
+    q = np.asarray(query_vec, dtype=np.float64)
+    q /= max(float(np.linalg.norm(q)), 1e-12)
+    c = np.asarray(centroids)
+    order = np.argsort(((c - q[None, :]) ** 2).sum(axis=1))
+    probe = [int(i) for i in order[:nprobe]]
+    assigned = ivf_assign(emb, centroids, id_col, emb_col)
+    cands = assigned.filter(F.col("cluster").isin(probe)).drop("cluster")
+    return cosine_topk(cands, query_vec, k, id_col, emb_col)
+
+
 def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.9,
                          n_planes: int = 6, n_tables: int = 8,
                          id_col: str = "vec_id", emb_col: str = EMB,

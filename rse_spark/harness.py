@@ -539,6 +539,20 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN top-10 for vec_id=0 (no SQL oracle — approximate
+    by design; recall vs brute force and the nprobe==k exactness limit
+    are pytest-checked)."""
+    from rse_spark.functions.simsearch import ivf_ann_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return ivf_ann_topk(
+        e.filter(F.col("vec_id") != 0), [float(x) for x in q],
+        k=10, n_clusters=16, nprobe=4,
+    )
+
+
 def q_doc_rolling_fp(spark, sf_dir):
     """Polynomial rolling-hash fingerprint (vectorized numpy/Arrow UDF),
     oracled by DuckDB HUGEINT list_reduce over the same Horner
@@ -915,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "emb_pair_topk": q_emb_pair_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "doc_rolling_fp": q_doc_rolling_fp,
         "tpch_q3": q_tpch_q3,
         "cube_agg": q_cube_agg,

@@ -261,3 +261,34 @@ def test_connected_components_chain_converges(spark):
     got = connected_components(edges).collect()
     assert {r["cluster_id"] for r in got} == {0}
     assert len(got) == n
+
+
+def test_ivf_ann_recall_and_exact_limit(spark):
+    from rse_spark.functions.simsearch import (
+        cosine_topk,
+        ivf_ann_topk,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0)
+         .collect()[0]["embedding"]]
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in cosine_topk(rest, q, k=10).collect()]
+    cents = kmeans_centroids(rest, n_clusters=16)
+    # nprobe == n_clusters scans every cluster -> identical to exact
+    full = [
+        r["vec_id"]
+        for r in ivf_ann_topk(rest, q, k=10, nprobe=16,
+                              centroids=cents).collect()
+    ]
+    assert full == exact
+    # a half probe (8/16) must still find most of the true top-10
+    # (these embeddings are near-uniform, the hard case for IVF — real
+    # corpora cluster and recall rises accordingly)
+    approx = [
+        r["vec_id"]
+        for r in ivf_ann_topk(rest, q, k=10, nprobe=8,
+                              centroids=cents).collect()
+    ]
+    assert len(set(approx) & set(exact)) >= 6
