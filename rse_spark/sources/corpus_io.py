@@ -1,0 +1,92 @@
+"""Corpus ingestion sources + JSON sink.
+
+The reference ingests exactly one way (HTTP fetch -> Postgres rows,
+crawler.go:162-228) and serves JSON (api/main.go:221-224). A corpus
+engine meets its data where it lives: these readers normalize
+parquet / JSONL / CSV / raw-text trees into the corpus shape the index
+builder takes (a ``content`` column plus whatever metadata exists), and
+``write_jsonl`` is the dataset-scale JSON sink (the CLI/API emit
+per-query JSON already).
+
+All readers are thin wrappers over Spark's native sources — schema
+inference, predicate pushdown (parquet/csv), partitioned layout and
+distributed reads come from the DataSource framework; nothing here
+touches rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_EXT_FMT = {
+    ".parquet": "parquet",
+    ".jsonl": "jsonl",
+    ".json": "jsonl",
+    ".csv": "csv",
+    ".txt": "text",
+}
+
+
+def _detect(path: str) -> str:
+    ext = os.path.splitext(path.rstrip("/"))[1].lower()
+    if ext in _EXT_FMT:
+        return _EXT_FMT[ext]
+    if os.path.isdir(path):
+        for fn in sorted(os.listdir(path)):
+            e = os.path.splitext(fn)[1].lower()
+            if e in _EXT_FMT:
+                return _EXT_FMT[e]
+    raise ValueError(f"cannot detect corpus format for {path!r}")
+
+
+def read_corpus(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    content_col: str | None = None,
+) -> DataFrame:
+    """Load a corpus from parquet / JSONL / CSV / raw text files into a
+    DataFrame with a ``content`` column.
+
+    ``content_col`` names the text column for tabular formats (default:
+    'content' if present, else 'text'). Raw-text mode reads one DOCUMENT
+    PER FILE (wholetext) with the file path as its key — the on-disk
+    analogue of the reference's one-URL-one-page model."""
+    fmt = fmt or _detect(path)
+    if fmt == "parquet":
+        df = spark.read.parquet(path)
+    elif fmt == "jsonl":
+        df = spark.read.json(path)
+    elif fmt == "csv":
+        df = spark.read.option("header", "true").option(
+            "inferSchema", "true"
+        ).csv(path)
+    elif fmt == "text":
+        df = (
+            spark.read.option("wholetext", "true").text(path)
+            .select(
+                F.input_file_name().alias("path"),
+                F.col("value").alias("content"),
+            )
+        )
+        return df
+    else:
+        raise ValueError(f"unknown corpus format {fmt!r}")
+    if content_col is None:
+        content_col = "content" if "content" in df.columns else "text"
+    if content_col not in df.columns:
+        raise ValueError(
+            f"no {content_col!r} column in {path!r} (have {df.columns})"
+        )
+    if content_col != "content":
+        df = df.withColumnRenamed(content_col, "content")
+    return df
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Dataset-scale JSON-lines sink (one JSON object per row,
+    partitioned files — S11's CompletePage JSON at corpus size)."""
+    df.write.mode(mode).json(path)
