@@ -56,3 +56,34 @@ def test_direct_zero_hit(root):
     searcher = DirectSearcher(root, analyzer="code")
     assert searcher.search("zzzmissingterm") == []
     assert searcher.search("   ") == []
+
+
+def test_direct_searcher_wand_on_stream_grown_index(spark, tmp_path_factory):
+    """DirectSearcher(algo='wand') over a STREAM-GROWN index whose later
+    batch shifted avgdl — the round-1 hazard combination — must equal
+    the exact numpy path."""
+    from pyspark.sql import functions as F
+
+    from rse_spark.query.serve import DirectSearcher
+    from rse_spark.streaming.stream_index import append_batch
+
+    root = str(tmp_path_factory.mktemp("serve_stream"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    append_batch(spark, docs.filter(F.col("doc_id") < 250), root,
+                 analyzer="simple", content_col="text", batch_id=0)
+    longer = docs.filter(F.col("doc_id") >= 250).withColumn(
+        "text", F.concat_ws(" ", "text", "text", "text")
+    )
+    append_batch(spark, longer, root, analyzer="simple",
+                 content_col="text", batch_id=1)
+
+    ds = DirectSearcher(root, analyzer="simple")
+    for q in ["spark join", "query the table fast", "data group row"]:
+        for mode in ("or", "and"):
+            exact = ds.search(q, k=10, mode=mode, algo="numpy")
+            wand = ds.search(q, k=10, mode=mode, algo="wand")
+            assert [(d, m) for d, _, m in wand] == [
+                (d, m) for d, _, m in exact
+            ], (q, mode)
+            for (d1, s1, _), (d2, s2, _) in zip(wand, exact):
+                assert abs(s1 - s2) < 1e-9
