@@ -899,6 +899,65 @@ def q_range_join(spark, sf_dir):
     )
 
 
+SPLIT_PCT = 90  # train share
+
+
+def q_train_val_split(spark, sf_dir):
+    """Deterministic hash-based train/val split — the dataset-curation
+    primitive: assignment is a pure function of the stable doc key (no
+    RNG state, reproducible across engines/runs/cluster sizes), here
+    md5(doc_id) % 100 < 90. Output: per-(lang, split) counts, so leaks
+    or imbalance show up directly."""
+    d = _docs(spark, sf_dir).withColumn(
+        "split",
+        F.when(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                   16, 10).cast("long") % 100 < SPLIT_PCT,
+            F.lit("train"),
+        ).otherwise(F.lit("val")),
+    )
+    return d.groupBy("lang", "split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join (lineitem-orders-customer-supplier-
+    nation-region) with the local-supplier condition (customer and
+    supplier share a nation) and a date-range scan filter. Dimension
+    tables broadcast; the fact-side joins shuffle on their keys."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    lo = F.to_timestamp(F.lit("1996-01-01 00:00:00"))
+    hi = F.to_timestamp(F.lit("1998-01-01 00:00:00"))
+    return (
+        li.join(o.filter((F.col("o_orderdate") >= lo)
+                         & (F.col("o_orderdate") < hi)),
+                li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def q_quantiles(spark, sf_dir):
     """Exact interpolated quantiles per group (Spark `percentile` ==
     DuckDB `quantile_cont` — both linear interpolation)."""
@@ -971,6 +1030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "range_join": q_range_join,
         "quantiles": q_quantiles,
+        "tpch_q5": q_tpch_q5,
+        "train_val_split": q_train_val_split,
     }
 
 
@@ -1484,6 +1545,31 @@ def oracle_sql() -> dict[str, str]:
             FROM s JOIN p ON s.user_id = p.user_id
                          AND p.ts >= s.start_ts AND p.ts <= s.end_ts
             GROUP BY signup_id
+        """,
+        "train_val_split": f"""
+            SELECT lang,
+                   CASE WHEN CAST(('0x' || substr(md5(doc_id::varchar), 1, 4))
+                             AS BIGINT) % 100 < {SPLIT_PCT}
+                        THEN 'train' ELSE 'val' END AS split,
+                   count(*)::bigint AS n_docs,
+                   sum(n_chars)::bigint AS sum_chars
+            FROM documents GROUP BY 1, 2
+        """,
+        "tpch_q5": """
+            SELECT r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue,
+                   count(*)::bigint AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY r_name, n_name
         """,
         "quantiles": """
             SELECT l_returnflag,
