@@ -902,6 +902,40 @@ def q_range_join(spark, sf_dir):
 SPLIT_PCT = 90  # train share
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation — the composed training-data flow:
+    language gate (scan-pushed) -> exact dedup (keep the min doc_id per
+    content hash) -> quality band (20..500 tokens) -> deterministic
+    hash split; reports kept-doc counts and volume per (lang, split).
+    Every stage is an operator with its own oracled query; this one
+    proves they compose."""
+    from rse_spark.functions.gate import filter_gate
+
+    d = filter_gate(
+        _docs(spark, sf_dir), allow_langs=["en", "de", "fr"],
+        min_chars=100,
+    )
+    keepers = d.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = d.join(keepers, "doc_id", "left_semi").withColumn(
+        "n_tokens", F.size(F.split("text", " "))
+    ).filter((F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 500))
+    split = kept.withColumn(
+        "split",
+        F.when(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                   16, 10).cast("long") % 100 < SPLIT_PCT,
+            F.lit("train"),
+        ).otherwise(F.lit("val")),
+    )
+    return split.groupBy("lang", "split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
 def q_train_val_split(spark, sf_dir):
     """Deterministic hash-based train/val split — the dataset-curation
     primitive: assignment is a pure function of the stable doc key (no
@@ -1032,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": q_quantiles,
         "tpch_q5": q_tpch_q5,
         "train_val_split": q_train_val_split,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -1545,6 +1580,30 @@ def oracle_sql() -> dict[str, str]:
             FROM s JOIN p ON s.user_id = p.user_id
                          AND p.ts >= s.start_ts AND p.ts <= s.end_ts
             GROUP BY signup_id
+        """,
+        "curation_pipeline": f"""
+            WITH gated AS (
+              SELECT * FROM documents
+              WHERE lang IN ('en', 'de', 'fr') AND n_chars >= 100
+            ),
+            keepers AS (
+              SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)
+            ),
+            kept AS (
+              SELECT g.*, len(string_split(g.text, ' ')) AS n_tokens
+              FROM gated g JOIN keepers USING (doc_id)
+            ),
+            banded AS (
+              SELECT *,
+                     CASE WHEN CAST(('0x' || substr(md5(doc_id::varchar), 1, 4))
+                               AS BIGINT) % 100 < {SPLIT_PCT}
+                          THEN 'train' ELSE 'val' END AS split
+              FROM kept WHERE n_tokens BETWEEN 20 AND 500
+            )
+            SELECT lang, split, count(*)::bigint AS n_docs,
+                   sum(n_tokens)::bigint AS sum_tokens,
+                   sum(n_chars)::bigint AS sum_chars
+            FROM banded GROUP BY lang, split
         """,
         "train_val_split": f"""
             SELECT lang,
