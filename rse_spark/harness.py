@@ -899,6 +899,31 @@ def q_range_join(spark, sf_dir):
     )
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document keyword extraction: top-3 terms by smoothed TF-IDF
+    (ln(1+tf) * ln(N/df)), deterministic tie-break on the term — the
+    classic document-summary / routing signal. One window rank over the
+    tf table joined with broadcast df stats; first 200 docs."""
+    tf = _tf(spark, sf_dir).filter(F.col("doc_id") < 200)
+    alldf = _tf(spark, sf_dir).groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    n_docs = _docs(spark, sf_dir).count()
+    scored = tf.join(F.broadcast(alldf), "term").withColumn(
+        "tfidf",
+        F.log(1.0 + F.col("tf")) * F.log(F.lit(float(n_docs)) / F.col("df")),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term",
+                F.round("tfidf", 6).alias("tfidf"))
+    )
+
+
 SPLIT_PCT = 90  # train share
 
 
@@ -1067,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "train_val_split": q_train_val_split,
         "curation_pipeline": q_curation_pipeline,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -1580,6 +1606,22 @@ def oracle_sql() -> dict[str, str]:
             FROM s JOIN p ON s.user_id = p.user_id
                          AND p.ts >= s.start_ts AND p.ts <= s.end_ts
             GROUP BY signup_id
+        """,
+        "tfidf_top_terms": f"""
+            WITH tf AS ({_TF_SQL}),
+            dfx AS (SELECT term, count(*)::bigint AS df FROM tf GROUP BY term),
+            n AS (SELECT count(*)::double AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term,
+                     ln(1.0 + tf.tf) * ln(n.n_docs / dfx.df) AS tfidf
+              FROM tf JOIN dfx USING (term), n
+              WHERE tf.doc_id < 200
+            )
+            SELECT doc_id, rank, term, round(tfidf, 6) AS tfidf FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+              ) AS rank FROM scored
+            ) WHERE rank <= 3
         """,
         "curation_pipeline": f"""
             WITH gated AS (
