@@ -113,7 +113,10 @@ def assign_doc_ids(corpus: DataFrame, key: list[str] | None = None,
         .withColumn("doc_id", (F.col("_off") + F.col("_rn") - F.lit(1)).cast("long"))
         .drop("_pid", "_rn", "_off")
     )
-    small = (acc - base) <= 20_000_000  # force broadcast only when sane
+    # force-broadcast the id map only while it is genuinely broadcast
+    # sized (~5M rows of key+id ≈ low hundreds of MB); beyond that let
+    # the planner shuffle keys+ids — still never content
+    small = (acc - base) <= 5_000_000
     joined = corpus.join(F.broadcast(key_ids) if small else key_ids, key)
     # one bounded repartition of the joined rows: the map-side join
     # inherits the SCAN's splits (a single small parquet file = one

@@ -50,6 +50,11 @@ class DirectSearcher:
             )
         }
         self._bucket_cache: dict[int, dict[str, list[dict]]] = {}
+        import threading
+
+        # the HTTP endpoint serves one searcher from many threads; the
+        # lock only guards first-touch bucket loading (reads are pure)
+        self._load_lock = threading.Lock()
 
     _COLS = [
         "term", "segment_id", "payload", "block_offsets",
@@ -65,16 +70,19 @@ class DirectSearcher:
         is bounded by the buckets actually queried."""
         cache = self._bucket_cache.get(bucket)
         if cache is None:
-            cache = {}
-            pattern = os.path.join(
-                self.root, "postings", "seg_group=*",
-                f"bucket={bucket}", "*.parquet",
-            )
-            for path in sorted(glob.glob(pattern)):
-                tbl = pq.read_table(path, columns=self._COLS)
-                for row in tbl.to_pylist():
-                    cache.setdefault(row["term"], []).append(row)
-            self._bucket_cache[bucket] = cache
+            with self._load_lock:
+                cache = self._bucket_cache.get(bucket)
+                if cache is None:
+                    cache = {}
+                    pattern = os.path.join(
+                        self.root, "postings", "seg_group=*",
+                        f"bucket={bucket}", "*.parquet",
+                    )
+                    for path in sorted(glob.glob(pattern)):
+                        tbl = pq.read_table(path, columns=self._COLS)
+                        for row in tbl.to_pylist():
+                            cache.setdefault(row["term"], []).append(row)
+                    self._bucket_cache[bucket] = cache
         return cache.get(term, [])
 
     def _matched_lists(self, terms: list[str], weights: dict[str, float]):
