@@ -899,6 +899,26 @@ def q_range_join(spark, sf_dir):
     )
 
 
+CAP_PER_LANG = 40
+
+
+def q_stratified_cap(spark, sf_dir):
+    """Dataset balancing: cap each language at CAP_PER_LANG documents,
+    picking members by a DETERMINISTIC hash order (md5 of the doc key,
+    not RNG) so the sample is stable across engines, runs and cluster
+    sizes — the over-represented-language downsampling step of corpus
+    curation. One window rank per group."""
+    d = _docs(spark, sf_dir).withColumn(
+        "h", F.md5(F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("h"), F.asc("doc_id"))
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= CAP_PER_LANG)
+        .select("lang", "doc_id", "n_chars")
+    )
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Per-document keyword extraction: top-3 terms by smoothed TF-IDF
     (ln(1+tf) * ln(N/df)), deterministic tie-break on the term — the
@@ -1093,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_split": q_train_val_split,
         "curation_pipeline": q_curation_pipeline,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "stratified_cap": q_stratified_cap,
     }
 
 
@@ -1606,6 +1627,16 @@ def oracle_sql() -> dict[str, str]:
             FROM s JOIN p ON s.user_id = p.user_id
                          AND p.ts >= s.start_ts AND p.ts <= s.end_ts
             GROUP BY signup_id
+        """,
+        "stratified_cap": f"""
+            SELECT lang, doc_id, n_chars FROM (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(doc_id::varchar) ASC, doc_id ASC
+                     ) AS rk
+              FROM documents
+            ) WHERE rk <= {CAP_PER_LANG}
         """,
         "tfidf_top_terms": f"""
             WITH tf AS ({_TF_SQL}),

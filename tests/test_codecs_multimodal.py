@@ -93,3 +93,26 @@ def test_real_decode_raises_without_skip(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|ffmpeg|codec"):
         decode_and_featurize(assets, fake=False).collect()
+
+
+def test_multimodal_features_feed_ann(spark):
+    """End-to-end multimodal retrieval: REAL-decoded image features
+    flow into the cosine top-k operator (asset similarity search)."""
+    from rse_spark.functions.simsearch import cosine_topk
+
+    assets = synth_real_assets(spark, n=24).filter(
+        F.col("kind") == "image"
+    )
+    feats = decode_and_featurize(assets, fake=False)
+    q = [
+        float(x)
+        for x in feats.filter(F.col("asset_id") == 0)
+        .collect()[0]["feat"]
+    ]
+    top = cosine_topk(
+        feats.filter(F.col("asset_id") != 0), q, k=3,
+        id_col="asset_id", emb_col="feat",
+    ).collect()
+    assert len(top) == 3
+    # gradient images share structure: nearest neighbors are highly similar
+    assert top[0]["cosine"] > 0.9
