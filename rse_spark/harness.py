@@ -899,6 +899,35 @@ def q_range_join(spark, sf_dir):
     )
 
 
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Document chunking into overlapping token windows (64 tokens,
+    stride 48) — the context-window preparation step of a training
+    pipeline, as ONE JVM expression (sequence -> slice -> concat), no
+    UDF, exploded to (doc_id, chunk_id, n_chunk_tokens, chunk_md5)."""
+    d = _docs(spark, sf_dir).withColumn("sp", F.split("text", " "))
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(sp), {CHUNK_STRIDE}),"
+                f" s -> struct(cast((s - 1) div {CHUNK_STRIDE} as int)"
+                "  AS cid,"
+                f" concat_ws(' ', slice(sp, s, {CHUNK_TOKENS})) AS txt))"
+            )
+        ).alias("c"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("c.cid").alias("chunk_id"),
+        F.size(F.split("c.txt", " ")).cast("long").alias("n_chunk_tokens"),
+        F.md5("c.txt").alias("chunk_md5"),
+    )
+
+
 CAP_PER_LANG = 40
 
 
@@ -1114,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "tfidf_top_terms": q_tfidf_top_terms,
         "stratified_cap": q_stratified_cap,
+        "doc_chunks": q_doc_chunks,
     }
 
 
@@ -1627,6 +1657,26 @@ def oracle_sql() -> dict[str, str]:
             FROM s JOIN p ON s.user_id = p.user_id
                          AND p.ts >= s.start_ts AND p.ts <= s.end_ts
             GROUP BY signup_id
+        """,
+        "doc_chunks": f"""
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS sp
+                       FROM documents),
+            c AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(1, len(sp) + 1, {CHUNK_STRIDE}),
+                       s -> struct_pack(
+                         cid := (s - 1) // {CHUNK_STRIDE},
+                         txt := array_to_string(
+                           list_slice(sp, s, s + {CHUNK_TOKENS} - 1), ' ')
+                       ))) AS ch
+              FROM d
+            )
+            SELECT doc_id, ch.cid::int AS chunk_id,
+                   len(string_split(ch.txt, ' '))::bigint
+                     AS n_chunk_tokens,
+                   md5(ch.txt) AS chunk_md5
+            FROM c
         """,
         "stratified_cap": f"""
             SELECT lang, doc_id, n_chars FROM (
