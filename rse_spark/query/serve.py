@@ -49,41 +49,101 @@ class DirectSearcher:
                 tdict["bucket"].to_pylist(),
             )
         }
-        self._bucket_cache: dict[int, dict[str, list[dict]]] = {}
+        # bucket -> list of (arrow table, {term: (offset, length)})
+        # and a per-term extracted-row cache. Tables stay columnar
+        # (payload bytes remain Arrow buffers) so replica memory per
+        # bucket is ~the on-disk bucket size, not Python row dicts;
+        # row dicts exist only for terms actually queried.
+        self._bucket_tables: dict[int, list] = {}
+        self._term_rows: dict[tuple[int, str], list[dict]] = {}
         import threading
 
-        # the HTTP endpoint serves one searcher from many threads; the
-        # lock only guards first-touch bucket loading (reads are pure)
-        self._load_lock = threading.Lock()
+        # the HTTP endpoint serves one searcher from many threads.
+        # Per-bucket locks: concurrent first touches of DIFFERENT
+        # buckets load in parallel; only same-bucket racers serialize.
+        self._meta_lock = threading.Lock()
+        self._bucket_locks: dict[int, threading.Lock] = {}
+        self._threading = threading
 
     _COLS = [
         "term", "segment_id", "payload", "block_offsets",
         "block_last", "block_max_tf", "block_min_dl",
     ]
 
+    def _bucket_lock(self, bucket: int):
+        with self._meta_lock:
+            lock = self._bucket_locks.get(bucket)
+            if lock is None:
+                lock = self._bucket_locks[bucket] = self._threading.Lock()
+            return lock
+
+    def _load_bucket(self, bucket: int) -> list:
+        """Read one bucket's parquet files into Arrow tables and build
+        a term -> (offset, length) span index per file. Terms are
+        file-sorted (index/build.py sorts postings by term before the
+        segment write), so each term is one contiguous run."""
+        tables = self._bucket_tables.get(bucket)
+        if tables is not None:
+            return tables
+        with self._bucket_lock(bucket):
+            tables = self._bucket_tables.get(bucket)
+            if tables is not None:
+                return tables
+            tables = []
+            pattern = os.path.join(
+                self.root, "postings", "seg_group=*",
+                f"bucket={bucket}", "*.parquet",
+            )
+            for path in sorted(glob.glob(pattern)):
+                tbl = pq.read_table(path, columns=self._COLS)
+                terms = tbl["term"].to_pylist()
+                # files are written sortWithinPartitions("term")
+                # (index/storage.py:131,325) so each term is one run;
+                # a span LIST keeps this correct even if a future
+                # writer interleaves runs
+                spans: dict[str, list[tuple[int, int]]] = {}
+                i, n = 0, len(terms)
+                while i < n:
+                    j = i + 1
+                    t = terms[i]
+                    while j < n and terms[j] == t:
+                        j += 1
+                    spans.setdefault(t, []).append((i, j - i))
+                    i = j
+                tables.append((tbl, spans))
+            # publish only when fully built (dict assignment is atomic)
+            self._bucket_tables[bucket] = tables
+            return tables
+
     def _bucket_rows(self, bucket: int, term: str) -> list[dict]:
-        """All (segment) posting rows of one term, via a per-bucket
-        in-memory cache: first touch reads the bucket's files once and
-        indexes rows by term (terms are file-sorted, so this is the
-        in-memory analogue of the term dictionary's leaf level). A
+        """All (segment) posting rows of one term. First touch of a
+        bucket reads its files once into Arrow tables; first touch of
+        a term slices just that term's contiguous run out of them. A
         serving replica amortizes this across its query stream; memory
-        is bounded by the buckets actually queried."""
-        cache = self._bucket_cache.get(bucket)
-        if cache is None:
-            with self._load_lock:
-                cache = self._bucket_cache.get(bucket)
-                if cache is None:
-                    cache = {}
-                    pattern = os.path.join(
-                        self.root, "postings", "seg_group=*",
-                        f"bucket={bucket}", "*.parquet",
-                    )
-                    for path in sorted(glob.glob(pattern)):
-                        tbl = pq.read_table(path, columns=self._COLS)
-                        for row in tbl.to_pylist():
-                            cache.setdefault(row["term"], []).append(row)
-                    self._bucket_cache[bucket] = cache
-        return cache.get(term, [])
+        is bounded by the buckets actually queried (columnar) plus the
+        terms actually queried (row form)."""
+        key = (bucket, term)
+        rows = self._term_rows.get(key)
+        if rows is None:
+            rows = []
+            for tbl, spans in self._load_bucket(bucket):
+                for off, ln in spans.get(term, ()):
+                    rows.extend(tbl.slice(off, ln).to_pylist())
+            self._term_rows[key] = rows
+        return rows
+
+    def warm(self, qtexts: list[str]) -> int:
+        """Pre-load the buckets (and term rows) a query stream will
+        touch, so first-request latency is excluded from steady-state
+        serving. Returns the number of distinct buckets loaded."""
+        buckets: set[int] = set()
+        for qtext in qtexts:
+            for t in query_terms(qtext, self.analyzer):
+                info = self.term_dict.get(t)
+                if info:
+                    buckets.add(info[1])
+                    self._bucket_rows(info[1], t)
+        return len(buckets)
 
     def _matched_lists(self, terms: list[str], weights: dict[str, float]):
         """Collect posting-list cursors for the query terms."""

@@ -118,3 +118,60 @@ def test_http_search_endpoint(http_index):
             assert e.code == 404
     finally:
         srv.stop()
+
+
+def test_http_search_under_concurrency(http_index):
+    """N threads x M queries against a COLD searcher: every response
+    must equal the single-threaded answer (first-touch bucket loads
+    race from many threads at once)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from rse_spark.query.http import SearchServer
+
+    queries = ["spark join", "index build", "query plan", "hash group",
+               "stream state", "parquet scan", "filter push", "sort merge"]
+    # reference answers from a dedicated warm searcher
+    from rse_spark.query.serve import DirectSearcher
+
+    ref = DirectSearcher(http_index, analyzer="simple")
+    expected = {q: [d for d, _, _ in ref.search(q, k=5)] for q in queries}
+
+    srv = SearchServer(http_index, analyzer="simple").start()
+    try:
+        def fetch(q):
+            url = f"{srv.address}/search?q={q.replace(' ', '+')}&k=5"
+            with urllib.request.urlopen(url, timeout=30) as resp:
+                return q, [r["doc_id"] for r in json.load(resp)["results"]]
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            for q, got in pool.map(fetch, queries * 4):
+                assert got == expected[q], q
+    finally:
+        srv.stop()
+
+
+def test_bucket_loads_do_not_serialize(http_index):
+    """Holding one bucket's load lock must NOT block a different
+    bucket's first touch (the round-2 global _load_lock would
+    deadlock this test)."""
+    import threading
+
+    from rse_spark.query.serve import DirectSearcher
+
+    s = DirectSearcher(http_index, analyzer="simple")
+    buckets = sorted({b for _, b in s.term_dict.values()})
+    assert len(buckets) >= 2, "fixture should span multiple buckets"
+    b_held, b_free = buckets[0], buckets[1]
+    term_free = next(t for t, (_, b) in s.term_dict.items() if b == b_free)
+
+    done = threading.Event()
+    with s._bucket_lock(b_held):  # simulate an in-flight load of b_held
+        t = threading.Thread(
+            target=lambda: (s._bucket_rows(b_free, term_free), done.set())
+        )
+        t.start()
+        assert done.wait(timeout=20), (
+            "loading bucket %s blocked behind bucket %s's lock"
+            % (b_free, b_held)
+        )
+        t.join()
