@@ -50,9 +50,11 @@ def asof_join(
     right_cols = right_cols or [
         c for c in right.columns if c not in (by, ts)
     ]
-    # one row per (by, ts) on the right: deterministic under ties
+    # one row per (by, ts) on the right: deterministic under ties.
+    # With no value columns (right is just by+ts) any one row per
+    # (by, ts) is equivalent — order by ts to keep the window valid.
     w_dedup = Window.partitionBy(by, ts).orderBy(
-        *[F.desc(c) for c in right_cols]
+        *([F.desc(c) for c in right_cols] or [F.col(ts)])
     )
     r = (
         right.select(by, ts, *right_cols)
@@ -134,7 +136,23 @@ def interval_join(
     cartesian). Without: both sides are exploded onto ``bucket_ms``-wide
     time buckets and joined on the bucket before the exact range filter
     — candidate pairs are bounded by bucket co-residency instead of
-    |points| x |intervals|."""
+    |points| x |intervals|.
+
+    Interval-side columns whose names collide with point-side columns
+    (other than the ``by`` key) are renamed to ``i_<name>`` in the
+    output, so the joined frame is never ambiguous downstream."""
+    keep = {by} if by is not None else set()
+    point_names = set(points.columns)
+    renames = {}
+    for c in intervals.columns:
+        if c in point_names and c not in keep:
+            alias = f"i_{c}"
+            while alias in point_names or alias in intervals.columns:
+                alias = "_" + alias
+            intervals = intervals.withColumnRenamed(c, alias)
+            renames[c] = alias
+    start = renames.get(start, start)
+    end = renames.get(end, end)
     cond = (F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end))
     if by is not None:
         return points.join(intervals, on=by).filter(cond)

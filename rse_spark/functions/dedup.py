@@ -176,10 +176,14 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
 
     Min-label propagation to fixpoint: each round every node takes the
     min of its own and its neighbors' labels (one join + one groupBy on
-    the symmetrized edges — the standard large-scale CC loop), with
-    localCheckpoint per round so lineage stays flat. Converges in
-    O(longest min-path) rounds; the loop exits on the first round with
-    zero changes."""
+    the symmetrized edges — the standard large-scale CC loop), followed
+    by one pointer-jumping step (label <- label(label)) that halves
+    min-path lengths, so convergence is O(log diameter) rounds instead
+    of O(diameter) — a chain of 10^6 near-dups converges in ~20 rounds,
+    not 10^6. localCheckpoint per round keeps lineage flat; the loop
+    exits on the first round with zero changes and RAISES if max_iter
+    rounds pass without convergence (a silent exit would return wrong
+    cluster_ids)."""
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(
         sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -189,6 +193,7 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iter):
         nbr = (
             sym.join(
@@ -201,13 +206,24 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
             .agg(F.min("nl").alias("nbr_min"))
             .withColumnRenamed("a", "node")
         )
+        new_labels = labels.join(nbr, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"),
+                F.coalesce("nbr_min", F.col("label")),
+            ).alias("label"),
+        )
+        # pointer jumping: follow one extra hop through the label's own
+        # label (labels are always node ids, so the self-join hits)
+        ptr = new_labels.select(
+            F.col("node").alias("label"), F.col("label").alias("ll")
+        )
         new_labels = (
-            labels.join(nbr, "node", "left")
+            new_labels.join(ptr, "label", "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"),
-                    F.coalesce("nbr_min", F.col("label")),
+                    F.col("label"), F.coalesce("ll", F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()
@@ -223,6 +239,13 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components: {changed} labels still changing "
+            f"after {max_iter} rounds — raise max_iter (components with "
+            f"min-path > 2^{max_iter} hops cannot exist in practice; "
+            f"this indicates a bug or pathological input)"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

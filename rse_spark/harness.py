@@ -176,9 +176,11 @@ def _built_index(spark, sf_dir):
         from rse_spark.index.build import build_index
 
         # bound the cache: long-lived sessions over many sf dirs must
-        # not accumulate persisted postings (round-1 ADVICE)
+        # not accumulate persisted postings (round-1 ADVICE); evict the
+        # OLDEST entry (FIFO) — popitem() is LIFO and would thrash the
+        # hot index when alternating between two dirs (round-2 ADVICE)
         while len(_INDEX_CACHE) >= 2:
-            _, old = _INDEX_CACHE.popitem()
+            old = _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
             try:
                 old.postings.unpersist()
             except Exception:  # noqa: BLE001 — session may be gone
@@ -831,11 +833,18 @@ def q_token_count_bpe(spark, sf_dir):
     )
 
 
+DUP_MAX_BUCKET = 200  # LSH hot-bucket cap, mirrored in the SQL oracle
+
+
 def q_dup_clusters(spark, sf_dir):
     """Near-dup CLUSTERING: connected components over strong LSH
     candidate edges (>= 2 shared bands) — the pair->group step that
     picks one representative per duplicate cluster. Oracled by a DuckDB
-    recursive-CTE transitive closure."""
+    recursive-CTE transitive closure.
+
+    Scale notes: 3-word shingles (unigrams are maximally hot and
+    saturate band buckets on boilerplate-heavy corpora) and the
+    operator's default hot-bucket cap, mirrored in the oracle."""
     from rse_spark.functions.dedup import (
         connected_components,
         lsh_candidate_pairs,
@@ -844,10 +853,10 @@ def q_dup_clusters(spark, sf_dir):
     )
 
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 1000)
-    sh = word_shingles(d, n=1)
+    sh = word_shingles(d, n=3)
     sig = minhash_signatures(sh, n_hashes=N_MINHASH)
     pairs = lsh_candidate_pairs(
-        sig, n_hashes=N_MINHASH, bands=4, max_bucket=10_000
+        sig, n_hashes=N_MINHASH, bands=4, max_bucket=DUP_MAX_BUCKET
     ).filter(F.col("n_shared_bands") >= 2)
     return connected_components(pairs)
 
@@ -952,15 +961,23 @@ def q_tfidf_top_terms(spark, sf_dir):
     """Per-document keyword extraction: top-3 terms by smoothed TF-IDF
     (ln(1+tf) * ln(N/df)), deterministic tie-break on the term — the
     classic document-summary / routing signal. One window rank over the
-    tf table joined with broadcast df stats; first 200 docs."""
+    tf table joined with the df stats; first 200 docs.
+
+    Scale notes: the df table is full-vocabulary (10^8-10^9 terms at
+    web scale) so it must NOT be broadcast — the join is left to AQE,
+    which broadcasts the small filtered-docs side at runtime. N comes
+    from a 1-row count aggregate cross-joined in (metadata-only scan),
+    not a driver-side .count() action."""
     tf = _tf(spark, sf_dir).filter(F.col("doc_id") < 200)
     alldf = _tf(spark, sf_dir).groupBy("term").agg(
         F.count("*").alias("df")
     )
-    n_docs = _docs(spark, sf_dir).count()
-    scored = tf.join(F.broadcast(alldf), "term").withColumn(
+    nd = _docs(spark, sf_dir).agg(
+        F.count("*").cast("double").alias("n_docs")
+    )
+    scored = tf.join(alldf, "term").crossJoin(F.broadcast(nd)).withColumn(
         "tfidf",
-        F.log(1.0 + F.col("tf")) * F.log(F.lit(float(n_docs)) / F.col("df")),
+        F.log(1.0 + F.col("tf")) * F.log(F.col("n_docs") / F.col("df")),
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tfidf"), F.asc("term")
@@ -1762,8 +1779,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dup_clusters": f"""
             WITH toks AS (
-              SELECT DISTINCT doc_id, term AS shingle FROM ({_TOKS_SQL})
-              WHERE doc_id < 1000
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(sp) >= 3 THEN
+                         list_transform(range(1, len(sp) - 1),
+                                        i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2])
+                         ELSE [] END) AS shingle
+                FROM (SELECT doc_id, string_split(text, ' ') AS sp
+                      FROM documents WHERE doc_id < 1000)
+              )
             ),
             seeded AS (
               SELECT doc_id, s.seed::int AS seed,
@@ -1782,9 +1806,16 @@ def oracle_sql() -> dict[str, str]:
                        AS band_hash
               FROM sig GROUP BY doc_id, (seed // 4)::int
             ),
+            kept AS (
+              SELECT * FROM (
+                SELECT *, count(*) OVER (PARTITION BY band, band_hash)
+                            AS bucket_n
+                FROM banded
+              ) WHERE bucket_n <= {DUP_MAX_BUCKET}
+            ),
             pairs AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM banded a JOIN banded b
+              FROM kept a JOIN kept b
                 ON a.band = b.band AND a.band_hash = b.band_hash
                AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id

@@ -104,10 +104,30 @@ def append_batch(
     ids = assign_doc_ids(batch_df, key=key, base=base_doc)
     if key == ["_uniq"]:
         ids = ids.drop("_uniq")
-    enriched = enrich(ids, analyzer).withColumn(
-        "seg_group", (F.col("doc_id") / F.lit(docs_per_group)).cast("long")
-    ).persist()
-    n_new = enriched.count()
+    seg_col = (F.col("doc_id") / F.lit(docs_per_group)).cast("long")
+    # honor the index's enriched format (round-2 ADVICE): an index built
+    # with tokenize_path='jvm' stores FLAT (doc_id, term, tf, doc_len)
+    # enriched rows; appending array-form rows would mix schemas in one
+    # parquet dir and silently null out columns on later reads
+    fmt = store.completed_units().get("docs", {}).get(
+        "tokenize_path", "udf"
+    )
+    handles: list = []
+    if fmt == "jvm":
+        from rse_spark.index.build import jvm_base, tf_flat_jvm
+
+        meta_src = jvm_base(ids, analyzer).withColumn(
+            "seg_group", seg_col
+        ).persist()
+        enriched = tf_flat_jvm(meta_src, analyzer, handles).select(
+            "doc_id", "term", "tf", "doc_len", "seg_group"
+        )
+    else:
+        meta_src = enrich(ids, analyzer).withColumn(
+            "seg_group", seg_col
+        ).persist()
+        enriched = meta_src
+    n_new = meta_src.count()
 
     t0 = time.time()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -116,16 +136,19 @@ def append_batch(
     )
     map_cols = [
         c for c in ("repo", "path", "commit", "lang", "source", "src_doc_id")
-        if c in enriched.columns
+        if c in meta_src.columns
     ]
-    enriched.select(
+    meta_src.select(
         "doc_id", "doc_len", "content_sha256", *map_cols, "seg_group"
     ).write.mode("overwrite").partitionBy("seg_group").parquet(
         store._p("docs_meta")
     )
 
     postings = build_posting_lists(
-        explode_tf(enriched), docs_per_segment, n_buckets,
+        explode_tf(spark.read.parquet(store._p("enriched")).filter(
+            F.col("doc_id") >= base_doc
+        )) if fmt == "jvm" else explode_tf(enriched),
+        docs_per_segment, n_buckets,
     ).withColumn(
         "seg_group", F.floor(F.col("segment_id") / segments_per_group)
     )
@@ -154,7 +177,7 @@ def append_batch(
 
     groups = sorted(
         int(r["seg_group"])
-        for r in enriched.select("seg_group").distinct().collect()
+        for r in meta_src.select("seg_group").distinct().collect()
     )
     for g in groups:
         store.mark_done(
@@ -172,6 +195,7 @@ def append_batch(
         store.mark_done(
             "docs", n_docs=int(row["n"]), avgdl=float(row["a"]),
             source_snapshot=f"stream-batch-{batch_id}", wall_ms=0,
+            tokenize_path=fmt,
             layout={"docs_per_segment": docs_per_segment,
                     "segments_per_group": segments_per_group,
                     "n_buckets": n_buckets},
@@ -183,7 +207,9 @@ def append_batch(
                                    if k not in ("unit", "status")})
     if claim_unit:
         store.mark_done(claim_unit, g0=g0, committed=True)
-    enriched.unpersist()
+    meta_src.unpersist()
+    for h in handles:
+        h.unpersist()
     if key == ["_uniq"]:
         batch_df.unpersist()
     return n_new

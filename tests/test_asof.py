@@ -96,3 +96,40 @@ def test_interval_join_bucketized_matches_keyed(spark):
     }
     assert keyed_pairs == buck_pairs
     assert keyed_pairs, "expected at least one purchase in a window"
+
+
+def test_asof_empty_right_cols(spark):
+    """Right side with only (by, ts): asof_join must not build a
+    zero-column window orderBy (round-2 ADVICE)."""
+    import pandas as pd
+
+    left = spark.createDataFrame(pd.DataFrame({
+        "k": ["a", "a"], "ts": [_ts(10), _ts(20)], "lid": [1, 2],
+    }))
+    right = spark.createDataFrame(pd.DataFrame({
+        "k": ["a"], "ts": [_ts(15)],
+    }))
+    rows = asof_join(left, right, by="k", ts="ts").collect()
+    assert sorted(r["lid"] for r in rows) == [1, 2]
+
+
+def test_interval_join_shared_names_unambiguous(spark):
+    """Bucketized interval_join with colliding column names on both
+    sides: interval-side collisions are renamed i_<name> so downstream
+    references never hit an ambiguous-column error (round-2 ADVICE)."""
+    import pandas as pd
+
+    points = spark.createDataFrame(pd.DataFrame({
+        "user_id": [1, 2], "ts": [_ts(10), _ts(59)], "v": [5, 6],
+    }))
+    intervals = spark.createDataFrame(pd.DataFrame({
+        "user_id": [7], "start": [_ts(0)], "end": [_ts(20)],
+        "iv": ["w"],
+    }))
+    out = interval_join(points, intervals, ts="ts", by=None,
+                        bucket_ms=60_000)
+    # both user_id columns survive, disambiguated
+    assert "user_id" in out.columns and "i_user_id" in out.columns
+    rows = out.select("user_id", "i_user_id", "iv", "v").collect()
+    assert [(r["user_id"], r["i_user_id"], r["iv"], r["v"])
+            for r in rows] == [(1, 7, "w", 5)]

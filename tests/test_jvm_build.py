@@ -56,3 +56,63 @@ def test_default_is_udf(spark, tmp_path_factory):
     store = build_resumable(spark, corpus, root, analyzer="code",
                             docs_per_segment=64)
     assert store.completed_units()["docs"]["tokenize_path"] == "udf"
+
+
+def test_append_honors_jvm_enriched_format(spark, tmp_path_factory):
+    """append_batch on a tokenize_path='jvm' index must write FLAT
+    enriched rows (round-2 ADVICE: mixing array-form rows into a flat
+    dir silently nulls columns on later reads)."""
+    from pyspark.sql import functions as F
+
+    from rse_spark.streaming.stream_index import append_batch
+
+    corpus_pdf = gen_code_corpus(0.001)
+    half = len(corpus_pdf) // 2
+    root = str(tmp_path_factory.mktemp("bld_jvm_append"))
+    build_resumable(
+        spark, spark.createDataFrame(corpus_pdf.iloc[:half]), root,
+        analyzer="simple", docs_per_segment=64, tokenize_path="jvm",
+    )
+    n = append_batch(
+        spark, spark.createDataFrame(corpus_pdf.iloc[half:]), root,
+        analyzer="simple", content_col="content",
+        docs_per_segment=64, segments_per_group=4,
+    )
+    assert n == len(corpus_pdf) - half
+    store = IndexStorage(root)
+    enriched = spark.read.parquet(store._p("enriched"))
+    # flat schema throughout — no array columns, no nulls
+    assert "tf_terms" not in enriched.columns
+    assert {"doc_id", "term", "tf", "doc_len"} <= set(enriched.columns)
+    assert enriched.filter(F.col("term").isNull()
+                           | F.col("tf").isNull()).count() == 0
+    # the grown index answers queries over BOTH halves
+    idx = store.load(spark)
+    assert idx.n_docs == len(corpus_pdf)
+    hits = search(
+        spark, idx.postings, "spark index",
+        n_docs=idx.n_docs, avgdl=idx.avgdl,
+        term_stats=idx.term_stats, k=10, analyzer="simple",
+    ).collect()
+    assert hits
+
+
+def test_append_rejects_nothing_but_matches_udf_default(
+    spark, tmp_path_factory
+):
+    """A udf-format index keeps array-form enriched rows on append."""
+    from rse_spark.streaming.stream_index import append_batch
+
+    corpus_pdf = gen_code_corpus(0.0004)
+    half = len(corpus_pdf) // 2
+    root = str(tmp_path_factory.mktemp("bld_udf_append"))
+    build_resumable(
+        spark, spark.createDataFrame(corpus_pdf.iloc[:half]), root,
+        analyzer="simple", docs_per_segment=64, tokenize_path="udf",
+    )
+    append_batch(
+        spark, spark.createDataFrame(corpus_pdf.iloc[half:]), root,
+        analyzer="simple", content_col="content", docs_per_segment=64,
+    )
+    enriched = spark.read.parquet(IndexStorage(root)._p("enriched"))
+    assert "tf_terms" in enriched.columns
