@@ -134,6 +134,28 @@ def lsh_ann_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     return cosine_topk(cands, query_vec, k, id_col, emb_col)
 
 
+def kmeans_core(x, n_clusters: int = 16, iters: int = 8) -> list[list[float]]:
+    """Lloyd's k-means on an (n, dim) float64 array — the deterministic
+    numpy quantizer-training kernel shared by the Spark operator and the
+    DuckDB oracle generator (identical input -> bit-identical
+    centroids). Rows are l2-normalized first; init is the deterministic
+    every-(n/k)-th-sample spread."""
+    import numpy as np
+
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    step = max(1, len(x) // n_clusters)
+    c = x[::step][:n_clusters].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(len(c)):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+        c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    return [list(map(float, row)) for row in c]
+
+
 def kmeans_centroids(emb: DataFrame, n_clusters: int = 16, iters: int = 8,
                      sample_n: int = 4096, id_col: str = "vec_id",
                      emb_col: str = EMB) -> list[list[float]]:
@@ -149,19 +171,20 @@ def kmeans_centroids(emb: DataFrame, n_clusters: int = 16, iters: int = 8,
         emb.orderBy(id_col).limit(sample_n).select(emb_col).collect()
     )
     x = np.asarray([list(map(float, r[0])) for r in rows], dtype=np.float64)
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    # deterministic spread init: every (n/k)-th sample vector
-    step = max(1, len(x) // n_clusters)
-    c = x[::step][:n_clusters].copy()
-    for _ in range(iters):
-        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for j in range(len(c)):
-            members = x[assign == j]
-            if len(members):
-                c[j] = members.mean(axis=0)
-        c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
-    return [list(map(float, row)) for row in c]
+    return kmeans_core(x, n_clusters=n_clusters, iters=iters)
+
+
+def ivf_probes(centroids: list[list[float]], query_vec: list[float],
+               nprobe: int) -> list[int]:
+    """The ``nprobe`` centroid ids nearest the (normalized) query —
+    shared by ivf_ann_topk and the oracle generator."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    q /= max(float(np.linalg.norm(q)), 1e-12)
+    c = np.asarray(centroids)
+    order = np.argsort(((c - q[None, :]) ** 2).sum(axis=1))
+    return [int(i) for i in order[:nprobe]]
 
 
 def _sq_dist(a: str, b: str) -> str:
@@ -198,17 +221,11 @@ def ivf_ann_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     n_clusters degrades to exact search (recall 1.0) — the standard
     recall/latency dial. At scale the assignment table is written
     partitioned by cluster, so a probe is a partition-pruned scan."""
-    import numpy as np
-
     if centroids is None:
         centroids = kmeans_centroids(
             emb, n_clusters=n_clusters, id_col=id_col, emb_col=emb_col
         )
-    q = np.asarray(query_vec, dtype=np.float64)
-    q /= max(float(np.linalg.norm(q)), 1e-12)
-    c = np.asarray(centroids)
-    order = np.argsort(((c - q[None, :]) ** 2).sum(axis=1))
-    probe = [int(i) for i in order[:nprobe]]
+    probe = ivf_probes(centroids, query_vec, nprobe)
     assigned = ivf_assign(emb, centroids, id_col, emb_col)
     cands = assigned.filter(F.col("cluster").isin(probe)).drop("cluster")
     return cosine_topk(cands, query_vec, k, id_col, emb_col)

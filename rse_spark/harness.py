@@ -23,6 +23,7 @@ code-corpus engine (which pytest checks against the pandas oracle).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -530,8 +531,10 @@ def q_emb_pair_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN top-10 for vec_id=0 (no SQL oracle — ANN is
-    approximate by design; recall vs. brute force is pytest-checked)."""
+    """LSH-bucketed ANN top-10 for vec_id=0. Deterministic end to end
+    (md5-derived hyperplanes), so it IS SQL-oracled: _ann_oracle_sqls
+    embeds the plane literals and replays signature -> candidates ->
+    exact re-rank in DuckDB. Recall vs brute force is pytest-checked."""
     from rse_spark.functions.simsearch import lsh_ann_topk
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -542,9 +545,10 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF-bucketed ANN top-10 for vec_id=0 (no SQL oracle — approximate
-    by design; recall vs brute force and the nprobe==k exactness limit
-    are pytest-checked)."""
+    """IVF-bucketed ANN top-10 for vec_id=0. Deterministic end to end
+    (fixed-sample kmeans), so it IS SQL-oracled: _ann_oracle_sqls embeds
+    the centroid + probe literals and replays assignment -> probe ->
+    exact re-rank in DuckDB. Recall/nprobe limits are pytest-checked."""
     from rse_spark.functions.simsearch import ivf_ann_topk
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1836,4 +1840,121 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, min(r)::bigint AS cluster_id
             FROM reach GROUP BY node
         """,
+        **_ann_oracle_sqls(),
     }
+
+
+def _ann_oracle_sqls() -> dict[str, str]:
+    """DuckDB oracles for the two ANN paths (round-2 VERDICT item 3).
+
+    Both operators are fully deterministic — md5-derived hyperplanes
+    (simsearch.hyperplanes) and fixed-sample k-means centroids
+    (simsearch.kmeans_core) — so the trained model parameters are
+    computed HERE with the same code the operators run and embedded as
+    SQL literals; DuckDB then reproduces signature -> candidate
+    selection -> exact cosine re-rank end to end. The embeddings table
+    is read at the driver's correctness scale (sf0.01, overridable via
+    $SF_DIR, matching tools/check_correctness.py); if it is unreadable
+    the entries are omitted and the queries fall back to rows-only."""
+    import pyarrow.parquet as pq
+
+    from rse_spark.functions.simsearch import (
+        _query_sigs,
+        hyperplanes,
+        ivf_probes,
+        kmeans_core,
+    )
+
+    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    try:
+        tbl = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+    except Exception:  # noqa: BLE001 — table absent: degrade to rows-only
+        return {}
+    ids = tbl["vec_id"].to_pylist()
+    embs = tbl["embedding"].to_pylist()
+    qvec = [float(x) for x in embs[ids.index(0)]]
+    dim = len(qvec)
+
+    def lit(vals) -> str:
+        # repr() is the shortest round-trip decimal: DuckDB parses it
+        # back to the bit-identical double Spark embeds via str(x)
+        return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+
+    rerank = f"""
+        SELECT vec_id, round(cos, 6) AS cosine FROM (
+          SELECT vec_id,
+                 list_dot_product(d, {lit(qvec)})
+                   / (sqrt(list_dot_product(d, d))
+                      * sqrt(list_dot_product({lit(qvec)}, {lit(qvec)})))
+                   AS cos
+          FROM cand
+        ) ORDER BY cos DESC, vec_id ASC LIMIT 10
+    """
+
+    n_planes, n_tables = 4, 16
+    planes = hyperplanes(n_tables * n_planes, dim)
+    probes = dict(_query_sigs(qvec, n_planes, n_tables))
+    clauses = []
+    for t in range(n_tables):
+        bits = " || ".join(
+            f"(CASE WHEN list_dot_product(d, "
+            f"{lit(planes[t * n_planes + p])}) > 0 "
+            f"THEN '1' ELSE '0' END)"
+            for p in range(n_planes)
+        )
+        clauses.append(f"({bits}) = '{probes[t]}'")
+    lsh_sql = f"""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> x::double) AS d
+          FROM embeddings WHERE vec_id <> 0
+        ),
+        cand AS (
+          SELECT vec_id, d FROM e
+          WHERE {" OR ".join(clauses)}
+        )
+        {rerank}
+    """
+
+    import numpy as np
+
+    n_clusters, nprobe = 16, 4
+    sample = sorted(zip(ids, embs), key=lambda t: t[0])
+    x = np.asarray(
+        [list(map(float, e)) for i, e in sample if i != 0][:4096],
+        dtype=np.float64,
+    )
+    centroids = kmeans_core(x, n_clusters=n_clusters, iters=8)
+    probe = ivf_probes(centroids, qvec, nprobe)
+    cent_values = ", ".join(
+        f"({cid}, {lit(cv)})" for cid, cv in enumerate(centroids)
+    )
+    ivf_sql = f"""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> x::double) AS d
+          FROM embeddings WHERE vec_id <> 0
+        ),
+        u AS (
+          SELECT vec_id, d,
+                 list_transform(d, x -> x / sqrt(list_dot_product(d, d)))
+                   AS v
+          FROM e
+        ),
+        dist AS (
+          SELECT vec_id, d, c.cid,
+                 list_sum(list_transform(list_zip(v, c.cv),
+                          z -> (z[1] - z[2]) * (z[1] - z[2]))) AS dd
+          FROM u CROSS JOIN (VALUES {cent_values}) AS c(cid, cv)
+        ),
+        cand AS (
+          SELECT vec_id, d FROM (
+            SELECT vec_id, d, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dd ASC, cid ASC) AS rn
+            FROM dist
+          ) WHERE rn = 1 AND cid IN ({", ".join(map(str, probe))})
+        )
+        {rerank}
+    """
+    return {"ann_lsh_topk": lsh_sql, "ann_ivf_topk": ivf_sql}
