@@ -10,6 +10,10 @@ Commands
 --------
 build   --corpus <parquet> --root <dir> [--analyzer code] [--content-col content]
 query   --root <dir> --q "terms..." [--k 10] [--mode or|and] [--algo wand|exact]
+curate  --input <path> [--input <path> ...] --out <dir> [gate/dedup/split/chunk opts]
+        the ship-a-training-dataset job: multi-format corpus tree ->
+        gate -> dedup (exact + LSH near-dup) -> cap -> split -> chunk
+        -> partitioned JSONL, checkpointed per stage (rerun resumes)
 bench   (delegates to bench.py's main)
 """
 
@@ -32,6 +36,20 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--content-col", default="content")
     b.add_argument("--docs-per-segment", type=int, default=4096)
     b.add_argument("--segments-per-group", type=int, default=4)
+
+    c = sub.add_parser("curate", help="build a curated JSONL dataset")
+    c.add_argument("--input", action="append", required=True,
+                   help="corpus path (repeatable; parquet/jsonl/csv/txt)")
+    c.add_argument("--out", required=True)
+    c.add_argument("--content-col", default=None)
+    c.add_argument("--allow-langs", default=None,
+                   help="comma-separated lang allowlist")
+    c.add_argument("--min-chars", type=int, default=1)
+    c.add_argument("--no-near-dup", action="store_true")
+    c.add_argument("--cap-per-lang", type=int, default=None)
+    c.add_argument("--train-pct", type=int, default=90)
+    c.add_argument("--chunk-tokens", type=int, default=None)
+    c.add_argument("--chunk-stride", type=int, default=None)
 
     q = sub.add_parser("query", help="BM25 top-k search")
     q.add_argument("--root", required=True)
@@ -69,6 +87,24 @@ def main(argv: list[str] | None = None) -> int:
             "wall_sec": round(time.time() - t0, 2),
             "units": len(store.completed_units()),
         }))
+    elif args.cmd == "curate":
+        from rse_spark.curate import curate_dataset
+
+        t0 = time.time()
+        summary = curate_dataset(
+            spark, args.input, args.out,
+            content_col=args.content_col,
+            allow_langs=(args.allow_langs.split(",")
+                         if args.allow_langs else None),
+            min_chars=args.min_chars,
+            near_dup=not args.no_near_dup,
+            cap_per_lang=args.cap_per_lang,
+            train_pct=args.train_pct,
+            chunk_tokens=args.chunk_tokens,
+            chunk_stride=args.chunk_stride,
+        )
+        summary["wall_sec"] = round(time.time() - t0, 2)
+        print(json.dumps(summary))
     elif args.cmd == "query":
         from rse_spark.index.storage import IndexStorage
         from rse_spark.query.engine import search
