@@ -118,6 +118,42 @@ def main() -> None:
         dlat.sort()
         d50 = dlat[len(dlat) // 2]
         d95 = dlat[max(0, int(len(dlat) * 0.95) - 1)]
+
+        # ---- WAND pruning vs exhaustive on skew-stressed queries ----
+        # The block-skipping win only shows when giant posting lists
+        # dominate: query the corpus's hottest terms (largest df) mixed
+        # with a rare term, and record decoded-vs-total blocks. Terms
+        # whose analyzer round-trip changes them are excluded so the
+        # query hits exactly the intended lists.
+        from rse_spark.query.engine import query_terms as _qt
+
+        stable = [
+            (t, df) for t, (df, _) in searcher.term_dict.items()
+            if _qt(t, "code") == {t: 1}
+        ]
+        hot = [t for t, _ in sorted(stable, key=lambda kv: (-kv[1], kv[0]))[:8]]
+        rare = [t for t, _ in sorted(stable, key=lambda kv: (kv[1], kv[0]))[:8]]
+        skewq = [
+            f"{hot[i]} {hot[(i + 1) % len(hot)]} {rare[i % len(rare)]}"
+            for i in range(len(hot))
+        ]
+        searcher.warm(skewq)
+        ex_lat, wd_lat, blk_tot, blk_dec = [], [], 0, 0
+        for q in skewq:
+            t0 = time.time()
+            r_ex = searcher.search(q, k=10, algo="numpy")
+            ex_lat.append(time.time() - t0)
+            t0 = time.time()
+            r_wd = searcher.search(q, k=10, algo="wand")
+            wd_lat.append(time.time() - t0)
+            blk_tot += searcher.last_stats["blocks_total"]
+            blk_dec += searcher.last_stats["blocks_decoded"]
+            assert [d for d, _, _ in r_ex] == [d for d, _, _ in r_wd], q
+        ex_lat.sort()
+        wd_lat.sort()
+        skew_ex_p50 = ex_lat[len(ex_lat) // 2]
+        skew_wd_p50 = wd_lat[len(wd_lat) // 2]
+        blocks_skipped_pct = round(100.0 * (1 - blk_dec / max(1, blk_tot)), 1)
     finally:
         shutil.rmtree(idx_root, ignore_errors=True)
 
@@ -151,6 +187,9 @@ def main() -> None:
                 "serve_p95_ms": round(1000 * d95, 2),
                 "serve_cold_p50_ms": round(1000 * c50, 2),
                 "serve_cold_p95_ms": round(1000 * c95, 2),
+                "skew_exhaustive_p50_ms": round(1000 * skew_ex_p50, 2),
+                "skew_wand_p50_ms": round(1000 * skew_wd_p50, 2),
+                "wand_blocks_skipped_pct": blocks_skipped_pct,
                 "cpus": int(cpus),
             }
         )

@@ -113,16 +113,22 @@ def q_candidates_or(spark, sf_dir):
     )
 
 
-def _bm25(spark, sf_dir, mode: str) -> DataFrame:
+def _bm25(spark, sf_dir, mode: str, prefix: str | None = None) -> DataFrame:
     """Declarative single-DAG BM25 (no driver-side collects): stats join
-    via broadcast cross-join of the 1-row corpus_stats."""
+    via broadcast cross-join of the 1-row corpus_stats. ``prefix``
+    switches term selection from the fixed BM25_TERMS list to
+    dictionary expansion (every term starting with it)."""
     toks = _toks(spark, sf_dir)
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    qtf = tf.filter(F.col("term").isin(BM25_TERMS))
+    pred = (
+        F.col("term").startswith(prefix) if prefix is not None
+        else F.col("term").isin(BM25_TERMS)
+    )
+    qtf = tf.filter(pred)
     df = qtf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
         qtf.join(F.broadcast(df), "term")
@@ -212,6 +218,71 @@ def q_bm25_wand_topk(spark, sf_dir):
     )
 
 
+PHRASE = "value table part"  # 3-token phrase present in the fixtures
+PREFIX = "s"  # dictionary-expansion prefix (scan, slow, sort, spark...)
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase matching (adjacent tokens) with the index-style
+    candidate pruning expressed declaratively: docs containing EVERY
+    phrase term (the conjunctive-postings candidate set) are the only
+    ones whose token positions get verified — at web scale the
+    candidates come from the postings intersection and the verify is
+    the same one JVM expression (query/textmatch.py)."""
+    from rse_spark.query.textmatch import phrase_match
+
+    words = PHRASE.split()
+    toks = _toks(spark, sf_dir)
+    cands = (
+        toks.filter(F.col("term").isin(words))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("_nt"))
+        .filter(F.col("_nt") == len(set(words)))
+        .select("doc_id")
+    )
+    return phrase_match(_docs(spark, sf_dir), PHRASE, candidates=cands)
+
+
+def q_prefix_bm25(spark, sf_dir):
+    """Prefix query (s*): dictionary expansion feeding the standard
+    BM25 scorer, declarative path."""
+    return _bm25(spark, sf_dir, "or", prefix=PREFIX)
+
+
+def q_prefix_wand(spark, sf_dir):
+    """Prefix query through the ENGINE: expand on the index's term
+    dictionary (|vocab| rows — a metadata lookup, never a corpus scan),
+    then block-max WAND over the compressed postings. Must be
+    rank-identical to the declarative prefix oracle."""
+    from rse_spark.query.textmatch import expand_prefix
+    from rse_spark.query.wand import wand_search
+
+    b = _built_index(spark, sf_dir)
+    terms = expand_prefix(b.term_stats, PREFIX)
+    out = wand_search(
+        spark, b.postings, " ".join(terms),
+        n_docs=b.n_docs, avgdl=b.avgdl, term_stats=b.term_stats,
+        k=10, mode="or", analyzer="simple",
+    )
+    return out.select(
+        "doc_id", F.round("score", 6).alias("score"), "n_terms_matched"
+    )
+
+
+def q_facet_counts(spark, sf_dir):
+    """Result-page facets: per-(lang, source) doc counts over the
+    disjunctive candidate set — one semi-join + one hash aggregate."""
+    from rse_spark.query.textmatch import facet_counts
+
+    cands = (
+        _toks(spark, sf_dir)
+        .filter(F.col("term").isin(BM25_TERMS))
+        .select("doc_id")
+        .distinct()
+    )
+    return facet_counts(cands, _docs(spark, sf_dir), ["lang", "source"])
+
+
 BATCH_QUERIES = [
     (0, "spark join filter"),
     (1, "data group"),
@@ -240,8 +311,11 @@ def q_bm25_batch(spark, sf_dir):
     )
 
 
-def _bm25_sql(mode: str) -> str:
-    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+def _bm25_sql(mode: str, prefix: str | None = None) -> str:
+    where = (
+        f"term LIKE '{prefix}%'" if prefix is not None
+        else "term IN (" + ", ".join(f"'{t}'" for t in BM25_TERMS) + ")"
+    )
     having = (
         f"HAVING count(*) = {len(BM25_TERMS)}" if mode == "and" else ""
     )
@@ -250,7 +324,7 @@ WITH toks AS ({_TOKS_SQL}),
 tf AS (SELECT doc_id, term, count(*)::bigint AS tf FROM toks GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*)::bigint AS dl FROM toks GROUP BY doc_id),
 stats AS (SELECT count(*)::bigint AS n_docs, avg(dl) AS avgdl FROM dl),
-qtf AS (SELECT * FROM tf WHERE term IN ({terms})),
+qtf AS (SELECT * FROM tf WHERE {where}),
 dfx AS (SELECT term, count(*)::bigint AS df FROM qtf GROUP BY term),
 scored AS (
   SELECT qtf.doc_id,
@@ -1165,6 +1239,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "stratified_cap": q_stratified_cap,
         "doc_chunks": q_doc_chunks,
+        "phrase_search": q_phrase_search,
+        "prefix_bm25": q_prefix_bm25,
+        "prefix_wand": q_prefix_wand,
+        "facet_counts": q_facet_counts,
     }
 
 
@@ -1840,8 +1918,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, min(r)::bigint AS cluster_id
             FROM reach GROUP BY node
         """,
+        "phrase_search": _phrase_sql(),
+        "prefix_bm25": _bm25_sql("or", prefix=PREFIX),
+        "prefix_wand": _bm25_sql("or", prefix=PREFIX),
+        "facet_counts": f"""
+            SELECT lang, source, count(*)::bigint AS n_docs
+            FROM documents
+            WHERE doc_id IN (
+              SELECT DISTINCT doc_id FROM ({_TOKS_SQL})
+              WHERE term IN ({terms})
+            )
+            GROUP BY lang, source
+        """,
         **_ann_oracle_sqls(),
     }
+
+
+def _phrase_sql() -> str:
+    """DuckDB twin of q_phrase_search: 1-based list positions, same
+    adjacency conjunction."""
+    words = PHRASE.split()
+    n = len(words)
+    conds = " AND ".join(
+        f"sp[i+{j}] = '{w}'" if j else f"sp[i] = '{w}'"
+        for j, w in enumerate(words)
+    )
+    return f"""
+        SELECT doc_id, n_occurrences FROM (
+          SELECT doc_id,
+                 (CASE WHEN len(sp) >= {n} THEN
+                    len(list_filter(range(1, len(sp) - {n - 2}),
+                        i -> {conds}))
+                  ELSE 0 END)::bigint AS n_occurrences
+          FROM (SELECT doc_id, string_split(text, ' ') AS sp
+                FROM documents)
+        ) WHERE n_occurrences > 0
+    """
 
 
 def _ann_oracle_sqls() -> dict[str, str]:

@@ -64,6 +64,7 @@ class DirectSearcher:
         self._meta_lock = threading.Lock()
         self._bucket_locks: dict[int, threading.Lock] = {}
         self._threading = threading
+        self.last_stats: dict[str, int] = {}
 
     _COLS = [
         "term", "segment_id", "payload", "block_offsets",
@@ -190,13 +191,22 @@ class DirectSearcher:
         per_segment = self._matched_lists(terms, weights)
         results: list[tuple[int, float, int]] = []
         n_terms = len(terms)
+        all_iters: list[_ListIter] = []
         for _seg, iters in per_segment.items():
+            all_iters.extend(iters)
             if mode == "and":
                 if len(iters) < n_terms:
                     continue
                 results.extend(intersect_and_lists(iters, k, self.avgdl))
             else:
                 results.extend(wand_topk_lists(iters, k, self.avgdl))
+        # pruning telemetry: how many blocks the skip pointers let the
+        # query avoid decoding (bench.py records this vs the exhaustive
+        # path — the 100x-scale claim for WAND, with a number)
+        self.last_stats = {
+            "blocks_total": sum(len(it.offs) for it in all_iters),
+            "blocks_decoded": sum(it.blocks_decoded for it in all_iters),
+        }
         results.sort(key=lambda r: (-r[1], r[0]))
         return results[:k]
 

@@ -1,0 +1,86 @@
+"""Phrase, prefix, and facet query surfaces over the corpus/index.
+
+GSE's API matches single keywords only (reference
+crawler/src/api/main.go:121-159 tokenizes the query and ORs the terms);
+a fulltext engine needs the next tier of query semantics:
+
+* phrase match  — exact token adjacency ("merge sort" as a unit, not
+  two independent terms);
+* prefix match  — dictionary expansion (``sor*`` -> sort, sorted, ...)
+  feeding the standard BM25 scorer;
+* facet counts  — per-dimension candidate histograms (the result-page
+  sidebar).
+
+Scale shapes:
+
+* phrase: at index scale candidates come FIRST from the conjunctive
+  postings intersection (wand.intersect_and_lists / bm25 AND — every
+  phrase doc contains every phrase term), and only candidates are
+  re-verified; the verify itself is one JVM expression over token
+  positions (sequence + filter inside whole-stage codegen, no UDF, no
+  shuffle beyond the semi-join).
+* prefix: expansion runs on the TERM DICTIONARY (|vocab| rows, not the
+  corpus) — a metadata lookup, exactly how Lucene walks its term dict;
+  the expanded term set then rides the normal scorer.
+* facets: one hash aggregate over the candidate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def phrase_match(docs: DataFrame, phrase: str, content_col: str = "text",
+                 id_col: str = "doc_id",
+                 candidates: DataFrame | None = None) -> DataFrame:
+    """(id, n_occurrences) for documents containing ``phrase`` as
+    adjacent tokens (whitespace analyzer). ``candidates`` (a DataFrame
+    of ids, e.g. from the postings AND-intersection) bounds the verify
+    scan — at web scale ALWAYS pass it; the phrase check then touches
+    only docs already known to contain every term."""
+    words = phrase.split()
+    n = len(words)
+    if n == 0:
+        raise ValueError("empty phrase")
+    if candidates is not None:
+        docs = docs.join(candidates.select(id_col), id_col, "left_semi")
+    conds = " AND ".join(
+        "element_at(sp, CAST(i AS INT) + " + str(j) + ") = '" + w + "'"
+        for j, w in enumerate(words)
+    )
+    expr = (
+        f"CASE WHEN size(sp) >= {n} THEN "
+        f"size(filter(sequence(1, size(sp) - {n - 1}), i -> {conds})) "
+        "ELSE 0 END"
+    )
+    return (
+        docs.withColumn("sp", F.split(content_col, " "))
+        .withColumn("n_occurrences", F.expr(expr).cast("long"))
+        .filter(F.col("n_occurrences") > 0)
+        .select(id_col, "n_occurrences")
+    )
+
+
+def expand_prefix(term_dict: DataFrame, prefix: str,
+                  max_terms: int = 64) -> list[str]:
+    """Dictionary expansion: all indexed terms starting with ``prefix``
+    (deterministic order, capped like Lucene's rewrite limit). Runs on
+    the term-stats table — |vocab| rows, never the corpus."""
+    rows = (
+        term_dict.filter(F.col("term").startswith(prefix))
+        .select("term").distinct().orderBy("term").limit(max_terms)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def facet_counts(candidates: DataFrame, docs: DataFrame,
+                 facet_cols: list[str],
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-facet-value document counts over a candidate set — one
+    semi-join + one hash aggregate."""
+    joined = docs.join(candidates.select(id_col), id_col, "left_semi")
+    return joined.groupBy(*facet_cols).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )

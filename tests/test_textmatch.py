@@ -1,0 +1,93 @@
+"""Phrase / prefix / facet query surfaces (query/textmatch.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rse_spark.query.textmatch import (
+    expand_prefix,
+    facet_counts,
+    phrase_match,
+)
+
+
+@pytest.fixture(scope="module")
+def pdocs(spark):
+    return spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [
+            "merge sort beats bubble sort",
+            "sort merge join shuffles both sides",
+            "merge sort merge sort merge",      # overlapping occurrences
+            "merge",                             # shorter than the phrase
+            "no match here at all",
+        ],
+        "lang": ["en", "en", "de", "de", "en"],
+    }))
+
+
+def test_phrase_match_counts(spark, pdocs):
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_match(pdocs, "merge sort").collect()
+    }
+    # doc 2: "merge sort merge sort merge" has 2 adjacent occurrences
+    assert got == {0: 1, 2: 2}
+    # order matters: "sort merge" is a different phrase
+    got2 = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_match(pdocs, "sort merge").collect()
+    }
+    assert got2 == {1: 1, 2: 2}
+
+
+def test_phrase_match_candidate_pruning(spark, pdocs):
+    cands = spark.createDataFrame(pd.DataFrame({"doc_id": [2, 4]}))
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_match(pdocs, "merge sort",
+                              candidates=cands).collect()
+    }
+    assert got == {2: 2}  # doc 0 matches but was not a candidate
+
+
+def test_phrase_single_token_and_empty(spark, pdocs):
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_match(pdocs, "merge").collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 3, 3: 1}
+    with pytest.raises(ValueError):
+        phrase_match(pdocs, "")
+
+
+def test_phrase_verify_stays_jvm(spark, pdocs):
+    plan = phrase_match(pdocs, "merge sort")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_expand_prefix_and_index_parity(spark):
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(200)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    vocab = toks.select("term").distinct()
+    terms = expand_prefix(vocab, "s")
+    assert terms == sorted(terms)
+    assert all(t.startswith("s") for t in terms)
+    # cap respected
+    assert len(expand_prefix(vocab, "", max_terms=3)) == 3
+
+
+def test_facet_counts(spark, pdocs):
+    cands = spark.createDataFrame(pd.DataFrame({"doc_id": [0, 1, 2]}))
+    got = {
+        r["lang"]: r["n_docs"]
+        for r in facet_counts(cands, pdocs, ["lang"]).collect()
+    }
+    assert got == {"en": 2, "de": 1}

@@ -99,6 +99,32 @@ def main() -> None:
            "query_sec": q_n["query_sec"]}
     r_4n = {**r_4n, "queries_per_sec": q_4n["queries_per_sec"],
             "query_sec": q_4n["query_sec"]}
+    # run history survives regeneration (seeded with the round-1/2
+    # records that predate history tracking)
+    history = [
+        {"label": "round-1 final", "build_eff": 0.725, "query_eff": 0.938,
+         "hw": 0.925},
+        {"label": "r2 pre-optimization", "build_eff": 0.710,
+         "query_eff": 0.875, "hw": 1.021},
+        {"label": "r2 keys-only ids / zstd", "build_eff": 0.761,
+         "query_eff": 0.938, "hw": 0.992},
+        {"label": "r2 stats-from-postings", "build_eff": 0.755,
+         "query_eff": 0.812, "hw": 0.866},
+        {"label": "r2 final", "build_eff": 0.793, "query_eff": 0.875,
+         "hw": 0.985},
+    ]
+    prev_path = os.path.join(REPO, "BENCH", "scaling.json")
+    if os.path.exists(prev_path):
+        with open(prev_path) as f:
+            history = json.load(f).get("history", history)
+    history.append({
+        "label": os.environ.get(
+            "SCALING_LABEL", time.strftime("run %Y-%m-%d %H:%M")
+        ),
+        "build_eff": round(build_eff, 3),
+        "query_eff": round(query_eff, 3),
+        "hw": round(hw_eff, 3),
+    })
     result = {
         "levels": [r_n, r_4n],
         "all_runs": {"n": runs_n, "four_n": runs_4n},
@@ -112,6 +138,7 @@ def main() -> None:
             " hardware_raw_cpu_efficiency calibration)"
         ),
         "target": 0.8,
+        "history": history,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
@@ -147,6 +174,18 @@ hardware ceiling measured ~0.70, making 0.8 unreachable for ANY code;
 * **index-build scaling efficiency = (T_4N/T_N)/4 = {result['build_scaling_efficiency']}** (target >= 0.8)
 * **batch-query scaling efficiency = {result['query_scaling_efficiency']}**
 * hardware raw-CPU efficiency at the same ratio = {result['hardware_raw_cpu_efficiency']}
+* hardware-normalized build efficiency = {round(build_eff / hw_eff, 3)}
+
+## Run history (same method, interleaved best-of-2 + calibration)
+
+| run | build eff | query eff | hw calibration | build normalized |
+| --- | --- | --- | --- | --- |
+{chr(10).join(f"| {h['label']} | {h['build_eff']} | {h['query_eff']} | {h['hw']} | {round(h['build_eff'] / h['hw'], 3)} |" for h in history)}
+
+Per-run raw-CPU calibration is recorded because the sandbox VM's
+run-to-run variance (0.87-1.02 same-day) exceeds the distance to the
+target; the normalized column divides out what the hardware itself
+delivered for a 4x process ratio during that run.
 
 ## Headline single-level numbers
 
