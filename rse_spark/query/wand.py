@@ -49,11 +49,22 @@ from rse_spark.query.engine import query_terms
 
 
 class _ListIter:
-    """Cursor over one compressed posting list with block skipping."""
+    """Cursor over one compressed posting list with block skipping.
+
+    Two positioning states (the BMW lazy-decode design, Ding & Suel
+    SIGIR 2011): DECODED (docs/tfs/dls hold the current block, pos is
+    exact) and SHALLOW (docs is None — only the block index has moved;
+    ``pending`` remembers the seek target). A shallow cursor exposes a
+    LOWER BOUND on its next doc id (cur_key); the block is decoded only
+    when its upper bound actually beats the heap floor — otherwise the
+    skip pointers step over it for free. The round-2 implementation
+    decoded every landing block, which made "skipping" decode each
+    block exactly once (0% savings, caught by the bench telemetry)."""
 
     __slots__ = (
         "payload", "offs", "last", "block_ubs", "ub", "qtf_idf", "avgdl",
         "bi", "pos", "docs", "tfs", "dls", "done", "blocks_decoded",
+        "pending",
     )
 
     def __init__(self, payload, offs, last, max_tfs, min_dls, qtf_idf,
@@ -74,6 +85,7 @@ class _ListIter:
         self.docs = self.tfs = self.dls = None
         self.done = not self.offs
         self.blocks_decoded = 0
+        self.pending = 0
         if not self.done:
             self._enter_block(0)
 
@@ -91,9 +103,61 @@ class _ListIter:
     def cur_doc(self) -> int:
         return int(self.docs[self.pos])
 
-    def advance(self, target: int) -> None:
-        """Move to the first posting with doc_id >= target."""
+    def cur_key(self) -> int:
+        """Exact current doc when decoded; else a valid lower bound on
+        the next doc (sorting/pivoting on a lower bound keeps WAND
+        conservative — it can never skip a scorable doc)."""
+        if self.docs is not None:
+            return int(self.docs[self.pos])
+        lb = self.last[self.bi - 1] + 1 if self.bi > 0 else 0
+        return max(self.pending, lb)
+
+    def seek_shallow(self, target: int) -> None:
+        """Move to the block holding the first posting >= target
+        WITHOUT decoding it (decode is deferred until the block's
+        bound survives the heap-floor check)."""
         if self.done:
+            return
+        if self.docs is not None:
+            if self.last[self.bi] >= target:
+                self.pos += int(
+                    np.searchsorted(self.docs[self.pos:], target, "left")
+                )
+                return
+        bi = self.bi
+        if self.last[bi] < target:
+            bi += int(np.searchsorted(
+                np.asarray(self.last[bi:], dtype=np.int64), target, "left"
+            ))
+            if bi >= len(self.last):
+                self.done = True
+                return
+        self.bi = bi
+        self.docs = self.tfs = self.dls = None
+        self.pending = max(self.pending, target)
+
+    def ensure_decoded(self) -> None:
+        """Decode the shallow-positioned block and land exactly on the
+        first posting >= the pending seek target."""
+        if self.done or self.docs is not None:
+            return
+        bi = self.bi
+        base = self.last[bi - 1] if bi > 0 else 0
+        nxt = self.offs[bi + 1] if bi + 1 < len(self.offs) else None
+        self.docs, self.tfs, self.dls = decode_block(
+            self.payload, self.offs[bi], nxt, base
+        )
+        self.blocks_decoded += 1
+        self.pos = int(np.searchsorted(self.docs, self.pending, "left"))
+
+    def advance(self, target: int) -> None:
+        """Move to the first posting with doc_id >= target (eager:
+        decodes the landing block — the AND-intersection path)."""
+        if self.done:
+            return
+        if self.docs is None:
+            self.seek_shallow(target)
+            self.ensure_decoded()
             return
         if self.last[self.bi] < target:
             # skip whole blocks via skip pointers — no decode
@@ -107,10 +171,15 @@ class _ListIter:
         self.pos += int(np.searchsorted(self.docs[self.pos:], target, "left"))
 
     def next(self) -> None:
+        """Step past the current posting; at a block boundary the next
+        block is entered SHALLOW so its bound is checked before any
+        decode."""
         self.pos += 1
         if self.pos >= len(self.docs):
             if self.bi + 1 < len(self.offs):
-                self._enter_block(self.bi + 1)
+                self.pending = self.last[self.bi] + 1
+                self.bi += 1
+                self.docs = self.tfs = self.dls = None
             else:
                 self.done = True
 
@@ -148,7 +217,7 @@ def wand_topk_lists(
     theta = -np.inf
     live = [it for it in lists if not it.done]
     while live:
-        live.sort(key=lambda it: it.cur_doc)
+        live.sort(key=lambda it: it.cur_key())
         # pivot: first prefix whose UB sum can beat theta
         # >= not >: a doc whose true score TIES the k-th best can still
         # win on the doc_id tie-break, so it must not be pruned
@@ -160,14 +229,14 @@ def wand_topk_lists(
                 break
         if pivot < 0:
             break
-        pivot_doc = live[pivot].cur_doc
+        pivot_doc = live[pivot].cur_key()
         # ---- block-max (BMW) refinement: re-check the pivot against the
         # SUM of per-block bounds of every list positioned at or before
         # pivot_doc. Only those lists can contain a doc <= the next
         # list's cursor, so this is a valid local upper bound. Strictly
         # < theta (never <=): a tying score can still win on doc_id.
         ext = pivot
-        while ext + 1 < len(live) and live[ext + 1].cur_doc <= pivot_doc:
+        while ext + 1 < len(live) and live[ext + 1].cur_key() <= pivot_doc:
             ext += 1
         bub, boundary = 0.0, None
         for it in live[: ext + 1]:
@@ -179,17 +248,28 @@ def wand_topk_lists(
         if bub < theta:
             # nothing in [pivot_doc, d) can enter the heap: jump the
             # prefix cursors past the shallowest block boundary (or to
-            # the next list's cursor) without decoding.
+            # the next list's cursor) SHALLOW — no decode; the landing
+            # block's own bound gets checked on the next pass.
             d = boundary + 1  # boundary is never None: pivot's own block qualifies
             if ext + 1 < len(live):
-                d = min(d, live[ext + 1].cur_doc)
+                d = min(d, live[ext + 1].cur_key())
             for it in live[: ext + 1]:
-                it.advance(d)
+                it.seek_shallow(d)
             live = [it for it in live if not it.done]
             continue
+        # the local bound beats the floor: NOW pay the decode for any
+        # shallow prefix cursor, then re-derive (exact positions can
+        # move past pivot_doc and change the sort)
+        undecoded = [it for it in live[: ext + 1] if it.docs is None]
+        if undecoded:
+            for it in undecoded:
+                it.ensure_decoded()
+            continue
         if live[0].cur_doc == pivot_doc:
+            # only live[:ext+1] can sit on pivot_doc (beyond ext the
+            # lower bound already exceeds it), and all are decoded here
             score, matched = 0.0, 0
-            for it in live:
+            for it in live[: ext + 1]:
                 if it.done or it.cur_doc != pivot_doc:
                     continue
                 score += it.contrib(avgdl)
@@ -202,7 +282,7 @@ def wand_topk_lists(
             elif item > heap[0]:
                 heapq.heapreplace(heap, item)
                 theta = heap[0][0]
-            for it in live:
+            for it in live[: ext + 1]:
                 if not it.done and it.cur_doc == pivot_doc:
                     it.next()
         else:
