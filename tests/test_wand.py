@@ -85,3 +85,41 @@ def test_wand_zero_hit(spark, bundle):
         term_stats=bundle.term_stats, k=10,
     )
     assert out.count() == 0
+
+
+def test_bmw_actually_skips_decodes(spark, tmp_path_factory):
+    """Regression guard for the round-3 lazy-decode fix: on an
+    impact-clustered list (high-tf docs at the head, tf=1 tail) the
+    BMW path must leave most tail blocks UNDECODED, not decode each
+    one on landing. Results stay identical to the exhaustive path."""
+    import pandas as pd
+
+    from rse_spark.index.storage import build_resumable
+    from rse_spark.query.serve import DirectSearcher
+
+    rows = []
+    for i in range(4096):
+        if i < 16:
+            t = " ".join(["needle"] * 50) + f" filler{i} pad"
+        elif i % 3 == 0:
+            t = f"needle filler{i} pad pad"
+        else:
+            t = f"filler{i} pad pad pad"
+        rows.append({"doc_id": i, "content": t})
+    root = str(tmp_path_factory.mktemp("bmw_skip"))
+    build_resumable(
+        spark, spark.createDataFrame(pd.DataFrame(rows)), root,
+        analyzer="simple", docs_per_segment=4096, segments_per_group=4,
+    )
+    s = DirectSearcher(root, analyzer="simple")
+    exact = s.search("needle", k=10, algo="numpy")
+    wand = s.search("needle", k=10, algo="wand")
+    assert [d for d, _, _ in exact] == [d for d, _, _ in wand]
+    assert all(
+        abs(a[1] - b[1]) < 1e-9 for a, b in zip(exact, wand)
+    )
+    st = s.last_stats
+    # ~11 blocks of 128 postings; only the high-impact head block may
+    # need decoding once the heap floor is set
+    assert st["blocks_total"] >= 10
+    assert st["blocks_decoded"] <= 2, st
