@@ -61,9 +61,14 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
 
+    from pyspark.sql import SparkSession
+
     from rse_spark.deploy import ensure_shipped
     from rse_spark.session import get_spark
 
+    # get_spark reuses an active session (e.g. under pytest or inside a
+    # larger driver program); only stop what this entry point created
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(f"rse-cli-{args.cmd}")
     ensure_shipped(spark)
 
@@ -136,7 +141,8 @@ def main(argv: list[str] | None = None) -> int:
             "latency_ms": round(1000 * (time.time() - t0), 1),
             "hits": out,
         }, default=str))
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 
