@@ -68,7 +68,7 @@ def _refresh_stats(spark: SparkSession, store: IndexStorage,
 
     from rse_spark.index.build import term_stats_from_postings
 
-    meta = spark.read.parquet(store._p("docs_meta"))
+    meta = store.docs_meta(spark)
     row = meta.agg(
         F.count("*").alias("n"), F.avg("doc_len").alias("a")
     ).collect()[0]
@@ -115,13 +115,18 @@ def delete_docs(
     n_dead = dead.count()
 
     enriched = spark.read.parquet(store._p("enriched"))
-    meta = spark.read.parquet(store._p("docs_meta"))
     keep = enriched.filter(F.col("seg_group").isin(affected)).join(
         dead.select("doc_id"), "doc_id", "left_anti"
     )
-    keep_meta = meta.filter(F.col("seg_group").isin(affected)).join(
-        dead.select("doc_id"), "doc_id", "left_anti"
-    )
+    # physical docs_meta (jvm/flat or write_bundle indexes) must be
+    # compacted alongside; a virtual one (array format) follows the
+    # enriched rewrite automatically
+    meta_physical = os.path.isdir(store._p("docs_meta"))
+    if meta_physical:
+        meta = spark.read.parquet(store._p("docs_meta"))
+        keep_meta = meta.filter(F.col("seg_group").isin(affected)).join(
+            dead.select("doc_id"), "doc_id", "left_anti"
+        )
 
     # stage the rewritten partitions, then swap directories: dynamic
     # partition overwrite alone cannot EMPTY a partition whose docs all
@@ -133,9 +138,10 @@ def delete_docs(
     keep.write.mode("overwrite").partitionBy("seg_group").parquet(
         os.path.join(tmp, "enriched")
     )
-    keep_meta.write.mode("overwrite").partitionBy("seg_group").parquet(
-        os.path.join(tmp, "docs_meta")
-    )
+    if meta_physical:
+        keep_meta.write.mode("overwrite").partitionBy("seg_group").parquet(
+            os.path.join(tmp, "docs_meta")
+        )
     postings = build_posting_lists(
         explode_tf(spark.read.parquet(os.path.join(tmp, "enriched"))),
         docs_per_segment, n_buckets,
@@ -152,8 +158,9 @@ def delete_docs(
     part_dirs = [f"seg_group={g}" for g in affected]
     _swap_partitions(os.path.join(tmp, "enriched"), store._p("enriched"),
                      part_dirs)
-    _swap_partitions(os.path.join(tmp, "docs_meta"), store._p("docs_meta"),
-                     part_dirs)
+    if meta_physical:
+        _swap_partitions(os.path.join(tmp, "docs_meta"),
+                         store._p("docs_meta"), part_dirs)
     _swap_partitions(os.path.join(tmp, "postings"), store._p("postings"),
                      part_dirs)
     shutil.rmtree(tmp, ignore_errors=True)
@@ -197,7 +204,7 @@ def upsert_docs(
         store, docs_per_segment, segments_per_group, n_buckets
     )
     keyl = list(key)
-    meta = spark.read.parquet(store._p("docs_meta"))
+    meta = store.docs_meta(spark)
     missing = [c for c in keyl if c not in meta.columns]
     if missing:
         raise ValueError(

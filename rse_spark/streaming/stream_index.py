@@ -134,15 +134,20 @@ def append_batch(
     enriched.write.mode("overwrite").partitionBy("seg_group").parquet(
         store._p("enriched")
     )
-    map_cols = [
-        c for c in ("repo", "path", "commit", "lang", "source", "src_doc_id")
-        if c in meta_src.columns
-    ]
-    meta_src.select(
-        "doc_id", "doc_len", "content_sha256", *map_cols, "seg_group"
-    ).write.mode("overwrite").partitionBy("seg_group").parquet(
-        store._p("docs_meta")
-    )
+    # physical docs_meta only where it must exist (flat/jvm enriched
+    # rows are per-term, or the index already has the physical dir);
+    # array-format indexes keep it virtual (storage.docs_meta)
+    if fmt == "jvm" or os.path.isdir(store._p("docs_meta")):
+        map_cols = [
+            c for c in ("repo", "path", "commit", "lang", "source",
+                        "src_doc_id")
+            if c in meta_src.columns
+        ]
+        meta_src.select(
+            "doc_id", "doc_len", "content_sha256", *map_cols, "seg_group"
+        ).write.mode("overwrite").partitionBy("seg_group").parquet(
+            store._p("docs_meta")
+        )
 
     postings = build_posting_lists(
         explode_tf(spark.read.parquet(store._p("enriched")).filter(
@@ -164,7 +169,7 @@ def append_batch(
     # relative to the corpus; term_stats reaggregates the enriched maps)
     import pandas as pd
 
-    ds = spark.read.parquet(store._p("docs_meta"))
+    ds = store.docs_meta(spark)
     row = ds.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
     spark.createDataFrame(
         pd.DataFrame({"n_docs": [int(row["n"])], "avgdl": [float(row["a"])]})
