@@ -78,7 +78,9 @@ def main() -> None:
                 "build_docs_per_sec": round(n_docs / build_sec, 1),
                 "n_queries": n_queries,
                 "query_sec": round(query_sec, 3),
-                "queries_per_sec": round(n_queries / query_sec, 1),
+                # 3 decimals: at 30 queries a 1-decimal q/sec (0.35 ->
+                # "0.4") skews any efficiency ratio computed from it
+                "queries_per_sec": round(n_queries / query_sec, 3),
                 "result_rows": n_out,
             }
         )

@@ -93,8 +93,11 @@ def main() -> None:
     q_n = best(runs_n, "queries_per_sec")
     q_4n = best(runs_4n, "queries_per_sec")
 
-    build_eff = (r_4n["build_docs_per_sec"] / r_n["build_docs_per_sec"]) / 4
-    query_eff = (q_4n["queries_per_sec"] / q_n["queries_per_sec"]) / 4
+    # efficiencies from the raw wall times (docs/sec and q/sec are
+    # display-rounded in the child's JSON; ratios of rounded values
+    # understated query_eff by up to 15% at 30 queries)
+    build_eff = (r_n["build_sec"] / r_4n["build_sec"]) / 4
+    query_eff = (q_n["query_sec"] / q_4n["query_sec"]) / 4
     r_n = {**r_n, "queries_per_sec": q_n["queries_per_sec"],
            "query_sec": q_n["query_sec"]}
     r_4n = {**r_4n, "queries_per_sec": q_4n["queries_per_sec"],
