@@ -27,7 +27,9 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -45,18 +47,29 @@ def phrase_match(docs: DataFrame, phrase: str, content_col: str = "text",
         raise ValueError("empty phrase")
     if candidates is not None:
         docs = docs.join(candidates.select(id_col), id_col, "left_semi")
-    conds = " AND ".join(
-        "element_at(sp, CAST(i AS INT) + " + str(j) + ") = '" + w + "'"
-        for j, w in enumerate(words)
-    )
-    expr = (
-        f"CASE WHEN size(sp) >= {n} THEN "
-        f"size(filter(sequence(1, size(sp) - {n - 1}), i -> {conds})) "
-        "ELSE 0 END"
-    )
+
+    # Adjacency predicate built entirely in the DataFrame DSL: phrase
+    # tokens enter the plan as bound literals (F.lit), never as
+    # interpolated SQL text — a token containing quotes, backslashes or
+    # expression metacharacters is matched verbatim, not parsed.
+    sp = F.col("sp")
+
+    def _match_at(i: Column) -> Column:
+        return reduce(
+            Column.__and__,
+            (
+                F.element_at(sp, (i + F.lit(j)).cast("int")) == F.lit(w)
+                for j, w in enumerate(words)
+            ),
+        )
+
+    starts = F.sequence(F.lit(1), F.size(sp) - F.lit(n - 1))
+    occurrences = F.when(
+        F.size(sp) >= F.lit(n), F.size(F.filter(starts, _match_at))
+    ).otherwise(F.lit(0))
     return (
         docs.withColumn("sp", F.split(content_col, " "))
-        .withColumn("n_occurrences", F.expr(expr).cast("long"))
+        .withColumn("n_occurrences", occurrences.cast("long"))
         .filter(F.col("n_occurrences") > 0)
         .select(id_col, "n_occurrences")
     )

@@ -63,6 +63,38 @@ def test_phrase_single_token_and_empty(spark, pdocs):
         phrase_match(pdocs, "")
 
 
+def test_phrase_match_metachar_tokens(spark, pdocs):
+    """Phrase tokens are bound as literals, never parsed as SQL: quotes,
+    backslashes and expression metacharacters match verbatim (this is
+    the path a user-facing search box feeds)."""
+    tricky = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [10, 11, 12],
+        "text": [
+            "don't panic it's fine",
+            r"c:\windows\system32 path",
+            "a || b , element_at(sp, x) -- y",
+        ],
+    }))
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_match(tricky, "don't panic").collect()
+    }
+    assert got == {10: 1}
+    got2 = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_match(tricky, r"c:\windows\system32 path").collect()
+    }
+    assert got2 == {11: 1}
+    got3 = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_match(tricky, "|| b , element_at(sp,").collect()
+    }
+    assert got3 == {12: 1}
+    # a metachar phrase that appears nowhere matches nothing (and does
+    # not blow up the parser)
+    assert phrase_match(tricky, "'; drop table docs --").count() == 0
+
+
 def test_phrase_verify_stays_jvm(spark, pdocs):
     plan = phrase_match(pdocs, "merge sort")._jdf.queryExecution(
     ).executedPlan().toString()
