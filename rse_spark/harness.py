@@ -124,11 +124,20 @@ def _bm25(spark, sf_dir, mode: str, prefix: str | None = None) -> DataFrame:
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    pred = (
-        F.col("term").startswith(prefix) if prefix is not None
-        else F.col("term").isin(BM25_TERMS)
-    )
-    qtf = tf.filter(pred)
+    if prefix is not None:
+        # Dictionary expansion with the SAME cap the serving path uses
+        # (textmatch.expand_prefix max_terms=64, Lucene-style rewrite
+        # limit) so engine, declarative path, and oracle agree even on
+        # vocabularies with >64 prefix matches. Expansion runs on the
+        # distinct-term set (|vocab| rows), then broadcast-joins back.
+        expanded = (
+            tf.select("term").distinct()
+            .filter(F.col("term").startswith(prefix))
+            .orderBy("term").limit(PREFIX_MAX_TERMS)
+        )
+        qtf = tf.join(F.broadcast(expanded), "term")
+    else:
+        qtf = tf.filter(F.col("term").isin(BM25_TERMS))
     df = qtf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
         qtf.join(F.broadcast(df), "term")
@@ -220,6 +229,7 @@ def q_bm25_wand_topk(spark, sf_dir):
 
 PHRASE = "value table part"  # 3-token phrase present in the fixtures
 PREFIX = "s"  # dictionary-expansion prefix (scan, slow, sort, spark...)
+PREFIX_MAX_TERMS = 64  # Lucene-style rewrite cap, shared with oracle
 
 
 def q_phrase_search(spark, sf_dir):
@@ -258,7 +268,7 @@ def q_prefix_wand(spark, sf_dir):
     from rse_spark.query.wand import wand_search
 
     b = _built_index(spark, sf_dir)
-    terms = expand_prefix(b.term_stats, PREFIX)
+    terms = expand_prefix(b.term_stats, PREFIX, max_terms=PREFIX_MAX_TERMS)
     out = wand_search(
         spark, b.postings, " ".join(terms),
         n_docs=b.n_docs, avgdl=b.avgdl, term_stats=b.term_stats,
@@ -313,7 +323,9 @@ def q_bm25_batch(spark, sf_dir):
 
 def _bm25_sql(mode: str, prefix: str | None = None) -> str:
     where = (
-        f"term LIKE '{prefix}%'" if prefix is not None
+        f"term IN (SELECT DISTINCT term FROM tf WHERE term LIKE "
+        f"'{prefix}%' ORDER BY term LIMIT {PREFIX_MAX_TERMS})"
+        if prefix is not None
         else "term IN (" + ", ".join(f"'{t}'" for t in BM25_TERMS) + ")"
     )
     having = (
@@ -541,17 +553,20 @@ def q_simhash(spark, sf_dir):
 
 def q_minhash_band_pairs(spark, sf_dir):
     """MinHash-LSH candidate pairs: docs sharing >=1 band bucket
-    (16 hashes, 4 bands of 4)."""
+    (16 hashes, 4 bands of 4). 3-word shingles + the operator's
+    default hot-bucket cap — the same hardened config as
+    ``dup_clusters`` (unigram shingles saturate band buckets on
+    boilerplate-heavy corpora and fan out quadratically)."""
     from rse_spark.functions.dedup import (
         lsh_candidate_pairs,
         minhash_signatures,
         word_shingles,
     )
 
-    sh = word_shingles(_docs(spark, sf_dir), n=1)  # token sets
+    sh = word_shingles(_docs(spark, sf_dir), n=3)
     sig = minhash_signatures(sh, n_hashes=N_MINHASH)
     return lsh_candidate_pairs(
-        sig, n_hashes=N_MINHASH, bands=4, max_bucket=10_000
+        sig, n_hashes=N_MINHASH, bands=4, max_bucket=DUP_MAX_BUCKET
     )
 
 
@@ -1337,7 +1352,17 @@ def oracle_sql() -> dict[str, str]:
             FROM sums GROUP BY doc_id
         """,
         "minhash_band_pairs": f"""
-            WITH toks AS (SELECT DISTINCT doc_id, term AS shingle FROM ({_TOKS_SQL})),
+            WITH toks AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(sp) >= 3 THEN
+                         list_transform(range(1, len(sp) - 1),
+                                        i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2])
+                         ELSE [] END) AS shingle
+                FROM (SELECT doc_id, string_split(text, ' ') AS sp
+                      FROM documents)
+              )
+            ),
             seeded AS (
               SELECT doc_id, s.seed::int AS seed,
                      md5(s.seed::varchar || ':' || shingle) AS h
@@ -1353,10 +1378,17 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY seed::varchar || ':' || minhash))
                        AS band_hash
               FROM sig GROUP BY doc_id, (seed // 4)::int
+            ),
+            kept AS (
+              SELECT * FROM (
+                SELECT *, count(*) OVER (PARTITION BY band, band_hash)
+                            AS bucket_n
+                FROM banded
+              ) WHERE bucket_n <= {DUP_MAX_BUCKET}
             )
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    count(*)::bigint AS n_shared_bands
-            FROM banded a JOIN banded b
+            FROM kept a JOIN kept b
               ON a.band = b.band AND a.band_hash = b.band_hash
              AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
