@@ -38,6 +38,82 @@ from rse_spark.index.build import (
 from rse_spark.index.storage import IndexStorage
 
 
+def _refresh_stats(
+    spark: SparkSession,
+    store: IndexStorage,
+    meta_src: DataFrame,
+    batch_postings: DataFrame,
+    incremental: bool,
+) -> tuple[int, float]:
+    """Update ``corpus_stats`` + ``term_stats`` after an append.
+
+    ``incremental=True`` (fresh, first-attempt batch): corpus_stats is
+    merged driver-side from the stored 1-row table + the batch's
+    (count, sum(doc_len)); term_stats is the stored |vocab|-row table
+    union-aggregated with the batch's per-term delta — per-batch work
+    is batch size + vocabulary metadata, NOT total index size. The
+    merged term_stats is written to a temp dir and directory-swapped
+    (parquet can't overwrite its own input).
+
+    ``incremental=False`` (replay of a claimed batch, or claimless
+    direct call): full recompute from the persisted tables — correct
+    from any partial state a crash left, at O(index metadata) cost.
+    Returns (n_docs, avgdl) for the whole index.
+    """
+    import shutil
+
+    import pandas as pd
+
+    from rse_spark.index.build import term_stats_from_postings
+
+    cs_path = store._p("corpus_stats")
+    ts_path = store._p("term_stats")
+    incremental = (
+        incremental and os.path.isdir(cs_path) and os.path.isdir(ts_path)
+    )
+    if incremental:
+        import pyarrow.parquet as pq
+
+        old = pq.read_table(cs_path).to_pylist()[0]
+        brow = meta_src.agg(
+            F.count("*").alias("n"), F.sum("doc_len").alias("s")
+        ).collect()[0]
+        new_n = int(old["n_docs"]) + int(brow["n"])
+        new_avg = (
+            int(old["n_docs"]) * float(old["avgdl"]) + float(brow["s"])
+        ) / new_n
+        delta = term_stats_from_postings(
+            batch_postings.select("term", "df_seg", "cf_seg", "bucket")
+        )
+        merged = (
+            spark.read.parquet(ts_path)
+            .unionByName(delta)
+            .groupBy("term")
+            .agg(
+                F.sum("df").cast("long").alias("df"),
+                F.sum("cf").cast("long").alias("cf"),
+                F.max("bucket").cast("int").alias("bucket"),
+            )
+        )
+        tmp = ts_path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(ts_path)
+        os.rename(tmp, ts_path)
+    else:
+        ds = store.docs_meta(spark)
+        row = ds.agg(
+            F.count("*").alias("n"), F.avg("doc_len").alias("a")
+        ).collect()[0]
+        new_n, new_avg = int(row["n"]), float(row["a"])
+        term_stats_from_postings(
+            spark.read.parquet(store._p("postings"))
+        ).write.mode("overwrite").parquet(ts_path)
+    spark.createDataFrame(
+        pd.DataFrame({"n_docs": [new_n], "avgdl": [new_avg]})
+    ).write.mode("overwrite").parquet(cs_path)
+    return new_n, new_avg
+
+
 def _next_group(store: IndexStorage) -> int:
     done = store.completed_units()
     groups = [
@@ -97,9 +173,30 @@ def append_batch(
         batch_df = batch_df.withColumnRenamed("doc_id", "src_doc_id")
         key = ["src_doc_id"]
     else:
-        batch_df = batch_df.withColumn(
-            "_uniq", F.monotonically_increasing_id()
-        ).persist()
+        # keyless batches get a CONTENT-DERIVED key, not
+        # monotonically_increasing_id: a foreachBatch retry after a
+        # mid-write crash re-derives identical keys (and therefore
+        # identical doc ids + seg_group placement), so the dynamic
+        # partition overwrite of the replay is bit-identical instead of
+        # potentially leaving stale rows under a different id shuffle.
+        # Identical duplicate rows are disambiguated by a per-hash
+        # row_number — which duplicate gets which id is immaterial
+        # (the rows are identical), and the multiset of (id, row) is
+        # replay-stable.
+        from pyspark.sql import Window
+
+        row_hash = F.md5(
+            F.to_json(F.struct(*[F.col(c) for c in batch_df.columns]))
+        )
+        batch_df = batch_df.withColumn("_rh", row_hash).withColumn(
+            "_uniq",
+            F.concat_ws(
+                "#", F.col("_rh"),
+                F.row_number().over(
+                    Window.partitionBy("_rh").orderBy("_rh")
+                ).cast("string"),
+            ),
+        ).drop("_rh")
         key = ["_uniq"]
     ids = assign_doc_ids(batch_df, key=key, base=base_doc)
     if key == ["_uniq"]:
@@ -165,20 +262,22 @@ def append_batch(
         .parquet(store._p("postings"))
     )
 
-    # refresh global stats tables (cheap: doc_stats is columnar + small
-    # relative to the corpus; term_stats reaggregates the enriched maps)
-    import pandas as pd
-
-    ds = store.docs_meta(spark)
-    row = ds.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
-    spark.createDataFrame(
-        pd.DataFrame({"n_docs": [int(row["n"])], "avgdl": [float(row["a"])]})
-    ).write.mode("overwrite").parquet(store._p("corpus_stats"))
-    from rse_spark.index.build import term_stats_from_postings
-
-    term_stats_from_postings(
-        spark.read.parquet(store._p("postings"))
-    ).write.mode("overwrite").parquet(store._p("term_stats"))
+    # refresh global stats tables. Steady-state streaming batches MERGE
+    # the batch delta into the stored stats (work ~ batch vocab + one
+    # |vocab|-row metadata table, independent of how many segments the
+    # index has accumulated); a replayed batch (claim pre-existed) or a
+    # claimless direct call falls back to the full recompute, which is
+    # correct from ANY partial on-disk state a crash can leave behind.
+    fresh_claim = claim_unit is not None and claim is None
+    # the delta reads the batch's just-written partitions back from
+    # disk (directory-pruned to seg_group >= g0, payload column never
+    # scanned) rather than re-running the posting-encode lineage
+    batch_postings = spark.read.parquet(store._p("postings")).filter(
+        F.col("seg_group") >= g0
+    )
+    new_n, new_avg = _refresh_stats(
+        spark, store, meta_src, batch_postings, incremental=fresh_claim
+    )
 
     groups = sorted(
         int(r["seg_group"])
@@ -198,7 +297,7 @@ def append_batch(
         )
     if "docs" not in store.completed_units():
         store.mark_done(
-            "docs", n_docs=int(row["n"]), avgdl=float(row["a"]),
+            "docs", n_docs=new_n, avgdl=new_avg,
             source_snapshot=f"stream-batch-{batch_id}", wall_ms=0,
             tokenize_path=fmt,
             layout={"docs_per_segment": docs_per_segment,
@@ -207,7 +306,7 @@ def append_batch(
         )
     else:
         rec = store.completed_units()["docs"]
-        rec.update(n_docs=int(row["n"]), avgdl=float(row["a"]))
+        rec.update(n_docs=new_n, avgdl=new_avg)
         store.mark_done("docs", **{k: v for k, v in rec.items()
                                    if k not in ("unit", "status")})
     if claim_unit:
@@ -215,8 +314,6 @@ def append_batch(
     meta_src.unpersist()
     for h in handles:
         h.unpersist()
-    if key == ["_uniq"]:
-        batch_df.unpersist()
     return n_new
 
 

@@ -151,6 +151,87 @@ def test_append_batch_retry_idempotent(spark, tmp_path_factory):
     assert total_df == base_total_df
 
 
+def test_incremental_stats_equal_full_recompute(spark, tmp_path_factory):
+    """Fresh streaming batches merge stats incrementally (work ~ batch,
+    not index size); the merged tables must equal a from-scratch
+    recompute over the persisted postings/docs_meta."""
+    from rse_spark.index.build import term_stats_from_postings
+
+    root = str(tmp_path_factory.mktemp("stream_inc_stats"))
+    docs = spark.read.parquet(DOCS)
+    for i, (lo, hi) in enumerate([(0, 150), (150, 300), (300, 500)]):
+        append_batch(
+            spark, docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            root, analyzer="simple", content_col="text", batch_id=i,
+        )
+    st = IndexStorage(root)
+    idx = st.load(spark)
+    assert idx.n_docs == 500
+    stored = sorted(
+        (r["term"], int(r["df"]), int(r["cf"]), int(r["bucket"]))
+        for r in idx.term_stats.collect()
+    )
+    recomputed = sorted(
+        (r["term"], int(r["df"]), int(r["cf"]), int(r["bucket"]))
+        for r in term_stats_from_postings(
+            spark.read.parquet(os.path.join(root, "postings"))
+        ).collect()
+    )
+    assert stored == recomputed
+    row = st.docs_meta(spark).agg(
+        F.count("*").alias("n"), F.avg("doc_len").alias("a")
+    ).collect()[0]
+    assert idx.n_docs == int(row["n"])
+    assert abs(idx.avgdl - float(row["a"])) < 1e-9
+
+
+def test_keyless_batch_replay_bit_identical(spark, tmp_path_factory):
+    """Keyless batches (no DOC_KEY, no doc_id) key on a content hash:
+    a foreachBatch replay after a crash between data write and claim
+    commit re-derives identical doc ids and rewrites identical bytes."""
+    import hashlib
+    import json as _json
+
+    root = str(tmp_path_factory.mktemp("stream_keyless"))
+    batch = (
+        spark.read.parquet(DOCS).filter(F.col("doc_id") < 120)
+        .select(F.col("text"))  # content only: the keyless fallback
+    )
+    assert append_batch(spark, batch, root, analyzer="simple",
+                        content_col="text", batch_id=0) == 120
+
+    def snapshot():
+        rows = spark.read.parquet(os.path.join(root, "postings")).select(
+            "term", "segment_id", "payload"
+        ).collect()
+        return sorted(
+            (r["term"], int(r["segment_id"]),
+             hashlib.md5(bytes(r["payload"])).hexdigest())
+            for r in rows
+        )
+
+    first = snapshot()
+    meta_first = sorted(
+        (int(r["doc_id"]), r["content_sha256"])
+        for r in IndexStorage(root).docs_meta(spark).collect()
+    )
+    # crash window: data written, claim left uncommitted -> replay
+    p = os.path.join(root, "manifest", "stream_batch=0.json")
+    with open(p) as f:
+        rec = _json.load(f)
+    rec["committed"] = False
+    with open(p, "w") as f:
+        _json.dump(rec, f)
+    assert append_batch(spark, batch, root, analyzer="simple",
+                        content_col="text", batch_id=0) == 120
+    assert snapshot() == first
+    meta_second = sorted(
+        (int(r["doc_id"]), r["content_sha256"])
+        for r in IndexStorage(root).docs_meta(spark).collect()
+    )
+    assert meta_second == meta_first
+
+
 def test_stream_checkpoint_no_reprocess(spark, doc_halves, tmp_path_factory):
     src, docs = doc_halves
     root = str(tmp_path_factory.mktemp("stream_idx2"))
