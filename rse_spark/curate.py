@@ -71,6 +71,19 @@ class StageManifest:
             f.flush()
             os.fsync(f.fileno())
 
+    def invalidate_from(self, stage: str) -> None:
+        """Drop ``stage`` and everything downstream of it from the
+        ledger (their parquet stays on disk; mode=overwrite reclaims
+        it when the stage reruns)."""
+        recs = self.done()
+        keep = STAGES[: STAGES.index(stage)]
+        with open(self.path, "w") as f:
+            for s in keep:
+                if s in recs:
+                    f.write(json.dumps(recs[s]) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
     def stage_path(self, stage: str) -> str:
         return os.path.join(self.out_dir, "stages", stage)
 
@@ -91,6 +104,15 @@ def _ingest(spark: SparkSession, inputs: list[str],
         out = out.unionByName(df, allowMissingColumns=True)
     if "lang" not in out.columns:
         out = out.withColumn("lang", F.lit("und"))
+    # NULL content is normalized to '' BEFORE keying: concat_ws skips
+    # NULLs, so without this a null-content row would silently collide
+    # with the empty-content row at the same path while carrying a NULL
+    # n_chars that only min_chars>0 gates would reject. After the
+    # coalesce both hash identically on purpose and n_chars=0, so the
+    # gate treats them uniformly.
+    out = out.withColumn(
+        "content", F.coalesce(F.col("content").cast("string"), F.lit(""))
+    )
     return out.withColumn(
         "doc_uid",
         F.md5(F.concat_ws("|", F.col("path").cast("string"), "content")),
@@ -144,6 +166,31 @@ def curate_dataset(
     done = man.done()
     completed_now = 0
 
+    # Resume is PARAM-AWARE: a committed stage is only reused when the
+    # parameters it was built with match the current invocation; the
+    # first mismatching stage and everything downstream are invalidated
+    # and recomputed (a rerun with e.g. a different --min-chars must
+    # never silently serve the old gate output).
+    stage_params: dict[str, dict] = {
+        "ingest": {"inputs": inputs, "content_col": content_col},
+        "gate": {"allow_langs": allow_langs, "deny_sources": deny_sources,
+                 "min_chars": min_chars},
+        "dedup": {"near_dup": near_dup, "shingle_n": shingle_n,
+                  "min_shared_bands": min_shared_bands},
+        "cap": {"cap_per_lang": cap_per_lang},
+        "split": {"train_pct": train_pct},
+        "chunk": {"chunk_tokens": chunk_tokens,
+                  "chunk_stride": (chunk_stride or chunk_tokens)
+                  if chunk_tokens is not None else None},
+    }
+    for s in STAGES:
+        if s in done and s in stage_params:
+            stored = {k: done[s].get(k) for k in stage_params[s]}
+            if stored != stage_params[s]:
+                man.invalidate_from(s)
+                done = man.done()
+                break
+
     def _maybe_fail() -> None:
         nonlocal completed_now
         completed_now += 1
@@ -157,24 +204,19 @@ def curate_dataset(
         path = man.stage_path(stage)
         if stage in done:
             return spark.read.parquet(path)
-        df, info = fn()
+        df = fn()
         df.write.mode("overwrite").parquet(path)
         out = spark.read.parquet(path)
-        man.mark(stage, rows=out.count(), **info)
+        man.mark(stage, rows=out.count(), **stage_params.get(stage, {}))
         done = man.done()
         _maybe_fail()
         return out
 
-    docs = _run("ingest", lambda: (
-        _ingest(spark, inputs, content_col),
-        {"inputs": inputs},
-    ))
+    docs = _run("ingest", lambda: _ingest(spark, inputs, content_col))
 
-    gated = _run("gate", lambda: (
-        filter_gate(docs, allow_langs=allow_langs,
-                    deny_sources=deny_sources, min_chars=min_chars,
-                    content_col="content"),
-        {"allow_langs": allow_langs, "min_chars": min_chars},
+    gated = _run("gate", lambda: filter_gate(
+        docs, allow_langs=allow_langs, deny_sources=deny_sources,
+        min_chars=min_chars, content_col="content",
     ))
 
     def _dedup():
@@ -182,10 +224,15 @@ def curate_dataset(
             F.min("doc_uid").alias("doc_uid")
         )
         # two ingested rows can share a doc_uid (same path + content —
-        # true duplicates); keep exactly one per uid, deterministically
-        # (ordered by the full-row JSON, a pure function of the data)
+        # true duplicates); keep exactly one per uid, deterministically.
+        # The sort key is a 32-char hash of the full row — same total
+        # order properties as sorting the row JSON itself, but the
+        # window sorts a fixed-width key instead of serializing whole
+        # documents through the sort payload.
         one = Window.partitionBy("doc_uid").orderBy(
-            F.asc(F.to_json(F.struct(*[F.col(c) for c in gated.columns])))
+            F.asc(F.md5(
+                F.to_json(F.struct(*[F.col(c) for c in gated.columns]))
+            ))
         )
         out = (
             gated.join(keepers.select("doc_uid"), "doc_uid", "left_semi")
@@ -197,48 +244,40 @@ def curate_dataset(
             out = _near_dup_keepers(
                 out, shingle_n, min_shared_bands=min_shared_bands
             )
-        return out, {"near_dup": near_dup, "shingle_n": shingle_n,
-                     "min_shared_bands": min_shared_bands}
+        return out
 
     deduped = _run("dedup", _dedup)
 
     def _cap():
         if cap_per_lang is None:
-            return deduped, {"cap_per_lang": None}
+            return deduped
         w = Window.partitionBy("lang").orderBy(
             F.asc(F.md5("doc_uid")), F.asc("doc_uid")
         )
         return (
             deduped.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= cap_per_lang)
-            .drop("_rk"),
-            {"cap_per_lang": cap_per_lang},
+            .drop("_rk")
         )
 
     capped = _run("cap", _cap)
 
     def _split():
-        return (
-            capped.withColumn(
-                "split",
-                F.when(
-                    F.conv(F.substring(F.md5("doc_uid"), 1, 4), 16, 10)
-                    .cast("long") % 100 < train_pct,
-                    F.lit("train"),
-                ).otherwise(F.lit("val")),
-            ),
-            {"train_pct": train_pct},
+        return capped.withColumn(
+            "split",
+            F.when(
+                F.conv(F.substring(F.md5("doc_uid"), 1, 4), 16, 10)
+                .cast("long") % 100 < train_pct,
+                F.lit("train"),
+            ).otherwise(F.lit("val")),
         )
 
     split = _run("split", _split)
 
     def _chunk():
         if chunk_tokens is None:
-            return (
-                split.withColumn("chunk_id", F.lit(0)).withColumn(
-                    "n_tokens", F.size(F.split("content", " ")).cast("long")
-                ),
-                {"chunk_tokens": None},
+            return split.withColumn("chunk_id", F.lit(0)).withColumn(
+                "n_tokens", F.size(F.split("content", " ")).cast("long")
             )
         stride = chunk_stride or chunk_tokens
         d = split.withColumn("_sp", F.split("content", " "))
@@ -253,15 +292,12 @@ def curate_dataset(
                 )
             ).alias("_c"),
         )
-        return (
-            chunks.select(
-                *[c for c in chunks.columns if c != "_c"],
-                F.col("_c.cid").alias("chunk_id"),
-                F.col("_c.txt").alias("content"),
-            ).withColumn(
-                "n_tokens", F.size(F.split("content", " ")).cast("long")
-            ),
-            {"chunk_tokens": chunk_tokens, "chunk_stride": stride},
+        return chunks.select(
+            *[c for c in chunks.columns if c != "_c"],
+            F.col("_c.cid").alias("chunk_id"),
+            F.col("_c.txt").alias("content"),
+        ).withColumn(
+            "n_tokens", F.size(F.split("content", " ")).cast("long")
         )
 
     chunked = _run("chunk", _chunk)

@@ -116,6 +116,66 @@ def test_curate_resume_after_kill(spark, corpus_tree, tmp_path_factory):
     assert ds.count() == summary["n_rows"] > 0
 
 
+def test_curate_resume_invalidates_on_param_change(
+    spark, corpus_tree, tmp_path_factory
+):
+    """Rerunning into the same --out with different stage parameters
+    must NOT silently reuse stale outputs: the first stage whose params
+    changed (and everything downstream) is recomputed."""
+    out = str(tmp_path_factory.mktemp("curate_params"))
+    base = dict(content_col="text", near_dup=False, train_pct=75,
+                min_chars=50)
+    curate_dataset(spark, [f"{corpus_tree}/docs.parquet"], out, **base)
+    man = StageManifest(out)
+    first = man.done()
+    n_gate_first = first["gate"]["rows"]
+    t_ingest = first["ingest"]["ts"]
+
+    # tighter gate: only the 'de' docs (10 of 40) pass
+    summary = curate_dataset(
+        spark, [f"{corpus_tree}/docs.parquet"], out,
+        allow_langs=["de"], **base,
+    )
+    second = man.done()
+    # ingest params unchanged -> reused; gate and downstream recomputed
+    assert second["ingest"]["ts"] == t_ingest
+    assert second["gate"]["ts"] > first["gate"]["ts"]
+    assert second["gate"]["rows"] == 10 != n_gate_first
+    assert second["gate"]["allow_langs"] == ["de"]
+    assert summary["n_rows"] > 0
+    ds = spark.read.json(summary["dataset"])
+    assert ds.select("lang").distinct().collect()[0]["lang"] == "de"
+
+    # identical rerun -> everything reused, nothing recomputed
+    curate_dataset(
+        spark, [f"{corpus_tree}/docs.parquet"], out,
+        allow_langs=["de"], **base,
+    )
+    assert man.done()["gate"]["ts"] == second["gate"]["ts"]
+
+
+def test_curate_null_content_keys(spark, tmp_path_factory):
+    """NULL content is coalesced to '' before keying: n_chars is 0 (not
+    NULL) so a min_chars gate drops it deliberately, and the doc_uid is
+    well-defined."""
+    root = tmp_path_factory.mktemp("curate_null")
+    pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["real document with enough characters to pass the gate",
+                 None, ""],
+        "lang": ["en", "en", "en"],
+    }).to_parquet(root / "docs.parquet")
+    out = str(tmp_path_factory.mktemp("curate_null_out"))
+    summary = curate_dataset(
+        spark, [str(root / "docs.parquet")], out,
+        content_col="text", min_chars=10, near_dup=False,
+    )
+    # null-content and empty-content rows both gated out by min_chars;
+    # they are exact duplicates of each other by design (same uid rule)
+    assert summary["stages"]["gate"] == 1
+    assert summary["n_rows"] >= 1
+
+
 def test_curate_cli(corpus_tree, tmp_path_factory, capsys):
     from rse_spark.cli import main
 
