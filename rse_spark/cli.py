@@ -51,6 +51,24 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--chunk-tokens", type=int, default=None)
     c.add_argument("--chunk-stride", type=int, default=None)
 
+    s = sub.add_parser(
+        "serve", help="HTTP /search endpoint over a built index "
+                      "(serving tier — no Spark session)"
+    )
+    s.add_argument("--root", required=True)
+    s.add_argument("--analyzer", default="code")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=0)
+    s.add_argument("--corpus-path", default=None,
+                   help="parquet content store enabling ?phrase=")
+    s.add_argument("--key-col", default=None)
+    s.add_argument("--content-col", default="text")
+    s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--max-bucket-mb", type=int, default=None,
+                   help="LRU budget for the columnar bucket cache")
+    s.add_argument("--smoke", action="store_true",
+                   help="start, print the address, stop (healthcheck)")
+
     q = sub.add_parser("query", help="BM25 top-k search")
     q.add_argument("--root", required=True)
     q.add_argument("--q", required=True)
@@ -60,6 +78,31 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--analyzer", default="code")
 
     args = p.parse_args(argv)
+
+    if args.cmd == "serve":
+        # serving tier: pyarrow + numpy only — deliberately NO Spark
+        from rse_spark.query.http import SearchServer
+
+        srv = SearchServer(
+            args.root, analyzer=args.analyzer,
+            host=args.host, port=args.port,
+            corpus_path=args.corpus_path,
+            content_col=args.content_col, id_col=args.id_col,
+            key_col=args.key_col,
+        )
+        if args.max_bucket_mb is not None:
+            srv.searcher.max_bucket_bytes = args.max_bucket_mb << 20
+        srv.start()
+        print(json.dumps({"serving": srv.address, "root": args.root}),
+              flush=True)
+        if args.smoke:
+            srv.stop()
+            return 0
+        try:
+            srv._thread.join()
+        except KeyboardInterrupt:
+            srv.stop()
+        return 0
 
     from pyspark.sql import SparkSession
 

@@ -7,6 +7,11 @@ stdlib ``ThreadingHTTPServer`` wrapping DirectSearcher (query/serve.py:
 pyarrow + numpy over the index segment files — ~25ms p50, no Spark job
 per request). Serving-tier position: one stateless replica per process
 over shared segment storage; scale out horizontally behind any LB.
+
+Beyond GSE's single surface, ``?phrase=`` (adjacency-verified phrase
+match against the content store) and ``?prefix=`` (term-dictionary
+expansion feeding the BM25 scorer) expose the textmatch query semantics
+(query/textmatch.py) at the same endpoint.
 """
 
 from __future__ import annotations
@@ -19,7 +24,9 @@ from urllib.parse import parse_qs, urlparse
 from rse_spark.query.serve import DirectSearcher
 
 
-def _make_handler(searcher: DirectSearcher):
+def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
+                  content_col: str = "text", id_col: str = "doc_id",
+                  key_col: str | None = None):
     class Handler(BaseHTTPRequestHandler):
         def _json(self, code: int, obj) -> None:
             body = json.dumps(obj).encode()
@@ -36,9 +43,15 @@ def _make_handler(searcher: DirectSearcher):
                 return
             qs = parse_qs(u.query)
             q = (qs.get("q") or [""])[0]
-            if not q.strip():
-                # GSE: empty query -> http.Error 400 (main.go:210-214)
-                self._json(400, {"error": "missing query parameter q"})
+            phrase = (qs.get("phrase") or [""])[0]
+            prefix = (qs.get("prefix") or [""])[0]
+            given = [p for p in (q, phrase, prefix) if p.strip()]
+            if len(given) != 1:
+                # GSE: empty query -> http.Error 400 (main.go:210-214);
+                # exactly one of q / phrase / prefix must be present
+                self._json(400, {
+                    "error": "exactly one of q, phrase, prefix required"
+                })
                 return
             try:
                 k = int((qs.get("k") or ["10"])[0])
@@ -48,24 +61,65 @@ def _make_handler(searcher: DirectSearcher):
             except ValueError:
                 self._json(400, {"error": "bad k/mode parameter"})
                 return
+            if phrase.strip():
+                self._phrase(phrase, k)
+                return
+            if prefix.strip():
+                terms = searcher.expand_prefix(prefix.strip())
+                hits = searcher.search_terms(terms, k=k, mode="or")
+                self._page(prefix, k, "or", hits,
+                           extra={"expanded_terms": terms})
+                return
             hits = searcher.search(q, k=k, mode=mode)
-            self._json(
-                200,
-                {
-                    "query": q,
-                    "k": k,
-                    "mode": mode,
-                    "n_results": len(hits),
-                    "results": [
-                        {
-                            "doc_id": int(d),
-                            "score": round(float(s), 6),
-                            "n_terms_matched": int(m),
-                        }
-                        for d, s, m in hits
-                    ],
-                },
+            self._page(q, k, mode, hits)
+
+        def _phrase(self, phrase: str, k: int) -> None:
+            if corpus_path is None:
+                self._json(400, {
+                    "error": "phrase search not enabled "
+                             "(server started without a content store)"
+                })
+                return
+            from rse_spark.query.engine import query_terms
+
+            if not query_terms(phrase, searcher.analyzer):
+                self._json(400, {
+                    "error": "phrase has no indexable terms"
+                })
+                return
+            hits = searcher.phrase_search(
+                phrase, corpus_path, k=k,
+                content_col=content_col, id_col=id_col, key_col=key_col,
             )
+            self._json(200, {
+                "phrase": phrase,
+                "k": k,
+                "n_results": len(hits),
+                "results": [
+                    {"doc_id": int(d), "n_occurrences": int(n)}
+                    for d, n in hits
+                ],
+            })
+
+        def _page(self, q: str, k: int, mode: str, hits,
+                  extra: dict | None = None) -> None:
+            page = {
+                "query": q,
+                "k": k,
+                "mode": mode,
+                "n_results": len(hits),
+                "results": [
+                    {
+                        "doc_id": int(d),
+                        "score": round(float(s), 6),
+                        "n_terms_matched": int(m),
+                    }
+                    for d, s, m in hits
+                ],
+            }
+            if extra:
+                page.update(extra)
+            self._json(200, page)
 
         def log_message(self, *args) -> None:  # quiet test output
             pass
@@ -77,10 +131,21 @@ class SearchServer:
     """Lifecycle wrapper: start()/stop() around ThreadingHTTPServer."""
 
     def __init__(self, index_root: str, analyzer: str = "code",
-                 host: str = "127.0.0.1", port: int = 0):
+                 host: str = "127.0.0.1", port: int = 0,
+                 corpus_path: str | None = None,
+                 content_col: str = "text", id_col: str = "doc_id",
+                 key_col: str | None = None):
+        """``corpus_path`` (parquet content store with ``id_col`` +
+        ``content_col``) enables ``?phrase=`` adjacency verification;
+        without it phrase requests get a 400. ``key_col`` maps index
+        doc ids to corpus ids through the doc metadata when the index
+        assigned its own (see DirectSearcher.phrase_search)."""
         self.searcher = DirectSearcher(index_root, analyzer=analyzer)
         self.httpd = ThreadingHTTPServer(
-            (host, port), _make_handler(self.searcher)
+            (host, port),
+            _make_handler(self.searcher, corpus_path=corpus_path,
+                          content_col=content_col, id_col=id_col,
+                          key_col=key_col),
         )
         self._thread: threading.Thread | None = None
 

@@ -31,9 +31,16 @@ from rse_spark.query.wand import _ListIter, intersect_and_lists, wand_topk_lists
 class DirectSearcher:
     """Driver/process-local searcher over a persisted index root."""
 
-    def __init__(self, root: str, analyzer: str = "code"):
+    def __init__(self, root: str, analyzer: str = "code",
+                 max_bucket_bytes: int | None = None):
+        """``max_bucket_bytes`` bounds the columnar bucket cache: when
+        the Arrow tables held exceed the budget, least-recently-queried
+        buckets (and their extracted term rows) are evicted and reload
+        on the next miss. ``None`` = unbounded (bench/replica default
+        where the working set is known to fit)."""
         self.root = root
         self.analyzer = analyzer
+        self.max_bucket_bytes = max_bucket_bytes
         stats = pq.read_table(os.path.join(root, "corpus_stats")).to_pylist()[0]
         self.n_docs = int(stats["n_docs"])
         self.avgdl = float(stats["avgdl"])
@@ -54,7 +61,10 @@ class DirectSearcher:
         # (payload bytes remain Arrow buffers) so replica memory per
         # bucket is ~the on-disk bucket size, not Python row dicts;
         # row dicts exist only for terms actually queried.
-        self._bucket_tables: dict[int, list] = {}
+        from collections import OrderedDict
+
+        self._bucket_tables: OrderedDict[int, list] = OrderedDict()
+        self._bucket_bytes: dict[int, int] = {}
         self._term_rows: dict[tuple[int, str], list[dict]] = {}
         import threading
 
@@ -64,12 +74,25 @@ class DirectSearcher:
         self._meta_lock = threading.Lock()
         self._bucket_locks: dict[int, threading.Lock] = {}
         self._threading = threading
-        self.last_stats: dict[str, int] = {}
+        # telemetry is PER-THREAD: many HTTP threads share one searcher
+        # and must each read their own query's stats, not a racer's
+        self._tls = threading.local()
 
     _COLS = [
         "term", "segment_id", "payload", "block_offsets",
         "block_last", "block_max_tf", "block_min_dl",
     ]
+
+    @property
+    def last_stats(self) -> dict[str, int]:
+        """Block-decode telemetry of the CALLING thread's most recent
+        ``search(algo='wand')``."""
+        return getattr(self._tls, "stats", {})
+
+    @property
+    def cached_bucket_bytes(self) -> int:
+        with self._meta_lock:
+            return sum(self._bucket_bytes.values())
 
     def _bucket_lock(self, bucket: int):
         with self._meta_lock:
@@ -78,16 +101,44 @@ class DirectSearcher:
                 lock = self._bucket_locks[bucket] = self._threading.Lock()
             return lock
 
+    def _touch(self, bucket: int) -> list | None:
+        """LRU-ordered cache lookup (newest at the right end)."""
+        with self._meta_lock:
+            tables = self._bucket_tables.get(bucket)
+            if tables is not None:
+                self._bucket_tables.move_to_end(bucket)
+            return tables
+
+    def _publish(self, bucket: int, tables: list) -> None:
+        """Install a freshly loaded bucket and evict least-recently
+        used buckets beyond the byte budget (the newcomer itself is
+        always kept so every query can run)."""
+        nbytes = sum(tbl.nbytes for tbl, _spans in tables)
+        with self._meta_lock:
+            self._bucket_tables[bucket] = tables
+            self._bucket_tables.move_to_end(bucket)
+            self._bucket_bytes[bucket] = nbytes
+            if self.max_bucket_bytes is None:
+                return
+            while (
+                len(self._bucket_tables) > 1
+                and sum(self._bucket_bytes.values()) > self.max_bucket_bytes
+            ):
+                victim, _ = self._bucket_tables.popitem(last=False)
+                self._bucket_bytes.pop(victim, None)
+                for key in [k for k in self._term_rows if k[0] == victim]:
+                    del self._term_rows[key]
+
     def _load_bucket(self, bucket: int) -> list:
         """Read one bucket's parquet files into Arrow tables and build
         a term -> (offset, length) span index per file. Terms are
         file-sorted (index/build.py sorts postings by term before the
         segment write), so each term is one contiguous run."""
-        tables = self._bucket_tables.get(bucket)
+        tables = self._touch(bucket)
         if tables is not None:
             return tables
         with self._bucket_lock(bucket):
-            tables = self._bucket_tables.get(bucket)
+            tables = self._touch(bucket)
             if tables is not None:
                 return tables
             tables = []
@@ -112,8 +163,8 @@ class DirectSearcher:
                     spans.setdefault(t, []).append((i, j - i))
                     i = j
                 tables.append((tbl, spans))
-            # publish only when fully built (dict assignment is atomic)
-            self._bucket_tables[bucket] = tables
+            # publish only when fully built (evicts LRU past budget)
+            self._publish(bucket, tables)
             return tables
 
     def _bucket_rows(self, bucket: int, term: str) -> list[dict]:
@@ -130,7 +181,11 @@ class DirectSearcher:
             for tbl, spans in self._load_bucket(bucket):
                 for off, ln in spans.get(term, ()):
                     rows.extend(tbl.slice(off, ln).to_pylist())
-            self._term_rows[key] = rows
+            with self._meta_lock:
+                # cache the row form only while its bucket is resident,
+                # so eviction keeps the budget honest
+                if bucket in self._bucket_tables:
+                    self._term_rows[key] = rows
         return rows
 
     def warm(self, qtexts: list[str]) -> int:
@@ -178,7 +233,95 @@ class DirectSearcher:
         the block-skipping cursor path (identical results) — wins when
         a single giant list dwarfs k and block upper bounds are tight.
         """
-        qtf = query_terms(qtext, self.analyzer)
+        return self._search_qtf(
+            query_terms(qtext, self.analyzer), k, mode, algo
+        )
+
+    def search_terms(self, terms: list[str], k: int = 10,
+                     mode: str = "or", algo: str = "numpy"):
+        """Top-k over PRE-ANALYZED terms (no tokenizer pass) — the
+        entry point for dictionary-expanded queries (prefix), where
+        re-analyzing expanded vocabulary terms would re-stem them."""
+        qtf: dict[str, int] = {}
+        for t in terms:
+            qtf[t] = qtf.get(t, 0) + 1
+        return self._search_qtf(qtf, k, mode, algo)
+
+    def expand_prefix(self, prefix: str, max_terms: int = 64) -> list[str]:
+        """All indexed terms starting with ``prefix`` — a pure lookup
+        on the in-memory term dictionary (|vocab| entries), capped like
+        Lucene's rewrite limit, deterministic order."""
+        return sorted(
+            t for t in self.term_dict if t.startswith(prefix)
+        )[:max_terms]
+
+    def phrase_search(self, phrase: str, corpus_path: str, k: int = 10,
+                      content_col: str = "text", id_col: str = "doc_id",
+                      key_col: str | None = None):
+        """Exact-adjacency phrase top-k: [(doc_id, n_occurrences)].
+
+        Candidates come from the index (conjunctive search over the
+        phrase's analyzed terms — every doc containing the raw adjacent
+        phrase contains all of them), then ONLY candidate rows are
+        fetched from the content store (``corpus_path`` parquet,
+        row-group-pruned pyarrow read) and verified with a
+        whitespace-adjacency scan — same semantics as the Spark path
+        (query/textmatch.phrase_match), equivalence-tested against it.
+        The per-query content fetch is bounded by the candidate count;
+        GSE's API did the same doc-fetch round-trip per result
+        (reference crawler/src/api/main.go:161-182).
+
+        ``key_col`` bridges id spaces: when the index assigned its own
+        doc ids over a corpus that carried ``id_col`` (the streaming
+        appender keeps it as ``src_doc_id``), pass that metadata column
+        name and candidates are mapped through the stored doc metadata
+        before the content fetch. ``None`` = index ids == corpus ids."""
+        words = phrase.split()
+        if not words:
+            raise ValueError("empty phrase")
+        cand = self._search_qtf(
+            query_terms(phrase, self.analyzer), self.n_docs, "and", "numpy"
+        )
+        if not cand:
+            return []
+        ids = [d for d, _s, _m in cand]
+        if key_col is None:
+            keymap = {d: d for d in ids}
+        else:
+            src = os.path.join(self.root, "docs_meta")
+            if not os.path.isdir(src):
+                # array-format indexes keep docs_meta virtual; the
+                # physical enriched table carries the same columns
+                src = os.path.join(self.root, "enriched")
+            mt = pq.read_table(
+                src, columns=["doc_id", key_col],
+                filters=[("doc_id", "in", sorted(set(ids)))],
+            )
+            keymap = dict(
+                zip(mt["doc_id"].to_pylist(), mt[key_col].to_pylist())
+            )
+        tbl = pq.read_table(
+            corpus_path, columns=[id_col, content_col],
+            filters=[(id_col, "in", sorted(set(keymap.values())))],
+        )
+        text_by_key = dict(
+            zip(tbl[id_col].to_pylist(), tbl[content_col].to_pylist())
+        )
+        n = len(words)
+        out = []
+        for d in ids:
+            sp = (text_by_key.get(keymap.get(d)) or "").split(" ")
+            hits = sum(
+                1 for i in range(len(sp) - n + 1)
+                if sp[i:i + n] == words
+            )
+            if hits:
+                out.append((int(d), hits))
+        out.sort(key=lambda r: (-r[1], r[0]))
+        return out[:k]
+
+    def _search_qtf(self, qtf: dict[str, int], k: int, mode: str,
+                    algo: str):
         if not qtf:
             return []
         terms = sorted(qtf)
@@ -203,7 +346,7 @@ class DirectSearcher:
         # pruning telemetry: how many blocks the skip pointers let the
         # query avoid decoding (bench.py records this vs the exhaustive
         # path — the 100x-scale claim for WAND, with a number)
-        self.last_stats = {
+        self._tls.stats = {
             "blocks_total": sum(len(it.offs) for it in all_iters),
             "blocks_decoded": sum(it.blocks_decoded for it in all_iters),
         }

@@ -120,6 +120,106 @@ def test_http_search_endpoint(http_index):
         srv.stop()
 
 
+def test_http_phrase_and_prefix_endpoints(spark, http_index):
+    """?phrase= verifies adjacency against the content store and must
+    equal the Spark textmatch path; ?prefix= expands on the term
+    dictionary and scores with BM25; both are concurrency-safe."""
+    import urllib.parse
+    from concurrent.futures import ThreadPoolExecutor
+
+    from rse_spark.query.http import SearchServer
+    from rse_spark.query.textmatch import phrase_match
+
+    srv = SearchServer(
+        http_index, analyzer="simple",
+        corpus_path=DOCS, key_col="src_doc_id",
+    ).start()
+    try:
+        # pick a phrase guaranteed present: first two tokens of doc 3
+        text3 = spark.read.parquet(DOCS).filter(
+            F.col("doc_id") == 3
+        ).collect()[0]["text"]
+        phrase = " ".join(text3.split()[:2])
+        url = (f"{srv.address}/search?phrase="
+               f"{urllib.parse.quote(phrase)}&k=200")
+        with urllib.request.urlopen(url, timeout=30) as resp:
+            body = json.load(resp)
+        assert body["n_results"] >= 1
+        # Spark-path parity, mapped through src_doc_id -> corpus ids
+        meta = spark.read.parquet(f"{http_index}/enriched").select(
+            "doc_id", "src_doc_id"
+        )
+        ph = phrase_match(
+            spark.read.parquet(DOCS).filter(F.col("doc_id") < 200),
+            phrase, content_col="text",
+        ).withColumnRenamed("doc_id", "corpus_id")
+        spark_hits = ph.join(
+            meta, ph.corpus_id == meta.src_doc_id
+        ).select(meta["doc_id"], "n_occurrences").collect()
+        want = sorted(
+            (-int(r["n_occurrences"]), int(r["doc_id"])) for r in spark_hits
+        )
+        got = sorted(
+            (-r["n_occurrences"], r["doc_id"]) for r in body["results"]
+        )
+        assert got == want
+        # prefix: expanded terms all share the prefix; results ranked
+        with urllib.request.urlopen(
+            f"{srv.address}/search?prefix=sp&k=5", timeout=30
+        ) as resp:
+            pbody = json.load(resp)
+        assert pbody["expanded_terms"]
+        assert all(t.startswith("sp") for t in pbody["expanded_terms"])
+        assert pbody["n_results"] >= 1
+        direct = srv.searcher.search_terms(
+            srv.searcher.expand_prefix("sp"), k=5
+        )
+        assert [r["doc_id"] for r in pbody["results"]] == [
+            d for d, _, _ in direct
+        ]
+        # two selectors -> 400
+        try:
+            urllib.request.urlopen(
+                srv.address + "/search?q=a&phrase=b", timeout=10
+            )
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        # phrase absent from the corpus -> clean empty page (the simple
+        # analyzer indexes '||' as a term, so this is a 200, not a 400)
+        with urllib.request.urlopen(
+            srv.address + "/search?phrase=%7C%7C", timeout=10
+        ) as resp:
+            assert json.load(resp)["n_results"] == 0
+        # concurrency: phrase + prefix + plain interleaved
+        urls = [
+            url,
+            f"{srv.address}/search?prefix=sp&k=5",
+            f"{srv.address}/search?q=spark+join&k=5",
+        ] * 6
+
+        def fetch(u):
+            with urllib.request.urlopen(u, timeout=30) as r:
+                return json.load(r)
+
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            for out in pool.map(fetch, urls):
+                assert out["n_results"] >= 1
+    finally:
+        srv.stop()
+
+
+def test_cli_serve_smoke(http_index, capsys):
+    """`rse serve` runs the HTTP tier WITHOUT a Spark session."""
+    from rse_spark.cli import main
+
+    rc = main(["serve", "--root", http_index, "--analyzer", "simple",
+               "--max-bucket-mb", "64", "--smoke"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["serving"].startswith("http://")
+
+
 def test_http_search_under_concurrency(http_index):
     """N threads x M queries against a COLD searcher: every response
     must equal the single-threaded answer (first-touch bucket loads

@@ -58,6 +58,60 @@ def test_direct_zero_hit(root):
     assert searcher.search("   ") == []
 
 
+def test_direct_capped_bucket_cache(root):
+    """A byte-capped searcher stays under budget across a query stream
+    that touches many buckets, reloads evicted buckets on miss, and
+    answers identically to an uncapped searcher."""
+    free = DirectSearcher(root, analyzer="code")
+    qs = [q.query_text for q in gen_query_set(0.0004, n_queries=24).itertuples()]
+    expected = [free.search(q, k=10) for q in qs]
+    total = free.cached_bucket_bytes
+    assert total > 0
+    # budget ~ a third of the full working set -> guaranteed evictions
+    budget = max(total // 3, 1)
+    capped = DirectSearcher(root, analyzer="code", max_bucket_bytes=budget)
+    for repeat in range(2):  # second pass re-touches evicted buckets
+        for q, want in zip(qs, expected):
+            assert capped.search(q, k=10) == want, q
+            held = capped.cached_bucket_bytes
+            # bound holds unless a single bucket alone exceeds it (the
+            # newcomer is always kept so queries can run)
+            assert (
+                held <= budget
+                or len(capped._bucket_tables) == 1
+            ), (held, budget)
+    # term-row cache never references an evicted bucket
+    resident = set(capped._bucket_tables)
+    assert {b for b, _t in capped._term_rows} <= resident
+
+
+def test_direct_last_stats_thread_local(root):
+    """Concurrent wand searches each read their OWN telemetry."""
+    import threading
+
+    s = DirectSearcher(root, analyzer="code")
+    s.search("parse index merge", k=10, algo="wand")  # warm buckets
+    got: dict[str, dict] = {}
+
+    def worker(q: str) -> None:
+        for _ in range(20):
+            s.search(q, k=10, algo="wand")
+        got[q] = dict(s.last_stats)
+
+    threads = [
+        threading.Thread(target=worker, args=(q,))
+        for q in ("parse index merge", "zzzmissingterm", "class return")
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # the zero-hit query must see zero-block telemetry even though the
+    # other threads decoded blocks concurrently
+    assert got["zzzmissingterm"].get("blocks_total", 0) == 0
+    assert got["parse index merge"]["blocks_total"] > 0
+
+
 def test_direct_searcher_wand_on_stream_grown_index(spark, tmp_path_factory):
     """DirectSearcher(algo='wand') over a STREAM-GROWN index whose later
     batch shifted avgdl — the round-1 hazard combination — must equal
