@@ -51,6 +51,15 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--chunk-tokens", type=int, default=None)
     c.add_argument("--chunk-stride", type=int, default=None)
 
+    k = sub.add_parser(
+        "compact", help="merge sparse segment groups (stream-grown "
+                        "indexes accumulate one small group per batch)"
+    )
+    k.add_argument("--root", required=True)
+    k.add_argument("--min-fill", type=float, default=0.5)
+    k.add_argument("--dry-run", action="store_true",
+                   help="report the merge plan without writing")
+
     s = sub.add_parser(
         "serve", help="HTTP /search endpoint over a built index "
                       "(serving tier — no Spark session)"
@@ -153,6 +162,16 @@ def main(argv: list[str] | None = None) -> int:
         )
         summary["wall_sec"] = round(time.time() - t0, 2)
         print(json.dumps(summary))
+    elif args.cmd == "compact":
+        from rse_spark.index.compact import compact_groups, plan_compaction
+
+        t0 = time.time()
+        if args.dry_run:
+            out = plan_compaction(spark, args.root, min_fill=args.min_fill)
+        else:
+            out = compact_groups(spark, args.root, min_fill=args.min_fill)
+        out["wall_sec"] = round(time.time() - t0, 2)
+        print(json.dumps(out))
     elif args.cmd == "query":
         from rse_spark.index.storage import IndexStorage
         from rse_spark.query.engine import search

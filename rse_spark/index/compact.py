@@ -1,0 +1,299 @@
+"""Segment-group compaction: merge sparse groups into full ones.
+
+Streaming ingestion (streaming/stream_index.append_batch) claims one
+fresh segment-group range per micro-batch, so a long-lived stream of
+small batches accumulates many UNDER-FILLED groups — each holding a
+sliver of its doc_id range and its own small parquet files. At query
+time every posting lookup then touches one file per sparse group; at
+10^12-doc scale this is the classic small-segment problem, and the
+classic answer is a merge policy (Lucene's TieredMergePolicy; GSE had
+no equivalent because Postgres hid storage layout — reference
+crawler/src/crawler/crawler.go:216-228 upserts row-at-a-time).
+
+This module is that merge policy for the manifest/segment layout:
+
+* pick groups filled below ``min_fill`` of their doc_id range,
+* re-id their documents into fresh dense ranges at the top of the id
+  space (Lucene also renumbers docids on merge; external identity
+  lives in docs_meta's source-key columns, which travel with the row),
+* rebuild ONLY those documents' posting lists (work proportional to
+  the compacted slice, never the index),
+* atomically swap manifest units and delete the source partitions.
+
+No statistics work is needed or done: term df/cf, corpus n_docs/avgdl
+and every BM25 input are invariant under re-segmentation (a document
+lives in exactly one segment before and after), which the tests assert
+bit-for-bit. Scores are therefore rank-identical across a compaction;
+only the internal doc ids move.
+
+Crash safety reuses the manifest-claim protocol (idempotent phases):
+
+  claimed  -> sources intact, mapping deterministic (sorted old ids,
+              per-group offsets recorded in the claim) — a replay
+              rewrites the same new partitions via dynamic overwrite.
+  written  -> new groups durable; a replay only re-runs the idempotent
+              deletes + manifest swap and commits.
+
+Compaction is a single-writer maintenance operation (like upsert
+compaction, index/upsert.py): run it from the one process that owns
+the index; readers re-load after it commits.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from rse_spark.index.build import build_posting_lists, explode_tf
+from rse_spark.index.storage import IndexStorage
+
+
+def _group_fill(store: IndexStorage, spark: SparkSession) -> list[dict]:
+    """(seg_group, n_docs) per group from the doc-level metadata —
+    a column-pruned metadata scan, no content read."""
+    meta = store.docs_meta(spark)
+    rows = (
+        meta.groupBy("seg_group")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    return sorted(
+        ({"seg_group": int(r["seg_group"]), "n_docs": int(r["n"])}
+         for r in rows),
+        key=lambda r: r["seg_group"],
+    )
+
+
+def plan_compaction(
+    spark: SparkSession, root: str, min_fill: float = 0.5,
+) -> dict:
+    """Inspect the index and report which groups a compaction would
+    merge (read-only)."""
+    store = IndexStorage(root)
+    done = store.completed_units()
+    layout = done["docs"]["layout"]
+    docs_per_group = (
+        layout["docs_per_segment"] * layout["segments_per_group"]
+    )
+    fills = _group_fill(store, spark)
+    sparse = [
+        f for f in fills if f["n_docs"] < min_fill * docs_per_group
+    ]
+    total = sum(f["n_docs"] for f in sparse)
+    new_groups = (total + docs_per_group - 1) // docs_per_group
+    return {
+        "groups": fills,
+        "sparse": sparse,
+        "docs_per_group": docs_per_group,
+        "would_merge": len(sparse) if len(sparse) > new_groups else 0,
+        "into": new_groups if len(sparse) > new_groups else 0,
+    }
+
+
+def compact_groups(
+    spark: SparkSession, root: str, min_fill: float = 0.5,
+    fail_after_write: bool = False,
+) -> dict:
+    """Merge sparse segment groups; returns a summary dict.
+
+    A no-op (``merged: 0``) when fewer than two sparse groups exist or
+    merging would not reduce the group count. If an uncommitted
+    compaction claim exists (prior crash), it is finished first —
+    callers can simply re-invoke after any failure.
+    """
+    store = IndexStorage(root)
+    done = store.completed_units()
+    layout = done["docs"]["layout"]
+    docs_per_segment = layout["docs_per_segment"]
+    segments_per_group = layout["segments_per_group"]
+    n_buckets = layout["n_buckets"]
+    docs_per_group = docs_per_segment * segments_per_group
+
+    # finish a crashed compaction before planning a new one
+    stale = [
+        rec for u, rec in done.items()
+        if u.startswith("compact=") and not rec.get("committed")
+    ]
+    if stale:
+        return _run(spark, store, stale[0], docs_per_segment,
+                    segments_per_group, n_buckets, resumed=True,
+                    fail_after_write=fail_after_write)
+
+    fills = _group_fill(store, spark)
+    sparse = [
+        f for f in fills if f["n_docs"] < min_fill * docs_per_group
+    ]
+    total = sum(f["n_docs"] for f in sparse)
+    new_n_groups = (total + docs_per_group - 1) // docs_per_group
+    if len(sparse) < 2 or new_n_groups >= len(sparse):
+        return {"merged": 0, "into": 0, "n_docs_moved": 0}
+
+    g0 = max(f["seg_group"] for f in fills) + 1
+    # per-source-group offsets pin the new id assignment so a replay
+    # reproduces it exactly (ids = base + offset[src] + rank-in-src)
+    offsets, acc = {}, 0
+    for f in sparse:
+        offsets[str(f["seg_group"])] = acc
+        acc += f["n_docs"]
+    claim = {
+        "sources": [f["seg_group"] for f in sparse],
+        "g0": g0,
+        "offsets": offsets,
+        "n_docs_moved": total,
+        "phase": "claimed",
+        "committed": False,
+    }
+    unit = f"compact={g0:06d}"
+    store.mark_done(unit, **claim)
+    rec = {**claim, "unit": unit}
+    return _run(spark, store, rec, docs_per_segment,
+                segments_per_group, n_buckets, resumed=False,
+                fail_after_write=fail_after_write)
+
+
+def _run(
+    spark: SparkSession,
+    store: IndexStorage,
+    rec: dict,
+    docs_per_segment: int,
+    segments_per_group: int,
+    n_buckets: int,
+    resumed: bool,
+    fail_after_write: bool = False,
+) -> dict:
+    t0 = time.time()
+    unit = rec["unit"]
+    sources = [int(g) for g in rec["sources"]]
+    g0 = int(rec["g0"])
+    offsets = {int(k): int(v) for k, v in rec["offsets"].items()}
+    docs_per_group = docs_per_segment * segments_per_group
+    base = g0 * docs_per_group
+    claim_fields = {
+        k: rec[k] for k in ("sources", "g0", "offsets", "n_docs_moved")
+    }
+
+    tmp = store._p("_compact_tmp")
+    if rec.get("phase") == "claimed":
+        # ---- write phase: deterministic re-id + rebuild ----
+        # The remapped rows are STAGED to a temp dir first: parquet
+        # cannot overwrite a path it is also reading from, and staging
+        # also lets the posting rebuild consume the already-remapped
+        # slice instead of re-deriving it. Cost: the compacted slice
+        # (sparse groups only, never the index) is written twice.
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        off_map = F.create_map(
+            *[x for g, o in sorted(offsets.items())
+              for x in (F.lit(g), F.lit(o))]
+        )
+        meta = store.docs_meta(spark).filter(
+            F.col("seg_group").isin(sources)
+        )
+        rank = F.row_number().over(
+            Window.partitionBy("seg_group").orderBy("doc_id")
+        )
+        mapping = meta.select(
+            F.col("doc_id").alias("old_doc_id"),
+            (
+                F.lit(base)
+                + F.element_at(off_map, F.col("seg_group").cast("int"))
+                + rank - F.lit(1)
+            ).cast("long").alias("new_doc_id"),
+        )
+
+        def _remap(df):
+            return (
+                df.withColumnRenamed("doc_id", "old_doc_id")
+                .join(mapping, "old_doc_id")
+                .withColumn("doc_id", F.col("new_doc_id"))
+                .drop("old_doc_id", "new_doc_id")
+                .withColumn(
+                    "seg_group",
+                    (F.col("doc_id") / F.lit(docs_per_group)).cast("long"),
+                )
+            )
+
+        enriched = spark.read.parquet(store._p("enriched")).filter(
+            F.col("seg_group").isin(sources)
+        )
+        _remap(enriched).write.mode("overwrite").parquet(
+            os.path.join(tmp, "enriched")
+        )
+        staged = spark.read.parquet(os.path.join(tmp, "enriched"))
+        staged.write.mode("overwrite").partitionBy("seg_group").parquet(
+            store._p("enriched")
+        )
+
+        if os.path.isdir(store._p("docs_meta")):
+            # physical docs_meta (jvm/bundle layout) moves with the docs
+            dm = spark.read.parquet(store._p("docs_meta")).filter(
+                F.col("seg_group").isin(sources)
+            )
+            _remap(dm).write.mode("overwrite").parquet(
+                os.path.join(tmp, "docs_meta")
+            )
+            spark.read.parquet(os.path.join(tmp, "docs_meta")).write.mode(
+                "overwrite"
+            ).partitionBy("seg_group").parquet(store._p("docs_meta"))
+
+        postings = build_posting_lists(
+            explode_tf(staged), docs_per_segment, n_buckets
+        ).withColumn(
+            "seg_group",
+            F.floor(F.col("segment_id") / segments_per_group),
+        )
+        (
+            postings.repartition("seg_group", "bucket")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("seg_group", "bucket")
+            .parquet(store._p("postings"))
+        )
+        store.mark_done(unit, **claim_fields, phase="written",
+                        committed=False)
+        if fail_after_write:
+            raise RuntimeError(
+                "injected failure after compaction write phase"
+            )
+
+    # ---- swap phase: idempotent deletes + manifest swap ----
+    for g in sources:
+        for sub in ("enriched", "docs_meta", "postings"):
+            shutil.rmtree(
+                os.path.join(store._p(sub), f"seg_group={g}"),
+                ignore_errors=True,
+            )
+        store.remove_unit(f"group={g:06d}")
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    n_new_groups = (
+        rec["n_docs_moved"] + docs_per_group - 1
+    ) // docs_per_group
+    for i in range(n_new_groups):
+        g = g0 + i
+        store.mark_done(
+            f"group={g:06d}",
+            seg_group=g,
+            doc_lo=g * docs_per_group,
+            doc_hi=(g + 1) * docs_per_group,
+            rows=-1,
+            n_postings=-1,
+            sha="",
+            source_snapshot=f"compact<-{sources}",
+            wall_ms=0,
+        )
+    store.mark_done(unit, **claim_fields, phase="written",
+                    committed=True,
+                    wall_ms=int(1000 * (time.time() - t0)))
+    return {
+        "merged": len(sources),
+        "into": n_new_groups,
+        "n_docs_moved": int(rec["n_docs_moved"]),
+        "resumed": resumed,
+        "new_groups": list(range(g0, g0 + n_new_groups)),
+    }

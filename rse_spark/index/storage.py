@@ -100,6 +100,15 @@ class IndexStorage:
                     out[rec["unit"]] = rec
         return out
 
+    def remove_unit(self, unit: str) -> None:
+        """Retire a unit's lineage record (compaction swaps group
+        units for their merged replacement); missing records are a
+        no-op so crash replays stay idempotent."""
+        try:
+            os.remove(self._manifest_path(unit))
+        except FileNotFoundError:
+            pass
+
     def mark_done(self, unit: str, **lineage) -> None:
         os.makedirs(self.manifest_dir, exist_ok=True)
         rec = {"unit": unit, "status": "done", **lineage}

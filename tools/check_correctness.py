@@ -1,6 +1,11 @@
 """Local replica of the driver's correctness gate: run every queries()
 entry on Spark and its oracle_sql() twin on DuckDB at sf0.01, compare
-row count, column names, and an order-insensitive value hash."""
+row count, column names, and an order-insensitive value hash.
+
+``--json PATH`` additionally writes the results in the driver's
+CORRECTNESS_r{N}.json record shape — the committed
+CORRECTNESS_LOCAL.json covers the FULL queries() surface every round
+(the driver's board pins a 50-name subset)."""
 
 from __future__ import annotations
 
@@ -52,10 +57,11 @@ def value_hash(rows, cols):
     return h.hexdigest()
 
 
-def main(only: list[str] | None = None):
+def main(only: list[str] | None = None, json_path: str | None = None):
     import __spark_entry__ as entrymod
     from rse_spark.session import get_spark
 
+    results: dict[str, dict] = {}
     spark = get_spark("correctness", cores=8, shuffle_partitions=16)
     con = duckdb.connect()
     for t in TABLES:
@@ -77,9 +83,19 @@ def main(only: list[str] | None = None):
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error {e}")
             failures.append(name)
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": f"spark: {e}",
+            }
             continue
         if name not in oracles:
             print(f"OK?  {name}: rows={len(srows)} (no oracle, rows-only)")
+            results[name] = {
+                "rows_match": None, "schema_match": None,
+                "hash_match": None, "spark_rows": len(srows),
+                "oracle_rows": None, "err": "no_oracle",
+            }
             continue
         try:
             rel = con.sql(oracles[name])
@@ -88,6 +104,11 @@ def main(only: list[str] | None = None):
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error {e}")
             failures.append(name)
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(srows),
+                "oracle_rows": None, "err": f"duckdb: {e}",
+            }
             continue
         ok_rows = len(srows) == len(orows)
         ok_cols = sorted(c.lower() for c in scols) == sorted(ocols)
@@ -95,6 +116,11 @@ def main(only: list[str] | None = None):
         oh = value_hash(orows, ocols)
         ok_hash = sh == oh
         status = "OK  " if (ok_rows and ok_cols and ok_hash) else "FAIL"
+        results[name] = {
+            "rows_match": ok_rows, "schema_match": ok_cols,
+            "hash_match": ok_hash, "spark_rows": len(srows),
+            "oracle_rows": len(orows), "err": None,
+        }
         print(
             f"{status} {name}: rows {len(srows)}/{len(orows)}"
             f" cols={'ok' if ok_cols else f'{scols} vs {ocols}'}"
@@ -116,9 +142,21 @@ def main(only: list[str] | None = None):
                 print("  spark-only:", list(sset - oset)[:3])
                 print("  oracle-only:", list(oset - sset)[:3])
     print(f"\n{len(failures)} failures: {failures}")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {json_path} ({len(results)} queries)")
     spark.stop()
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1:] or None))
+    argv = sys.argv[1:]
+    jp = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        jp = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sys.exit(main(argv or None, json_path=jp))
