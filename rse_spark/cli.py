@@ -51,6 +51,16 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--chunk-tokens", type=int, default=None)
     c.add_argument("--chunk-stride", type=int, default=None)
 
+    v = sub.add_parser(
+        "check", help="verify index integrity (per-row sha256 vs the "
+                      "source table + structural invariants)"
+    )
+    v.add_argument("--root", required=True)
+    v.add_argument("--corpus", default=None,
+                   help="source parquet for the per-row sha256 check")
+    v.add_argument("--content-col", default="content")
+    v.add_argument("--sample-lists", type=int, default=200)
+
     k = sub.add_parser(
         "compact", help="merge sparse segment groups (stream-grown "
                         "indexes accumulate one small group per batch)"
@@ -162,6 +172,23 @@ def main(argv: list[str] | None = None) -> int:
         )
         summary["wall_sec"] = round(time.time() - t0, 2)
         print(json.dumps(summary))
+    elif args.cmd == "check":
+        from rse_spark.index.integrity import check_index
+
+        t0 = time.time()
+        report = check_index(
+            spark, args.root,
+            corpus=(spark.read.parquet(args.corpus)
+                    if args.corpus else None),
+            content_col=args.content_col,
+            sample_lists=args.sample_lists,
+        )
+        report["wall_sec"] = round(time.time() - t0, 2)
+        print(json.dumps(report))
+        if not report["ok"]:
+            if owns_session:
+                spark.stop()
+            return 1
     elif args.cmd == "compact":
         from rse_spark.index.compact import compact_groups, plan_compaction
 

@@ -1,0 +1,215 @@
+"""Index integrity verification: per-row invariants + structure.
+
+north_rule: "content sha256 equality enforced per row against the
+source table" and "per-partition lineage + metrics". GSE had no
+equivalent — Postgres constraints were its only integrity story
+(reference crawler/src/db/init_db.sql). Here the index is plain
+segment files on shared storage, so verification is an explicit job:
+
+1. **sha256 per row vs the source corpus** — every indexed document's
+   stored content_sha256 must equal sha2(content) of the row it came
+   from, joined on the corpus key (DOC_KEY, a carried src_doc_id, or
+   doc_id). One column-pruned scan of each side + a hash join; no
+   content ever crosses to the driver.
+2. **doc ids**: unique, and each row's seg_group == doc_id //
+   docs_per_group (the structural invariant every partition-pruned
+   read relies on).
+3. **term_stats == recompute from posting metadata** (exact set
+   equality via symmetric anti-join counts).
+4. **corpus_stats == docs_meta aggregate** (n_docs exact, avgdl to
+   1e-6).
+5. **manifest lineage covers storage**: the set of live postings
+   seg_group partitions equals the manifest's group units.
+6. **codec round-trip sample**: decode ``sample_lists`` posting
+   payloads (pyarrow, driver-side) and check doc_ids are strictly
+   ascending, inside the segment's id range, with positive tfs —
+   the cheap canary for storage-level corruption.
+
+Each check reports pass/fail + counts; ``ok`` is the conjunction.
+CLI: ``rse check --root [--corpus ...]``, exit 1 on any failure.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rse_spark.index.build import DOC_KEY, term_stats_from_postings
+from rse_spark.index.storage import IndexStorage
+
+
+def _sha_check(
+    meta: DataFrame, corpus: DataFrame, content_col: str,
+) -> dict:
+    if content_col != "content":
+        corpus = corpus.withColumnRenamed(content_col, "content")
+    if all(c in meta.columns for c in DOC_KEY) and all(
+        c in corpus.columns for c in DOC_KEY
+    ):
+        key = list(DOC_KEY)
+        src = corpus
+    elif "src_doc_id" in meta.columns and "doc_id" in corpus.columns:
+        key = ["src_doc_id"]
+        src = corpus.withColumnRenamed("doc_id", "src_doc_id")
+    elif "doc_id" in corpus.columns:
+        key = ["doc_id"]
+        src = corpus
+    else:
+        return {"pass": False, "err": "no join key between index and corpus"}
+    joined = meta.select(*key, "content_sha256").join(
+        src.select(
+            *key, F.sha2(F.coalesce(F.col("content"), F.lit("")), 256)
+            .alias("_src_sha")
+        ),
+        key,
+        "left",
+    )
+    agg = joined.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("_src_sha").isNull().cast("long")).alias("missing"),
+        F.sum(
+            (F.col("_src_sha") != F.col("content_sha256")).cast("long")
+        ).alias("mismatch"),
+    ).collect()[0]
+    missing, mismatch = int(agg["missing"] or 0), int(agg["mismatch"] or 0)
+    return {
+        "pass": missing == 0 and mismatch == 0,
+        "rows": int(agg["n"]),
+        "missing_in_corpus": missing,
+        "sha_mismatch": mismatch,
+        "join_key": key,
+    }
+
+
+def _decode_sample(root: str, docs_per_segment: int, k: int) -> dict:
+    import pyarrow.parquet as pq
+
+    from rse_spark.index.codec import decode_postings
+
+    files = sorted(
+        glob.glob(os.path.join(root, "postings", "seg_group=*",
+                               "bucket=*", "*.parquet"))
+    )
+    rng = random.Random(42)
+    checked = bad = 0
+    for path in rng.sample(files, min(len(files), max(1, k // 8))):
+        tbl = pq.read_table(path, columns=["term", "segment_id", "payload"])
+        n = tbl.num_rows
+        if n == 0:
+            continue
+        for i in rng.sample(range(n), min(n, 8)):
+            seg = int(tbl["segment_id"][i].as_py())
+            doc_ids, tfs, dls = decode_postings(
+                bytes(tbl["payload"][i].as_py())
+            )
+            lo, hi = seg * docs_per_segment, (seg + 1) * docs_per_segment
+            ok = (
+                len(doc_ids) > 0
+                and all(b > a for a, b in zip(doc_ids, doc_ids[1:]))
+                and doc_ids[0] >= lo
+                and doc_ids[-1] < hi
+                and (tfs > 0).all()
+                and (dls > 0).all()
+            )
+            checked += 1
+            bad += 0 if ok else 1
+            if checked >= k:
+                break
+        if checked >= k:
+            break
+    return {"pass": bad == 0, "lists_checked": checked, "bad": bad}
+
+
+def check_index(
+    spark: SparkSession,
+    root: str,
+    corpus: DataFrame | None = None,
+    content_col: str = "content",
+    sample_lists: int = 200,
+) -> dict:
+    store = IndexStorage(root)
+    done = store.completed_units()
+    layout = done["docs"]["layout"]
+    docs_per_segment = layout["docs_per_segment"]
+    docs_per_group = docs_per_segment * layout["segments_per_group"]
+    meta = store.docs_meta(spark)
+    report: dict[str, dict] = {}
+
+    # 2. doc ids unique + structurally placed
+    agg = meta.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("doc_id").alias("n_ids"),
+        F.sum(
+            (
+                F.col("seg_group")
+                != (F.col("doc_id") / F.lit(docs_per_group)).cast("long")
+            ).cast("long")
+        ).alias("misplaced"),
+        F.avg("doc_len").alias("avgdl"),
+    ).collect()[0]
+    n_docs = int(agg["n"])
+    report["doc_ids"] = {
+        "pass": n_docs == int(agg["n_ids"]) and int(agg["misplaced"] or 0) == 0,
+        "rows": n_docs,
+        "distinct": int(agg["n_ids"]),
+        "misplaced": int(agg["misplaced"] or 0),
+    }
+
+    # 4. corpus_stats vs docs_meta
+    stats = spark.read.parquet(store._p("corpus_stats")).collect()[0]
+    report["corpus_stats"] = {
+        "pass": int(stats["n_docs"]) == n_docs
+        and abs(float(stats["avgdl"]) - float(agg["avgdl"])) < 1e-6,
+        "stored_n_docs": int(stats["n_docs"]),
+        "actual_n_docs": n_docs,
+        "stored_avgdl": float(stats["avgdl"]),
+        "actual_avgdl": float(agg["avgdl"]),
+    }
+
+    # 3. term_stats vs recompute from posting metadata
+    stored = spark.read.parquet(store._p("term_stats"))
+    recomputed = term_stats_from_postings(
+        spark.read.parquet(store._p("postings"))
+    )
+    cols = ["term", "df", "cf", "bucket"]
+    extra = stored.select(cols).exceptAll(recomputed.select(cols)).count()
+    missing = recomputed.select(cols).exceptAll(stored.select(cols)).count()
+    report["term_stats"] = {
+        "pass": extra == 0 and missing == 0,
+        "stored_only": extra,
+        "recomputed_only": missing,
+    }
+
+    # 5. manifest lineage covers the live partitions
+    live = {
+        int(p.split("=", 1)[1])
+        for p in os.listdir(store._p("postings"))
+        if p.startswith("seg_group=")
+    }
+    manifest_groups = {
+        int(rec["seg_group"]) for u, rec in done.items()
+        if u.startswith("group=")
+    }
+    report["lineage"] = {
+        "pass": live == manifest_groups,
+        "live_groups": sorted(live),
+        "manifest_groups": sorted(manifest_groups),
+    }
+
+    # 6. codec round-trip sample
+    report["codec_sample"] = _decode_sample(
+        root, docs_per_segment, sample_lists
+    )
+
+    # 1. per-row sha256 vs the source table
+    if corpus is not None:
+        report["content_sha256"] = _sha_check(meta, corpus, content_col)
+
+    report["ok"] = all(
+        v["pass"] for v in report.values() if isinstance(v, dict)
+    )
+    return report
