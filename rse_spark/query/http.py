@@ -11,7 +11,9 @@ over shared segment storage; scale out horizontally behind any LB.
 Beyond GSE's single surface, ``?phrase=`` (adjacency-verified phrase
 match against the content store) and ``?prefix=`` (term-dictionary
 expansion feeding the BM25 scorer) expose the textmatch query semantics
-(query/textmatch.py) at the same endpoint.
+(query/textmatch.py) at the same endpoint, and ``?snippets=1`` adds a
+highlighted content-store preview per hit (the result-page surface
+GSE's CompletePage implied, main.go:34-46).
 """
 
 from __future__ import annotations
@@ -61,6 +63,15 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
             except ValueError:
                 self._json(400, {"error": "bad k/mode parameter"})
                 return
+            want_snippets = (qs.get("snippets") or ["0"])[0] not in (
+                "0", "", "false",
+            )
+            if want_snippets and corpus_path is None:
+                self._json(400, {
+                    "error": "snippets need a content store "
+                             "(server started without one)"
+                })
+                return
             if phrase.strip():
                 self._phrase(phrase, k)
                 return
@@ -68,10 +79,13 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                 terms = searcher.expand_prefix(prefix.strip())
                 hits = searcher.search_terms(terms, k=k, mode="or")
                 self._page(prefix, k, "or", hits,
-                           extra={"expanded_terms": terms})
+                           extra={"expanded_terms": terms},
+                           snippet_q=" ".join(terms) if want_snippets
+                           else None)
                 return
             hits = searcher.search(q, k=k, mode=mode)
-            self._page(q, k, mode, hits)
+            self._page(q, k, mode, hits,
+                       snippet_q=q if want_snippets else None)
 
         def _phrase(self, phrase: str, k: int) -> None:
             if corpus_path is None:
@@ -102,7 +116,17 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
             })
 
         def _page(self, q: str, k: int, mode: str, hits,
-                  extra: dict | None = None) -> None:
+                  extra: dict | None = None,
+                  snippet_q: str | None = None) -> None:
+            snips = (
+                searcher.snippets(
+                    hits, snippet_q, corpus_path,
+                    content_col=content_col, id_col=id_col,
+                    key_col=key_col,
+                )
+                if snippet_q is not None and hits
+                else {}
+            )
             page = {
                 "query": q,
                 "k": k,
@@ -113,6 +137,10 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                         "doc_id": int(d),
                         "score": round(float(s), 6),
                         "n_terms_matched": int(m),
+                        **(
+                            {"snippet": snips[int(d)]}
+                            if int(d) in snips else {}
+                        ),
                     }
                     for d, s, m in hits
                 ],

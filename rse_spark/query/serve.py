@@ -285,6 +285,31 @@ class DirectSearcher:
         if not cand:
             return []
         ids = [d for d, _s, _m in cand]
+        text_by_doc = self.fetch_content(
+            ids, corpus_path, content_col=content_col,
+            id_col=id_col, key_col=key_col,
+        )
+        n = len(words)
+        out = []
+        for d in ids:
+            sp = (text_by_doc.get(d) or "").split(" ")
+            hits = sum(
+                1 for i in range(len(sp) - n + 1)
+                if sp[i:i + n] == words
+            )
+            if hits:
+                out.append((int(d), hits))
+        out.sort(key=lambda r: (-r[1], r[0]))
+        return out[:k]
+
+    def fetch_content(self, ids: list[int], corpus_path: str,
+                      content_col: str = "text",
+                      id_col: str = "doc_id",
+                      key_col: str | None = None) -> dict[int, str]:
+        """{index doc_id: content} for a bounded id set — the serving
+        tier's document-store fetch (row-group-pruned pyarrow reads;
+        id spaces bridged via the stored doc metadata when the index
+        assigned its own ids, see ``phrase_search``)."""
         if key_col is None:
             keymap = {d: d for d in ids}
         else:
@@ -307,18 +332,46 @@ class DirectSearcher:
         text_by_key = dict(
             zip(tbl[id_col].to_pylist(), tbl[content_col].to_pylist())
         )
-        n = len(words)
-        out = []
+        return {
+            int(d): text_by_key.get(keymap.get(d)) or "" for d in ids
+        }
+
+    def snippets(self, hits, qtext: str, corpus_path: str,
+                 content_col: str = "text", id_col: str = "doc_id",
+                 key_col: str | None = None,
+                 width: int = 16) -> dict[int, str]:
+        """{doc_id: snippet} for a result page: a ``width``-token
+        window of the document centred on the first token matching any
+        analyzed query term (a raw token matches when analyzing it
+        yields a query term — so camelCase/stemmed forms highlight
+        correctly under the code analyzer). Content comes from the
+        same bounded document-store fetch the phrase verifier uses;
+        matched tokens are wrapped in **…** (GSE returned bare rows,
+        reference crawler/src/api/main.go:34-46 — a result page needs
+        previews)."""
+        terms = set(query_terms(qtext, self.analyzer))
+        ids = [d for d, *_ in hits]
+        texts = self.fetch_content(
+            ids, corpus_path, content_col=content_col,
+            id_col=id_col, key_col=key_col,
+        )
+        out: dict[int, str] = {}
         for d in ids:
-            sp = (text_by_key.get(keymap.get(d)) or "").split(" ")
-            hits = sum(
-                1 for i in range(len(sp) - n + 1)
-                if sp[i:i + n] == words
-            )
-            if hits:
-                out.append((int(d), hits))
-        out.sort(key=lambda r: (-r[1], r[0]))
-        return out[:k]
+            sp = texts.get(d, "").split(" ")
+            match = {
+                i for i, w in enumerate(sp)
+                if terms & set(query_terms(w, self.analyzer))
+            }
+            first = min(match) if match else 0
+            lo = max(0, first - width // 2)
+            window = [
+                f"**{w}**" if (lo + i) in match else w
+                for i, w in enumerate(sp[lo:lo + width])
+            ]
+            prefix = "… " if lo > 0 else ""
+            suffix = " …" if lo + width < len(sp) else ""
+            out[int(d)] = prefix + " ".join(window) + suffix
+        return out
 
     def _search_qtf(self, qtf: dict[str, int], k: int, mode: str,
                     algo: str):

@@ -209,6 +209,45 @@ def test_http_phrase_and_prefix_endpoints(spark, http_index):
         srv.stop()
 
 
+def test_http_snippets(http_index):
+    """?snippets=1 returns a highlighted window from the content store
+    for each hit; servers without a content store refuse it."""
+    import re
+
+    from rse_spark.query.http import SearchServer
+
+    srv = SearchServer(
+        http_index, analyzer="simple",
+        corpus_path=DOCS, key_col="src_doc_id",
+    ).start()
+    try:
+        url = f"{srv.address}/search?q=spark+join&k=5&snippets=1"
+        with urllib.request.urlopen(url, timeout=30) as resp:
+            body = json.load(resp)
+        assert body["n_results"] == 5
+        for res in body["results"]:
+            snip = res["snippet"]
+            marked = re.findall(r"\*\*(\S+)\*\*", snip)
+            assert marked, snip
+            assert any(
+                m.lower() in ("spark", "join") for m in marked
+            ), snip
+            # bounded window, not the whole document
+            assert len(snip.split()) <= 20
+    finally:
+        srv.stop()
+    bare = SearchServer(http_index, analyzer="simple").start()
+    try:
+        urllib.request.urlopen(
+            f"{bare.address}/search?q=spark&snippets=1", timeout=10
+        )
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    finally:
+        bare.stop()
+
+
 def test_cli_serve_smoke(http_index, capsys):
     """`rse serve` runs the HTTP tier WITHOUT a Spark session."""
     from rse_spark.cli import main
