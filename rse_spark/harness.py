@@ -1193,6 +1193,59 @@ def q_quantiles(spark, sf_dir):
     )
 
 
+def q_rep_ratio(spark, sf_dir):
+    """Gopher-style repetition signal: fraction of duplicate word
+    3-grams per document (functions/cleaning.py) — per-row JVM array
+    math, no explode, no shuffle."""
+    from rse_spark.functions.cleaning import repetition_ratio
+
+    return repetition_ratio(_docs(spark, sf_dir), n=3).select(
+        "doc_id", "n_shingles", F.round("rep_ratio", 6).alias("rep_ratio")
+    )
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing: deterministic synthetic PII (email/IPv4/phone
+    derived from doc_id) appended to each doc, then redacted with the
+    shared Java-regex/RE2-compatible patterns — one codegen projection.
+    The oracle replays the identical patterns in DuckDB."""
+    from rse_spark.functions.cleaning import redact_pii
+
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat_ws(
+            " ", "text",
+            F.concat(F.lit("user"), F.col("doc_id").cast("string"),
+                     F.lit("@example.com")),
+            F.concat(F.lit("from 10.0."),
+                     (F.col("doc_id") % 256).cast("string"), F.lit(".7")),
+            F.lit("call 555-123-4567 now"),
+        ),
+    )
+    return redact_pii(d).select("doc_id", "text")
+
+
+DECON_N = 5  # decontamination n-gram size, mirrored in the SQL oracle
+
+
+def q_decontaminate(spark, sf_dir):
+    """Eval-set decontamination flags: training docs sharing any word
+    5-gram with the held-out eval slice (doc_id % 50 == 0). Shingle
+    both sides, broadcast hash semi-join — never a cross join."""
+    from rse_spark.functions.cleaning import contaminated_ids
+
+    d = _docs(spark, sf_dir)
+    ev = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    bad = contaminated_ids(train, ev, n=DECON_N).withColumn(
+        "contaminated", F.lit(True)
+    )
+    return train.join(bad, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1258,6 +1311,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_bm25": q_prefix_bm25,
         "prefix_wand": q_prefix_wand,
         "facet_counts": q_facet_counts,
+        "rep_ratio": q_rep_ratio,
+        "pii_redact": q_pii_redact,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -1961,6 +2017,60 @@ def oracle_sql() -> dict[str, str]:
               WHERE term IN ({terms})
             )
             GROUP BY lang, source
+        """,
+        "rep_ratio": """
+            SELECT doc_id, len(sh)::bigint AS n_shingles,
+                   round(CASE WHEN len(sh) > 0 THEN
+                     1.0 - len(list_distinct(sh)) / CAST(len(sh) AS DOUBLE)
+                   ELSE 0.0 END, 6) AS rep_ratio
+            FROM (
+              SELECT doc_id,
+                     CASE WHEN len(sp) >= 3 THEN
+                       list_transform(range(1, len(sp) - 1),
+                         i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2])
+                     ELSE [] END AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS sp
+                    FROM documents)
+            )
+        """,
+        "pii_redact": """
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         concat_ws(' ', text,
+                           'user' || doc_id || '@example.com',
+                           'from 10.0.' || (doc_id % 256) || '.7',
+                           'call 555-123-4567 now'),
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                         '[PII]', 'g'),
+                       '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[PII]', 'g'),
+                     '\\b\\d{3}[- .]\\d{3}[- .]\\d{4}\\b', '[PII]', 'g')
+                   AS text
+            FROM documents
+        """,
+        "decontaminate": f"""
+            WITH sp AS (SELECT doc_id, string_split(text, ' ') AS sp
+                        FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(sp) >= {DECON_N} THEN
+                       list_transform(range(1, len(sp) - {DECON_N - 2}),
+                         i -> {" || ' ' || ".join(
+                             f"sp[i+{j}]" if j else "sp[i]"
+                             for j in range(DECON_N))})
+                     ELSE [] END) AS shingle
+              FROM sp
+            ),
+            evs AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+            bad AS (
+              SELECT DISTINCT doc_id FROM sh
+              WHERE doc_id % 50 != 0
+                AND shingle IN (SELECT shingle FROM evs)
+            )
+            SELECT d.doc_id,
+                   (d.doc_id IN (SELECT doc_id FROM bad)) AS contaminated
+            FROM documents d WHERE d.doc_id % 50 != 0
         """,
         **_ann_oracle_sqls(),
     }
