@@ -50,6 +50,16 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--train-pct", type=int, default=90)
     c.add_argument("--chunk-tokens", type=int, default=None)
     c.add_argument("--chunk-stride", type=int, default=None)
+    c.add_argument("--redact-pii", action="store_true",
+                   help="scrub email/IPv4/phone from content")
+    c.add_argument("--max-rep-ratio", type=float, default=None,
+                   help="drop docs whose duplicate-3-gram fraction "
+                        "exceeds this (Gopher-style repetition filter)")
+    c.add_argument("--decontaminate-against", action="append",
+                   default=None,
+                   help="held-out eval corpus path (repeatable); drop "
+                        "training docs sharing any n-gram with it")
+    c.add_argument("--decon-n", type=int, default=8)
 
     v = sub.add_parser(
         "check", help="verify index integrity (per-row sha256 vs the "
@@ -164,6 +174,10 @@ def main(argv: list[str] | None = None) -> int:
             allow_langs=(args.allow_langs.split(",")
                          if args.allow_langs else None),
             min_chars=args.min_chars,
+            redact=args.redact_pii,
+            max_rep_ratio=args.max_rep_ratio,
+            decontaminate_against=args.decontaminate_against,
+            decon_n=args.decon_n,
             near_dup=not args.no_near_dup,
             cap_per_lang=args.cap_per_lang,
             train_pct=args.train_pct,

@@ -146,6 +146,10 @@ def curate_dataset(
     allow_langs: list[str] | None = None,
     deny_sources: list[str] | None = None,
     min_chars: int = 1,
+    redact: bool = False,
+    max_rep_ratio: float | None = None,
+    decontaminate_against: list[str] | str | None = None,
+    decon_n: int = 8,
     near_dup: bool = True,
     shingle_n: int = 3,
     min_shared_bands: int = 2,
@@ -162,6 +166,8 @@ def curate_dataset(
     build_resumable's fail_after_units)."""
     if isinstance(inputs, str):
         inputs = [inputs]
+    if isinstance(decontaminate_against, str):
+        decontaminate_against = [decontaminate_against]
     man = StageManifest(out_dir)
     done = man.done()
     completed_now = 0
@@ -174,9 +180,12 @@ def curate_dataset(
     stage_params: dict[str, dict] = {
         "ingest": {"inputs": inputs, "content_col": content_col},
         "gate": {"allow_langs": allow_langs, "deny_sources": deny_sources,
-                 "min_chars": min_chars},
+                 "min_chars": min_chars, "redact": redact,
+                 "max_rep_ratio": max_rep_ratio},
         "dedup": {"near_dup": near_dup, "shingle_n": shingle_n,
-                  "min_shared_bands": min_shared_bands},
+                  "min_shared_bands": min_shared_bands,
+                  "decontaminate_against": decontaminate_against,
+                  "decon_n": decon_n},
         "cap": {"cap_per_lang": cap_per_lang},
         "split": {"train_pct": train_pct},
         "chunk": {"chunk_tokens": chunk_tokens,
@@ -214,10 +223,27 @@ def curate_dataset(
 
     docs = _run("ingest", lambda: _ingest(spark, inputs, content_col))
 
-    gated = _run("gate", lambda: filter_gate(
-        docs, allow_langs=allow_langs, deny_sources=deny_sources,
-        min_chars=min_chars, content_col="content",
-    ))
+    def _gate():
+        out = filter_gate(
+            docs, allow_langs=allow_langs, deny_sources=deny_sources,
+            min_chars=min_chars, content_col="content",
+        )
+        if redact:
+            from rse_spark.functions.cleaning import redact_pii
+
+            out = redact_pii(out, content_col="content")
+        if max_rep_ratio is not None:
+            # Gopher-style repetition filter: drop docs whose duplicate
+            # 3-gram fraction exceeds the threshold
+            from rse_spark.functions.cleaning import repetition_ratio
+
+            spam = repetition_ratio(
+                out, n=3, content_col="content", id_col="doc_uid"
+            ).filter(F.col("rep_ratio") > max_rep_ratio).select("doc_uid")
+            out = out.join(spam, "doc_uid", "left_anti")
+        return out
+
+    gated = _run("gate", _gate)
 
     def _dedup():
         keepers = gated.groupBy(F.md5("content").alias("_fp")).agg(
@@ -243,6 +269,26 @@ def curate_dataset(
         if near_dup:
             out = _near_dup_keepers(
                 out, shingle_n, min_shared_bands=min_shared_bands
+            )
+        if decontaminate_against:
+            # eval-set decontamination rides the dedup stage: it is the
+            # same shingle -> overlap -> drop family, applied against an
+            # EXTERNAL held-out set instead of the corpus itself
+            from rse_spark.functions.cleaning import decontaminate
+
+            evals = None
+            for p in decontaminate_against:
+                e = read_corpus(spark, p, content_col=content_col)
+                evals = e if evals is None else evals.unionByName(
+                    e, allowMissingColumns=True
+                )
+            evals = evals.withColumn(
+                "content",
+                F.coalesce(F.col("content").cast("string"), F.lit("")),
+            )
+            out = decontaminate(
+                out, evals, n=decon_n,
+                content_col="content", id_col="doc_uid",
             )
         return out
 

@@ -89,6 +89,10 @@ def contaminated_ids(docs: DataFrame, eval_docs: DataFrame, n: int = 8,
     the eval side is benchmark-sized and broadcasts."""
     train_sh = word_shingles(docs, n=n, content_col=content_col,
                              id_col=id_col)
+    if id_col not in eval_docs.columns:
+        # only the eval SHINGLES matter; a constant id satisfies the
+        # shingler's shape without requiring the eval set to be keyed
+        eval_docs = eval_docs.withColumn(id_col, F.lit(0))
     eval_sh = word_shingles(eval_docs, n=n, content_col=content_col,
                             id_col=id_col).select("shingle").distinct()
     return (

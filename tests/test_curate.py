@@ -176,6 +176,43 @@ def test_curate_null_content_keys(spark, tmp_path_factory):
     assert summary["n_rows"] >= 1
 
 
+def test_curate_cleaning_stages(spark, tmp_path_factory):
+    """redact + repetition filter + eval-set decontamination inside the
+    pipeline: PII never reaches the dataset, repetitive docs and eval
+    overlaps are dropped."""
+    root = tmp_path_factory.mktemp("curate_clean_src")
+    rows = [{"doc_id": i,
+             "text": f"doc{i} " + " ".join(f"w{i}x{j}" for j in range(30)),
+             "lang": "en"} for i in range(10)]
+    rows[3]["text"] += " reach me at bob@corp.example.com or 10.1.2.3"
+    rows[5]["text"] = "spam spam spam " * 10          # rep_ratio ~ 1
+    rows[7]["text"] = "the secret eval answer sequence is here " + \
+        rows[7]["text"]
+    pd.DataFrame(rows).to_parquet(root / "docs.parquet")
+    pd.DataFrame([{
+        "text": "benchmark: the secret eval answer sequence is what"
+    }]).to_parquet(root / "eval.parquet")
+
+    out = str(tmp_path_factory.mktemp("curate_clean_out"))
+    summary = curate_dataset(
+        spark, [str(root / "docs.parquet")], out,
+        content_col="text", min_chars=10, near_dup=False,
+        redact=True, max_rep_ratio=0.5,
+        decontaminate_against=str(root / "eval.parquet"), decon_n=5,
+    )
+    # doc 5 (repetitive) dropped at gate; doc 7 (eval overlap) at dedup
+    assert summary["stages"]["gate"] == 9
+    assert summary["stages"]["dedup"] == 8
+    ds = spark.read.json(summary["dataset"])
+    assert ds.count() == 8
+    texts = [r["content"] for r in ds.collect()]
+    joined = " ".join(texts)
+    assert "bob@corp.example.com" not in joined
+    assert "10.1.2.3" not in joined
+    assert "[PII]" in joined
+    assert not any("secret eval answer" in t for t in texts)
+
+
 def test_curate_cli(corpus_tree, tmp_path_factory, capsys):
     from rse_spark.cli import main
 
