@@ -119,6 +119,16 @@ def main() -> None:
         d50 = dlat[len(dlat) // 2]
         d95 = dlat[max(0, int(len(dlat) * 0.95) - 1)]
 
+        # prefix queries (dictionary expansion -> pre-analyzed-term
+        # scoring): the textmatch surface at serving latency
+        plat: list[float] = []
+        for pre in ("pa", "so", "me", "in", "co", "re", "de", "st"):
+            t0 = time.time()
+            searcher.search_terms(searcher.expand_prefix(pre), k=10)
+            plat.append(time.time() - t0)
+        plat.sort()
+        p50_prefix = plat[len(plat) // 2]
+
     finally:
         shutil.rmtree(idx_root, ignore_errors=True)
 
@@ -199,6 +209,7 @@ def main() -> None:
                 "serve_p95_ms": round(1000 * d95, 2),
                 "serve_cold_p50_ms": round(1000 * c50, 2),
                 "serve_cold_p95_ms": round(1000 * c95, 2),
+                "serve_prefix_p50_ms": round(1000 * p50_prefix, 2),
                 "skew_exhaustive_ms": round(1000 * skew_ex, 2),
                 "skew_wand_ms": round(1000 * skew_wd, 2),
                 "wand_blocks_skipped_pct": blocks_skipped_pct,

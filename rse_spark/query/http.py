@@ -40,6 +40,21 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
 
         def do_GET(self) -> None:  # noqa: N802 — http.server API
             u = urlparse(self.path)
+            if u.path == "/healthz":
+                # liveness: the dictionary is loaded and non-trivial
+                self._json(200, {"ok": True, "n_docs": searcher.n_docs})
+                return
+            if u.path == "/stats":
+                self._json(200, {
+                    "n_docs": searcher.n_docs,
+                    "avgdl": round(searcher.avgdl, 6),
+                    "vocab_size": len(searcher.term_dict),
+                    "cached_buckets": len(searcher._bucket_tables),
+                    "cached_bucket_bytes": searcher.cached_bucket_bytes,
+                    "max_bucket_bytes": searcher.max_bucket_bytes,
+                    "phrase_enabled": corpus_path is not None,
+                })
+                return
             if u.path != "/search":
                 self._json(404, {"error": "not found"})
                 return

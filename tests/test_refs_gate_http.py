@@ -209,6 +209,29 @@ def test_http_phrase_and_prefix_endpoints(spark, http_index):
         srv.stop()
 
 
+def test_http_health_and_stats(http_index):
+    from rse_spark.query.http import SearchServer
+
+    srv = SearchServer(http_index, analyzer="simple").start()
+    try:
+        with urllib.request.urlopen(
+            f"{srv.address}/healthz", timeout=10
+        ) as r:
+            h = json.load(r)
+        assert h["ok"] and h["n_docs"] == 200
+        # a search warms the bucket cache; stats reflect it
+        urllib.request.urlopen(
+            f"{srv.address}/search?q=spark&k=3", timeout=30
+        ).read()
+        with urllib.request.urlopen(f"{srv.address}/stats", timeout=10) as r:
+            s = json.load(r)
+        assert s["n_docs"] == 200 and s["vocab_size"] > 0
+        assert s["cached_buckets"] >= 1 and s["cached_bucket_bytes"] > 0
+        assert s["phrase_enabled"] is False
+    finally:
+        srv.stop()
+
+
 def test_http_snippets(http_index):
     """?snippets=1 returns a highlighted window from the content store
     for each hit; servers without a content store refuse it."""
