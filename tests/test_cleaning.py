@@ -79,6 +79,35 @@ def test_repetition_ratio_values(spark):
     assert got[2] == (0, 0.0)
 
 
+@pytest.mark.parametrize("seed", range(3))
+def test_repetition_ratio_matches_reference(spark, seed):
+    """Property check: the JVM expression equals a plain-Python
+    reference over random token streams (incl. empty/short docs)."""
+    import random
+
+    rng = random.Random(seed)
+    texts = []
+    for _ in range(30):
+        n_tok = rng.randint(0, 12)
+        texts.append(" ".join(
+            rng.choice("a b c d".split()) for _ in range(n_tok)
+        ))
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(len(texts)), "text": texts,
+    }))
+    got = {
+        r["doc_id"]: (r["n_shingles"], round(r["rep_ratio"], 9))
+        for r in repetition_ratio(docs, n=3).collect()
+    }
+    for i, t in enumerate(texts):
+        sp = t.split(" ")
+        sh = [" ".join(sp[j:j + 3]) for j in range(len(sp) - 2)] \
+            if len(sp) >= 3 else []
+        want = (len(sh),
+                round(1 - len(set(sh)) / len(sh), 9) if sh else 0.0)
+        assert got[i] == want, (i, t)
+
+
 def test_cleaning_stays_jvm(spark, train):
     """No Python UDFs in any cleaning plan (hot-path rule)."""
     evals = train.limit(1)

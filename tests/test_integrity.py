@@ -99,6 +99,28 @@ def test_detects_stale_stats_and_lineage(spark, built, tmp_path_factory):
     assert 999 in report["lineage"]["live_groups"]
 
 
+def test_integrity_after_stream_grow_and_compact(spark, tmp_path_factory):
+    """The north_rule sha invariant survives the full index lifecycle:
+    stream-grown in sparse batches, then compacted (doc ids renumber,
+    segments rewrite) — check_index stays green against the source."""
+    from rse_spark.index.compact import compact_groups
+    from rse_spark.streaming.stream_index import append_batch
+
+    root = str(tmp_path_factory.mktemp("integrity_lifecycle"))
+    docs = spark.read.parquet(DOCS)
+    for i, (lo, hi) in enumerate([(0, 80), (80, 150), (150, 300)]):
+        append_batch(
+            spark, docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            root, analyzer="simple", content_col="text",
+            docs_per_segment=64, segments_per_group=4, batch_id=i,
+        )
+    assert compact_groups(spark, root, min_fill=0.5)["merged"] >= 2
+    report = check_index(spark, root, corpus=docs, content_col="text")
+    assert report["ok"], report
+    assert report["content_sha256"]["rows"] == 300
+    assert report["content_sha256"]["join_key"] == ["src_doc_id"]
+
+
 def test_check_cli(spark, built, capsys):
     from rse_spark.cli import main
 
