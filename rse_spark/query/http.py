@@ -11,9 +11,11 @@ over shared segment storage; scale out horizontally behind any LB.
 Beyond GSE's single surface, ``?phrase=`` (adjacency-verified phrase
 match against the content store) and ``?prefix=`` (term-dictionary
 expansion feeding the BM25 scorer) expose the textmatch query semantics
-(query/textmatch.py) at the same endpoint, and ``?snippets=1`` adds a
-highlighted content-store preview per hit (the result-page surface
-GSE's CompletePage implied, main.go:34-46).
+(query/textmatch.py) at the same endpoint, ``?ql=`` accepts the flat
+boolean mini-language (query/qlang.py: OR of AND-clauses with quoted
+phrases and ``tok*`` prefixes), and ``?snippets=1`` adds a highlighted
+content-store preview per hit (the result-page surface GSE's
+CompletePage implied, main.go:34-46).
 """
 
 from __future__ import annotations
@@ -62,12 +64,13 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
             q = (qs.get("q") or [""])[0]
             phrase = (qs.get("phrase") or [""])[0]
             prefix = (qs.get("prefix") or [""])[0]
-            given = [p for p in (q, phrase, prefix) if p.strip()]
+            ql = (qs.get("ql") or [""])[0]
+            given = [p for p in (q, phrase, prefix, ql) if p.strip()]
             if len(given) != 1:
                 # GSE: empty query -> http.Error 400 (main.go:210-214);
-                # exactly one of q / phrase / prefix must be present
+                # exactly one of q / phrase / prefix / ql must be present
                 self._json(400, {
-                    "error": "exactly one of q, phrase, prefix required"
+                    "error": "exactly one of q, phrase, prefix, ql required"
                 })
                 return
             try:
@@ -86,6 +89,23 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                     "error": "snippets need a content store "
                              "(server started without one)"
                 })
+                return
+            if ql.strip():
+                from rse_spark.query.qlang import search_ql
+
+                try:
+                    hits = search_ql(
+                        searcher, ql, k=k, corpus_path=corpus_path,
+                        content_col=content_col, id_col=id_col,
+                        key_col=key_col,
+                    )
+                except ValueError as e:
+                    self._json(400, {"error": str(e)})
+                    return
+                self._page(ql, k, "ql", hits,
+                           snippet_q=ql.replace('"', " ").replace(
+                               " AND ", " ").replace(" OR ", " ")
+                           if want_snippets else None)
                 return
             if phrase.strip():
                 self._phrase(phrase, k)

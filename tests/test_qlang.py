@@ -1,0 +1,145 @@
+"""Mini query language (query/qlang.py): parser, clause semantics over
+a planted corpus, parity with the plain search paths, HTTP surface."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pandas as pd
+import pytest
+
+from rse_spark.query.qlang import parse_ql, search_ql
+from rse_spark.query.serve import DirectSearcher
+
+ROWS = [
+    (0, "alpha beta gamma"),
+    (1, "alpha delta"),
+    (2, "beta delta"),
+    (3, "epsilon zeta eta"),
+    (4, "alphabet soup"),
+    (5, "beta alpha order"),
+]
+
+
+@pytest.fixture(scope="module")
+def planted(spark, tmp_path_factory):
+    """(index_root, corpus_path, to_src): tiny controlled corpus."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from rse_spark.streaming.stream_index import append_batch
+
+    base = tmp_path_factory.mktemp("qlang")
+    corpus_path = str(base / "corpus.parquet")
+    pd.DataFrame(ROWS, columns=["doc_id", "text"]).to_parquet(corpus_path)
+    root = str(base / "idx")
+    docs = spark.read.parquet(corpus_path)
+    append_batch(spark, docs, root, analyzer="simple", content_col="text",
+                 batch_id=0)
+    to_src = {
+        int(r["doc_id"]): int(r["src_doc_id"])
+        for r in spark.read.parquet(f"{root}/enriched")
+        .select("doc_id", "src_doc_id").collect()
+    }
+    return root, corpus_path, to_src
+
+
+def test_parse_ql():
+    cs = parse_ql('error AND handler OR panic')
+    assert [(c.terms, c.prefixes, c.phrases) for c in cs] == [
+        (["error", "handler"], [], []),
+        (["panic"], [], []),
+    ]
+    cs = parse_ql('"merge sort" AND stable')
+    assert cs[0].phrases == ["merge sort"] and cs[0].terms == ["stable"]
+    cs = parse_ql('pars* config')
+    assert cs[0].prefixes == ["pars"] and cs[1].terms == ["config"]
+    # default adjacency is OR (GSE semantics)
+    assert len(parse_ql("spark join")) == 2
+    for bad in ("", "   ", "AND OR", '""'):
+        with pytest.raises(ValueError):
+            parse_ql(bad)
+
+
+def _src_ids(hits, to_src):
+    return {to_src[d] for d, _s, _m in hits}
+
+
+def test_clause_semantics(planted):
+    root, corpus_path, to_src = planted
+    s = DirectSearcher(root, analyzer="simple")
+    kw = dict(corpus_path=corpus_path, key_col="src_doc_id")
+
+    # conjunction
+    assert _src_ids(search_ql(s, "alpha AND beta", **kw), to_src) == {0, 5}
+    # disjunction of clauses
+    assert _src_ids(
+        search_ql(s, "alpha AND beta OR epsilon", **kw), to_src
+    ) == {0, 3, 5}
+    # phrase atom: adjacency, not co-occurrence
+    assert _src_ids(search_ql(s, '"alpha beta"', **kw), to_src) == {0}
+    assert _src_ids(
+        search_ql(s, '"beta alpha" OR epsilon', **kw), to_src
+    ) == {3, 5}
+    # prefix atom
+    assert _src_ids(search_ql(s, "alphabet*", **kw), to_src) == {4}
+    assert _src_ids(search_ql(s, "alph*", **kw), to_src) == {0, 1, 4, 5}
+    # phrase AND term
+    assert _src_ids(
+        search_ql(s, '"alpha beta" AND gamma', **kw), to_src
+    ) == {0}
+    # nothing qualifies
+    assert search_ql(s, "alpha AND epsilon", **kw) == []
+
+
+def test_ranking_matches_plain_search(planted):
+    root, _corpus, _to_src = planted
+    s = DirectSearcher(root, analyzer="simple")
+    plain = [(d, round(sc, 9)) for d, sc, _m in s.search("alpha beta", k=10)]
+    ql = [(d, round(sc, 9))
+          for d, sc, _m in search_ql(s, "alpha beta", k=10)]
+    assert ql == plain
+
+
+def test_phrase_without_content_store_raises(planted):
+    root, _corpus, _to_src = planted
+    s = DirectSearcher(root, analyzer="simple")
+    with pytest.raises(ValueError, match="content store"):
+        search_ql(s, '"alpha beta"')
+
+
+def test_http_ql(planted):
+    from rse_spark.query.http import SearchServer
+
+    root, corpus_path, to_src = planted
+    srv = SearchServer(
+        root, analyzer="simple",
+        corpus_path=corpus_path, key_col="src_doc_id",
+    ).start()
+    try:
+        url = (srv.address
+               + "/search?ql=%22alpha+beta%22+OR+epsilon&k=10&snippets=1")
+        with urllib.request.urlopen(url, timeout=30) as resp:
+            body = json.load(resp)
+        got = {to_src[r["doc_id"]] for r in body["results"]}
+        assert got == {0, 3}
+        assert all("snippet" in r for r in body["results"])
+        # two selectors -> 400
+        try:
+            urllib.request.urlopen(
+                srv.address + "/search?ql=a&q=b", timeout=10
+            )
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        # operator-only -> 400 (parse error surfaced)
+        try:
+            urllib.request.urlopen(
+                srv.address + "/search?ql=AND", timeout=10
+            )
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.stop()
