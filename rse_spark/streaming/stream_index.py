@@ -150,6 +150,13 @@ def append_batch(
     """
     if batch_df.isEmpty():
         return 0
+    # foreachBatch hands the sink a MICRO-BATCH CLONED session whose
+    # SQLConf snapshotted at stream start: conf set on the outer
+    # session does not reach it, and with the default STATIC overwrite
+    # mode every partitioned write would silently wipe all prior
+    # seg_group partitions. All writes below descend from batch_df, so
+    # configure (and read) through ITS session.
+    spark = batch_df.sparkSession
     store = IndexStorage(root)
     docs_per_group = docs_per_segment * segments_per_group
     claim_unit = f"stream_batch={batch_id}" if batch_id >= 0 else None
@@ -328,14 +335,26 @@ def start_stream(
     docs_per_segment: int = 1024,
     segments_per_group: int = 4,
     trigger_once: bool = True,
+    auto_compact_every: int | None = None,
+    compact_min_fill: float = 0.5,
+    max_files_per_trigger: int | None = None,
 ):
     """File-source stream -> foreachBatch incremental indexing.
 
     ``checkpoint_dir`` is the processed-files ledger (the Redis
-    visited-set analogue, crawler.go:28) — restarts resume exactly."""
-    stream = (
-        spark.readStream.schema(schema).parquet(input_dir)
-    )
+    visited-set analogue, crawler.go:28) — restarts resume exactly.
+
+    ``auto_compact_every=N`` runs the segment merge policy
+    (index/compact.compact_groups) after every N-th batch — the
+    Lucene merge-scheduler analogue: small micro-batches keep landing
+    as sparse groups and are periodically folded into full ones. Safe
+    inside foreachBatch because the stream is the index's single
+    writer; compaction's own claim protocol makes a crash mid-merge
+    resumable on the next batch (or next compact call)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         append_batch(
@@ -345,6 +364,14 @@ def start_stream(
             segments_per_group=segments_per_group,
             batch_id=batch_id,
         )
+        if (
+            auto_compact_every
+            and batch_id >= 0
+            and (batch_id + 1) % auto_compact_every == 0
+        ):
+            from rse_spark.index.compact import compact_groups
+
+            compact_groups(spark, root, min_fill=compact_min_fill)
 
     writer = (
         stream.writeStream.foreachBatch(_sink)

@@ -164,6 +164,50 @@ def test_compact_cli(spark, tmp_path_factory, capsys):
     assert out["merged"] == 2 and out["into"] == 1
 
 
+def test_stream_auto_compact(spark, tmp_path_factory):
+    """auto_compact_every folds sparse stream batches into full groups
+    as the stream runs; queries keep answering identically."""
+    import time as _time
+
+    from rse_spark.streaming.stream_index import start_stream
+
+    src = str(tmp_path_factory.mktemp("autocompact_src"))
+    root = str(tmp_path_factory.mktemp("autocompact_idx"))
+    ckpt = str(tmp_path_factory.mktemp("autocompact_ckpt"))
+    docs = spark.read.parquet(DOCS)
+    # 4 files -> 4 micro-batches of ~75 docs each (docs_per_group=256)
+    for i, (lo, hi) in enumerate([(0, 80), (80, 150), (150, 210), (210, 300)]):
+        (
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .coalesce(1).write.parquet(f"{src}/b{i}")
+        )
+        _time.sleep(1.1)  # file-source orders batches by mtime
+    q = start_stream(
+        spark, f"{src}/b*", root, ckpt, docs.schema,
+        analyzer="simple", content_col="text",
+        docs_per_segment=64, segments_per_group=4,
+        auto_compact_every=2, max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    st = IndexStorage(root)
+    idx = st.load(spark)
+    assert idx.n_docs == 300
+    # REGRESSION (micro-batch session clone): every batch's partitions
+    # must survive — with the default static overwrite leaking into
+    # foreachBatch, each batch silently wiped the previous ones and
+    # only corpus_stats kept claiming 300 docs
+    assert idx.doc_stats.count() == 300
+    units = [u for u in st.completed_units() if u.startswith("group=")]
+    # without compaction 4+ sparse groups; the merge policy folded them
+    assert len(units) <= 3
+    assert any(
+        u.startswith("compact=") and rec.get("committed")
+        for u, rec in st.completed_units().items()
+    )
+    hits = _result_shas(spark, st, QUERIES)
+    assert all(len(v) > 0 for v in hits.values())
+
+
 def test_append_after_compact_continues_above(spark, tmp_path_factory):
     """Streaming appends after a compaction claim ranges above the
     merged groups — ids never collide."""
