@@ -41,6 +41,19 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
             self.wfile.write(body)
 
         def do_GET(self) -> None:  # noqa: N802 — http.server API
+            # one JSON 500 instead of a dropped connection on any
+            # unexpected failure (e.g. a misconfigured content store)
+            try:
+                self._route()
+            except BrokenPipeError:
+                pass
+            except Exception as e:  # noqa: BLE001
+                try:
+                    self._json(500, {"error": f"internal: {e}"})
+                except Exception:  # noqa: BLE001 — client already gone
+                    pass
+
+        def _route(self) -> None:
             u = urlparse(self.path)
             if u.path == "/healthz":
                 # liveness: the dictionary is loaded and non-trivial

@@ -209,6 +209,27 @@ def test_http_phrase_and_prefix_endpoints(spark, http_index):
         srv.stop()
 
 
+def test_http_internal_error_returns_500_json(http_index):
+    """A misconfigured server (e.g. bad key_col/content store) returns
+    a JSON 500 instead of dropping the connection."""
+    from rse_spark.query.http import SearchServer
+
+    srv = SearchServer(
+        http_index, analyzer="simple",
+        corpus_path="/nonexistent/corpus.parquet", key_col="src_doc_id",
+    ).start()
+    try:
+        urllib.request.urlopen(
+            f"{srv.address}/search?phrase=spark+join", timeout=30
+        )
+        raise AssertionError("expected HTTP 500")
+    except urllib.error.HTTPError as e:
+        assert e.code == 500
+        assert "error" in json.load(e)
+    finally:
+        srv.stop()
+
+
 def test_http_health_and_stats(http_index):
     from rse_spark.query.http import SearchServer
 
