@@ -129,6 +129,36 @@ def main() -> None:
         plat.sort()
         p50_prefix = plat[len(plat) // 2]
 
+        # qlang 3-atom boolean queries at serving latency: presence
+        # sets over decoded doc-id arrays + ONE scoring pass
+        # restricted to qualifiers (round-4 advice item) — should
+        # track single-search latency, not 3x it
+        from rse_spark.query.qlang import search_ql
+
+        qlat: list[float] = []
+        for q in qset.itertuples():
+            toks = q.query_text.split()
+            if len(toks) < 3:
+                continue
+            ql = f"{toks[0]} AND {toks[1]} OR {toks[2]}"
+            t0 = time.time()
+            search_ql(searcher, ql, k=10)
+            qlat.append(time.time() - t0)
+        qlat.sort()
+        ql_p50 = qlat[len(qlat) // 2] if qlat else 0.0
+
+        # ---- integrity job at bench scale (round-4 verdict item 7):
+        # the per-row sha invariant + structural checks demonstrated
+        # on the full sf corpus each round, with its wall time
+        from rse_spark.index.integrity import check_index
+
+        t0 = time.time()
+        integrity = check_index(
+            spark, idx_root, corpus=corpus, content_col="content",
+            expect_full_coverage=True,
+        )
+        integrity_sec = time.time() - t0
+
     finally:
         shutil.rmtree(idx_root, ignore_errors=True)
 
@@ -210,6 +240,9 @@ def main() -> None:
                 "serve_cold_p50_ms": round(1000 * c50, 2),
                 "serve_cold_p95_ms": round(1000 * c95, 2),
                 "serve_prefix_p50_ms": round(1000 * p50_prefix, 2),
+                "serve_ql_p50_ms": round(1000 * ql_p50, 2),
+                "integrity_ok": bool(integrity["ok"]),
+                "integrity_sec": round(integrity_sec, 3),
                 "skew_exhaustive_ms": round(1000 * skew_ex, 2),
                 "skew_wand_ms": round(1000 * skew_wd, 2),
                 "wand_blocks_skipped_pct": blocks_skipped_pct,

@@ -70,6 +70,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="source parquet for the per-row sha256 check")
     v.add_argument("--content-col", default="content")
     v.add_argument("--sample-lists", type=int, default=200)
+    v.add_argument("--expect-full-coverage", action="store_true",
+                   help="fail if any corpus row is absent from the "
+                        "index (default: report-only — gated/subset "
+                        "builds legitimately index fewer rows)")
 
     k = sub.add_parser(
         "compact", help="merge sparse segment groups (stream-grown "
@@ -95,8 +99,23 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--id-col", default="doc_id")
     s.add_argument("--max-bucket-mb", type=int, default=None,
                    help="LRU budget for the columnar bucket cache")
+    s.add_argument("--max-vocab", type=int, default=10_000_000,
+                   help="above this vocab size, skip the in-memory "
+                        "dict and use per-term parquet lookups")
     s.add_argument("--smoke", action="store_true",
                    help="start, print the address, stop (healthcheck)")
+
+    cs = sub.add_parser(
+        "content-store",
+        help="write an id-clustered content store (row-group-prunable "
+             "snippet/phrase fetches)"
+    )
+    cs.add_argument("--input", required=True)
+    cs.add_argument("--out", required=True)
+    cs.add_argument("--id-col", default="doc_id")
+    cs.add_argument("--rows-per-file", type=int, default=1_000_000)
+    cs.add_argument("--block-bytes", type=int, default=None,
+                    help="parquet row-group byte target (finer pruning)")
 
     q = sub.add_parser("query", help="BM25 top-k search")
     q.add_argument("--root", required=True)
@@ -118,6 +137,7 @@ def main(argv: list[str] | None = None) -> int:
             corpus_path=args.corpus_path,
             content_col=args.content_col, id_col=args.id_col,
             key_col=args.key_col,
+            max_vocab_in_memory=args.max_vocab,
         )
         if args.max_bucket_mb is not None:
             srv.searcher.max_bucket_bytes = args.max_bucket_mb << 20
@@ -144,7 +164,19 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(f"rse-cli-{args.cmd}")
     ensure_shipped(spark)
 
-    if args.cmd == "build":
+    if args.cmd == "content-store":
+        from rse_spark.sources.corpus_io import write_content_store
+
+        t0 = time.time()
+        write_content_store(
+            spark.read.parquet(args.input), args.out,
+            id_col=args.id_col,
+            target_rows_per_file=args.rows_per_file,
+            parquet_block_bytes=args.block_bytes,
+        )
+        print(json.dumps({"out": args.out,
+                          "wall_sec": round(time.time() - t0, 2)}))
+    elif args.cmd == "build":
         from rse_spark.index.storage import build_resumable
 
         corpus = spark.read.parquet(args.corpus)
@@ -196,6 +228,7 @@ def main(argv: list[str] | None = None) -> int:
                     if args.corpus else None),
             content_col=args.content_col,
             sample_lists=args.sample_lists,
+            expect_full_coverage=args.expect_full_coverage,
         )
         report["wall_sec"] = round(time.time() - t0, 2)
         print(json.dumps(report))

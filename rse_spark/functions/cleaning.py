@@ -27,11 +27,23 @@ from pyspark.sql import functions as F
 from rse_spark.functions.dedup import word_shingles
 
 # patterns restricted to syntax shared by Java regex (Spark) and RE2
-# (DuckDB), so the oracle can replay them verbatim: no lookarounds.
+# (DuckDB), so the oracle can replay them verbatim: no lookarounds, no
+# backreferences. Checksum guards (Luhn for cards, SSN area rules) are
+# not regex-expressible, so the bounded-FP variants are used and the
+# false-positive surface is DOCUMENTED per pattern:
+#   credit_card — 4x4 digit groups (space/dash separated) or a bare
+#     15-16 digit run. FP: any isolated 15-16 digit integer (random
+#     ids of exactly that width) redacts; 13-14 digit numbers,
+#     timestamps (<=14 digits) and longer hashes do not match.
+#   ssn — dashed 3-2-4 form only. Bare 9-digit runs are deliberately
+#     NOT matched (too many legitimate ids); FP: any dashed 3-2-4
+#     number (not a date: dates are 4-2-2).
 PII_PATTERNS: dict[str, str] = {
+    "credit_card": r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b|\b\d{15,16}\b",
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
     "phone": r"\b\d{3}[- .]\d{3}[- .]\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
 }
 
 

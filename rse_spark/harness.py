@@ -1220,6 +1220,12 @@ def q_pii_redact(spark, sf_dir):
             F.concat(F.lit("from 10.0."),
                      (F.col("doc_id") % 256).cast("string"), F.lit(".7")),
             F.lit("call 555-123-4567 now"),
+            F.lit("ssn 078-05-1120 card 4111-1111-1111-1111"),
+            F.lit("pan 4111111111111111 ok"),
+            # FP probes that must SURVIVE redaction: a date (4-2-2),
+            # a 14-digit order id, a bare 9-digit id, a long hash run
+            F.lit("date 2024-01-02 order 12345678901234"),
+            F.lit("id 123456789 hash 12345678901234567890"),
         ),
     )
     return redact_pii(d).select("doc_id", "text")
@@ -2038,14 +2044,23 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(
                      regexp_replace(
                        regexp_replace(
-                         concat_ws(' ', text,
-                           'user' || doc_id || '@example.com',
-                           'from 10.0.' || (doc_id % 256) || '.7',
-                           'call 555-123-4567 now'),
-                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-                         '[PII]', 'g'),
-                       '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[PII]', 'g'),
-                     '\\b\\d{3}[- .]\\d{3}[- .]\\d{4}\\b', '[PII]', 'g')
+                         regexp_replace(
+                           regexp_replace(
+                             concat_ws(' ', text,
+                               'user' || doc_id || '@example.com',
+                               'from 10.0.' || (doc_id % 256) || '.7',
+                               'call 555-123-4567 now',
+                               'ssn 078-05-1120 card 4111-1111-1111-1111',
+                               'pan 4111111111111111 ok',
+                               'date 2024-01-02 order 12345678901234',
+                               'id 123456789 hash 12345678901234567890'),
+                             '\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b|\\b\\d{15,16}\\b',
+                             '[PII]', 'g'),
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '[PII]', 'g'),
+                         '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[PII]', 'g'),
+                       '\\b\\d{3}[- .]\\d{3}[- .]\\d{4}\\b', '[PII]', 'g'),
+                     '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[PII]', 'g')
                    AS text
             FROM documents
         """,

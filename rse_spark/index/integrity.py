@@ -44,6 +44,7 @@ from rse_spark.index.storage import IndexStorage
 
 def _sha_check(
     meta: DataFrame, corpus: DataFrame, content_col: str,
+    expect_full_coverage: bool = False,
 ) -> dict:
     if content_col != "content":
         corpus = corpus.withColumnRenamed(content_col, "content")
@@ -76,16 +77,27 @@ def _sha_check(
         ).alias("mismatch"),
     ).collect()[0]
     missing, mismatch = int(agg["missing"] or 0), int(agg["mismatch"] or 0)
+    # the reverse direction: corpus rows the index never ingested
+    # (anti-join, key columns only) — ALWAYS reported, so a truncated
+    # index is visible; folded into pass only when the caller asserts
+    # the index should cover the whole corpus (a gated/subset build
+    # legitimately indexes fewer rows than its source table)
+    unindexed = (
+        src.select(*key).join(meta.select(*key), key, "left_anti").count()
+    )
     return {
-        "pass": missing == 0 and mismatch == 0,
+        "pass": missing == 0 and mismatch == 0
+        and (unindexed == 0 or not expect_full_coverage),
         "rows": int(agg["n"]),
         "missing_in_corpus": missing,
+        "missing_in_index": int(unindexed),
         "sha_mismatch": mismatch,
         "join_key": key,
     }
 
 
-def _decode_sample(root: str, docs_per_segment: int, k: int) -> dict:
+def _decode_sample(root: str, docs_per_segment: int, k: int,
+                   expect_lists: bool = True) -> dict:
     import pyarrow.parquet as pq
 
     from rse_spark.index.codec import decode_postings
@@ -121,7 +133,16 @@ def _decode_sample(root: str, docs_per_segment: int, k: int) -> dict:
                 break
         if checked >= k:
             break
-    return {"pass": bad == 0, "lists_checked": checked, "bad": bad}
+    # when the manifest says posting groups exist, a sample that found
+    # NOTHING to decode is a failure (empty/missing postings tree), not
+    # a vacuous pass
+    vacuous = expect_lists and checked == 0
+    return {
+        "pass": bad == 0 and not vacuous,
+        "lists_checked": checked,
+        "bad": bad,
+        **({"err": "no posting lists found to sample"} if vacuous else {}),
+    }
 
 
 def check_index(
@@ -130,6 +151,7 @@ def check_index(
     corpus: DataFrame | None = None,
     content_col: str = "content",
     sample_lists: int = 200,
+    expect_full_coverage: bool = False,
 ) -> dict:
     store = IndexStorage(root)
     done = store.completed_units()
@@ -200,14 +222,19 @@ def check_index(
         "manifest_groups": sorted(manifest_groups),
     }
 
-    # 6. codec round-trip sample
+    # 6. codec round-trip sample (must find lists when the manifest
+    # says groups exist — no vacuous pass on an empty postings tree)
     report["codec_sample"] = _decode_sample(
-        root, docs_per_segment, sample_lists
+        root, docs_per_segment, sample_lists,
+        expect_lists=bool(manifest_groups),
     )
 
     # 1. per-row sha256 vs the source table
     if corpus is not None:
-        report["content_sha256"] = _sha_check(meta, corpus, content_col)
+        report["content_sha256"] = _sha_check(
+            meta, corpus, content_col,
+            expect_full_coverage=expect_full_coverage,
+        )
 
     report["ok"] = all(
         v["pass"] for v in report.values() if isinstance(v, dict)

@@ -47,9 +47,17 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                 self._route()
             except BrokenPipeError:
                 pass
-            except Exception as e:  # noqa: BLE001
+            except Exception:  # noqa: BLE001
+                # generic body only: exception text can leak paths /
+                # internals to an untrusted client; details go to the
+                # server-side log
+                import logging
+
+                logging.getLogger("rse_spark.http").exception(
+                    "unhandled error serving %s", self.path
+                )
                 try:
-                    self._json(500, {"error": f"internal: {e}"})
+                    self._json(500, {"error": "internal server error"})
                 except Exception:  # noqa: BLE001 — client already gone
                     pass
 
@@ -68,6 +76,7 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                     "cached_bucket_bytes": searcher.cached_bucket_bytes,
                     "max_bucket_bytes": searcher.max_bucket_bytes,
                     "phrase_enabled": corpus_path is not None,
+                    "index_generation": searcher.generation,
                 })
                 return
             if u.path != "/search":
@@ -210,13 +219,17 @@ class SearchServer:
                  host: str = "127.0.0.1", port: int = 0,
                  corpus_path: str | None = None,
                  content_col: str = "text", id_col: str = "doc_id",
-                 key_col: str | None = None):
+                 key_col: str | None = None,
+                 max_vocab_in_memory: int = 10_000_000):
         """``corpus_path`` (parquet content store with ``id_col`` +
         ``content_col``) enables ``?phrase=`` adjacency verification;
         without it phrase requests get a 400. ``key_col`` maps index
         doc ids to corpus ids through the doc metadata when the index
         assigned its own (see DirectSearcher.phrase_search)."""
-        self.searcher = DirectSearcher(index_root, analyzer=analyzer)
+        self.searcher = DirectSearcher(
+            index_root, analyzer=analyzer,
+            max_vocab_in_memory=max_vocab_in_memory,
+        )
         self.httpd = ThreadingHTTPServer(
             (host, port),
             _make_handler(self.searcher, corpus_path=corpus_path,

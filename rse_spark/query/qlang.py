@@ -102,72 +102,110 @@ def search_ql(searcher, q: str, k: int = 10,
               corpus_path: str | None = None,
               content_col: str = "text", id_col: str = "doc_id",
               key_col: str | None = None,
-              max_prefix_terms: int = 64):
+              max_prefix_terms: int = 64,
+              max_atoms: int = 16):
     """Top-k for a mini-language query over a DirectSearcher.
     Returns [(doc_id, score, n_terms_matched)] like search().
 
-    Raises ValueError for an empty query, or for a phrase atom when no
-    ``corpus_path`` content store is available (adjacency cannot be
-    verified from the tf-only postings)."""
+    Presence evaluation is doc-id arrays only (DirectSearcher.
+    term_docs: posting decode, no BM25 work), memoized per analyzed
+    term across atoms; clause algebra is np.intersect1d / np.unique;
+    then ONE scoring pass restricted to the qualifying docs
+    (``search_terms(within=...)``). Per-query work is bounded:
+    ``max_atoms`` caps the atom count (the HTTP surface maps the
+    ValueError to a 400), ``max_prefix_terms`` caps each prefix
+    expansion.
+
+    Raises ValueError for an empty query, a query with more than
+    ``max_atoms`` atoms, or a phrase atom when no ``corpus_path``
+    content store is available (adjacency cannot be verified from the
+    tf-only postings)."""
+    import numpy as np
+
     clauses = parse_ql(q)
+    n_atoms = sum(c.atoms() for c in clauses)
+    if n_atoms > max_atoms:
+        raise ValueError(
+            f"query has {n_atoms} atoms (max {max_atoms})"
+        )
     if any(c.phrases for c in clauses) and corpus_path is None:
         raise ValueError("phrase atoms need a content store")
 
-    def term_docs(t: str) -> set[int]:
+    empty = np.empty(0, dtype=np.int64)
+    docs_cache: dict[str, np.ndarray] = {}
+
+    def tdocs(term: str) -> np.ndarray:
+        """Presence array of one ANALYZED term, memoized across
+        atoms (a prefix atom and a term atom sharing vocabulary decode
+        each list once)."""
+        arr = docs_cache.get(term)
+        if arr is None:
+            arr = docs_cache[term] = searcher.term_docs(term)
+        return arr
+
+    def token_docs(tok: str) -> np.ndarray:
         """Docs containing the ANALYZED form(s) of one query token —
         conjunction over its subtokens (camelCase splits, etc.)."""
-        subs = sorted(query_terms(t, searcher.analyzer))
+        subs = sorted(query_terms(tok, searcher.analyzer))
         if not subs:
-            return set()
-        acc: set[int] | None = None
-        for s in subs:
-            docs = {
-                d for d, _sc, _m in searcher.search_terms(
-                    [s], k=searcher.n_docs
-                )
-            }
-            acc = docs if acc is None else acc & docs
-        return acc or set()
+            return empty
+        acc = tdocs(subs[0])
+        for s in subs[1:]:
+            if not len(acc):
+                break
+            acc = np.intersect1d(acc, tdocs(s), assume_unique=True)
+        return acc
 
-    def prefix_docs(p: str) -> tuple[set[int], list[str]]:
+    def prefix_docs(p: str) -> tuple[np.ndarray, list[str]]:
         terms = searcher.expand_prefix(p, max_terms=max_prefix_terms)
-        hit: set[int] = set()
-        for t in terms:
-            hit |= {
-                d for d, _sc, _m in searcher.search_terms(
-                    [t], k=searcher.n_docs
-                )
-            }
-        return hit, terms
+        arrs = [tdocs(t) for t in terms]
+        arrs = [a for a in arrs if len(a)]
+        if not arrs:
+            return empty, terms
+        return np.unique(np.concatenate(arrs)), terms
 
     scoring_terms: list[str] = []
-    qualified: set[int] = set()
+    qualified_parts: list[np.ndarray] = []
     for c in clauses:
-        clause_sets: list[set[int]] = []
+        clause_sets: list[np.ndarray] = []
         for t in c.terms:
             scoring_terms.extend(query_terms(t, searcher.analyzer))
-            clause_sets.append(term_docs(t))
+            clause_sets.append(token_docs(t))
         for p in c.prefixes:
             docs, terms = prefix_docs(p)
             scoring_terms.extend(terms)
             clause_sets.append(docs)
         for ph in c.phrases:
             scoring_terms.extend(query_terms(ph, searcher.analyzer))
-            clause_sets.append({
-                d for d, _n in searcher.phrase_search(
+            clause_sets.append(np.asarray(
+                [d for d, _n in searcher.phrase_search(
                     ph, corpus_path, k=searcher.n_docs,
                     content_col=content_col, id_col=id_col,
                     key_col=key_col,
-                )
-            })
-        if clause_sets:
-            hit = set.intersection(*clause_sets)
-            qualified |= hit
-    if not qualified:
+                )], dtype=np.int64,
+            ))
+        if not clause_sets:
+            continue
+        # smallest set first: intersections shrink fastest
+        clause_sets.sort(key=len)
+        hit = clause_sets[0]
+        for s in clause_sets[1:]:
+            if not len(hit):
+                break
+            hit = np.intersect1d(np.sort(hit), np.sort(s),
+                                 assume_unique=True)
+        if len(hit):
+            qualified_parts.append(hit)
+    if not qualified_parts:
         return []
-    scored = searcher.search_terms(
-        sorted(set(scoring_terms)), k=searcher.n_docs, mode="or"
+    qualified = (
+        np.unique(np.concatenate(qualified_parts))
+        if len(qualified_parts) > 1
+        else np.sort(qualified_parts[0])
     )
-    out = [(d, s, m) for d, s, m in scored if d in qualified]
-    out.sort(key=lambda r: (-r[1], r[0]))
-    return out[:k]
+    # one scoring pass, restricted to qualifiers; every qualifying doc
+    # matches at least one scoring term (its clause's own terms), so
+    # nothing is dropped by the OR
+    return searcher.search_terms(
+        sorted(set(scoring_terms)), k=k, mode="or", within=qualified
+    )

@@ -97,8 +97,19 @@ def _refresh_stats(
         )
         tmp = ts_path + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(ts_path)
+        # swap keeps the OLD table on disk until the new one is live:
+        # rmtree-then-rename left a window where a concurrent reader
+        # (a DirectSearcher starting up) saw no term_stats at all, and
+        # a crash inside it lost the table until batch replay. Rename
+        # old aside first — each step is a single atomic rename, and a
+        # crash at any point leaves a readable table (live or .bak,
+        # with replay re-deriving the rest).
+        bak = ts_path + ".bak"
+        if os.path.isdir(bak):
+            shutil.rmtree(bak)
+        os.rename(ts_path, bak)
         os.rename(tmp, ts_path)
+        shutil.rmtree(bak)
     else:
         ds = store.docs_meta(spark)
         row = ds.agg(

@@ -61,6 +61,36 @@ def test_redact_pii_patterns(spark):
     assert "1.2" in out and "2024" in out
 
 
+def test_redact_pii_ssn_and_card(spark):
+    """Round-5 extended set: SSN (dashed 3-2-4) and credit card
+    (grouped 4x4 or bare 15-16 digits), with the documented
+    false-positive boundary held by FP-prone probe strings."""
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0],
+        "text": ["ssn 078-05-1120 card 4111-1111-1111-1111 "
+                 "spaced 4111 1111 1111 1111 pan 4111111111111111 "
+                 "amex 371449635398431 end"],
+    }))
+    out = redact_pii(docs).collect()[0]["text"]
+    assert "078-05-1120" not in out
+    assert "4111" not in out and "3714" not in out
+    assert out.count("[PII]") == 5
+
+
+def test_redact_pii_false_positive_boundary(spark):
+    """Strings that look numeric but are NOT in the documented match
+    set must survive: dates (4-2-2), 9/13/14-digit ids, >16-digit
+    hashes, semver, years."""
+    keep = ("date 2024-01-02 order 12345678901234 id 123456789 "
+            "hash 12345678901234567890 isbn 9781234567890 v2.14.3")
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0], "text": [keep],
+    }))
+    out = redact_pii(docs).collect()[0]["text"]
+    assert out == keep
+    assert "[PII]" not in out
+
+
 def test_repetition_ratio_values(spark):
     docs = spark.createDataFrame(pd.DataFrame({
         "doc_id": [0, 1, 2],

@@ -121,6 +121,41 @@ def test_integrity_after_stream_grow_and_compact(spark, tmp_path_factory):
     assert report["content_sha256"]["join_key"] == ["src_doc_id"]
 
 
+def test_reports_unindexed_corpus_rows(spark, built):
+    """Corpus rows the index never ingested are ALWAYS reported
+    (missing_in_index); they fail the check only under
+    expect_full_coverage (a gated build legitimately indexes fewer
+    rows than its source)."""
+    corpus = spark.read.parquet(DOCS)
+    extra = corpus.withColumn("doc_id", F.col("doc_id") + 10_000)
+    superset = corpus.unionByName(extra)
+    report = check_index(spark, built, corpus=superset,
+                         content_col="text")
+    assert report["content_sha256"]["missing_in_index"] == 500
+    assert report["content_sha256"]["pass"]  # report-only by default
+    report = check_index(spark, built, corpus=superset,
+                         content_col="text", expect_full_coverage=True)
+    assert not report["content_sha256"]["pass"]
+    assert not report["ok"]
+    # full coverage with the true source still passes
+    report = check_index(spark, built, corpus=corpus,
+                         content_col="text", expect_full_coverage=True)
+    assert report["ok"], report
+
+
+def test_codec_sample_not_vacuous(tmp_path):
+    """An empty/missing postings tree must FAIL the codec canary when
+    lists are expected, not pass with lists_checked=0."""
+    from rse_spark.index.integrity import _decode_sample
+
+    root = str(tmp_path / "empty_idx")
+    out = _decode_sample(root, 64, 50, expect_lists=True)
+    assert not out["pass"] and out["lists_checked"] == 0
+    # and stays a clean pass when the manifest says there is nothing
+    out = _decode_sample(root, 64, 50, expect_lists=False)
+    assert out["pass"] and out["lists_checked"] == 0
+
+
 def test_check_cli(spark, built, capsys):
     from rse_spark.cli import main
 

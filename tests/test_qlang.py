@@ -102,6 +102,19 @@ def test_ranking_matches_plain_search(planted):
     assert ql == plain
 
 
+def test_atom_cap_bounds_work(planted):
+    """Per-query work is bounded: more than max_atoms atoms is a
+    ValueError (HTTP maps it to a 400), not unbounded evaluation."""
+    root, corpus_path, _to_src = planted
+    s = DirectSearcher(root, analyzer="simple")
+    with pytest.raises(ValueError, match="atoms"):
+        search_ql(s, "a b c d e", max_atoms=4)
+    # at the cap it still runs
+    assert isinstance(
+        search_ql(s, "alpha beta", max_atoms=2), list
+    )
+
+
 def test_phrase_without_content_store_raises(planted):
     root, _corpus, _to_src = planted
     s = DirectSearcher(root, analyzer="simple")
