@@ -105,6 +105,16 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--smoke", action="store_true",
                    help="start, print the address, stop (healthcheck)")
 
+    bp = sub.add_parser(
+        "build-positions",
+        help="build the positional sidecar index (phrase matching "
+             "without a content store)"
+    )
+    bp.add_argument("--corpus", required=True)
+    bp.add_argument("--root", required=True)
+    bp.add_argument("--analyzer", default="code")
+    bp.add_argument("--content-col", default="content")
+
     cs = sub.add_parser(
         "content-store",
         help="write an id-clustered content store (row-group-prunable "
@@ -164,7 +174,17 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(f"rse-cli-{args.cmd}")
     ensure_shipped(spark)
 
-    if args.cmd == "content-store":
+    if args.cmd == "build-positions":
+        from rse_spark.index.positions import build_positions
+
+        t0 = time.time()
+        build_positions(
+            spark, spark.read.parquet(args.corpus), args.root,
+            analyzer=args.analyzer, content_col=args.content_col,
+        )
+        print(json.dumps({"root": args.root,
+                          "wall_sec": round(time.time() - t0, 2)}))
+    elif args.cmd == "content-store":
         from rse_spark.sources.corpus_io import write_content_store
 
         t0 = time.time()

@@ -253,6 +253,29 @@ def q_phrase_search(spark, sf_dir):
     return phrase_match(_docs(spark, sf_dir), PHRASE, candidates=cands)
 
 
+def q_phrase_pos_search(spark, sf_dir):
+    """Phrase matching by POSITIONAL JOIN (the relational twin of the
+    positional sidecar index, index/positions.py): each phrase word's
+    (doc, position) set is an equi-join input on (doc, pos - offset);
+    occurrences = surviving join rows. Same results as phrase_search
+    by a structurally different algorithm — the plan whose work
+    scales with the words' posting sizes, not candidate content."""
+    from rse_spark.query.textmatch import phrase_match_positions
+
+    words = PHRASE.split()
+    toks = _toks(spark, sf_dir)
+    cands = (
+        toks.filter(F.col("term").isin(words))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("_nt"))
+        .filter(F.col("_nt") == len(set(words)))
+        .select("doc_id")
+    )
+    return phrase_match_positions(
+        _docs(spark, sf_dir), PHRASE, candidates=cands
+    )
+
+
 def q_prefix_bm25(spark, sf_dir):
     """Prefix query (s*): dictionary expansion feeding the standard
     BM25 scorer, declarative path."""
@@ -1314,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_cap": q_stratified_cap,
         "doc_chunks": q_doc_chunks,
         "phrase_search": q_phrase_search,
+        "phrase_pos_search": q_phrase_pos_search,
         "prefix_bm25": q_prefix_bm25,
         "prefix_wand": q_prefix_wand,
         "facet_counts": q_facet_counts,
@@ -2013,6 +2037,7 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY node
         """,
         "phrase_search": _phrase_sql(),
+        "phrase_pos_search": _phrase_pos_sql(),
         "prefix_bm25": _bm25_sql("or", prefix=PREFIX),
         "prefix_wand": _bm25_sql("or", prefix=PREFIX),
         "facet_counts": f"""
@@ -2110,6 +2135,32 @@ def _phrase_sql() -> str:
           FROM (SELECT doc_id, string_split(text, ' ') AS sp
                 FROM documents)
         ) WHERE n_occurrences > 0
+    """
+
+
+def _phrase_pos_sql() -> str:
+    """DuckDB twin of q_phrase_pos_search — deliberately the SAME
+    positional-join algorithm (zipped unnest -> filtered position
+    sets -> offset equi-joins), not the list-scan of _phrase_sql, so
+    the two phrase queries are verified by two independent oracles."""
+    words = PHRASE.split()
+    joins = "\n".join(
+        f"JOIN (SELECT doc_id, pos - {j} AS pos FROM toks "
+        f"WHERE tok = '{w}') w{j} USING (doc_id, pos)"
+        for j, w in enumerate(words[1:], 1)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(sp) AS tok,
+                 unnest(range(1, len(sp) + 1)) AS pos
+          FROM (SELECT doc_id, string_split(text, ' ') AS sp
+                FROM documents)
+        )
+        SELECT doc_id, count(*)::bigint AS n_occurrences
+        FROM (SELECT doc_id, pos FROM toks
+              WHERE tok = '{words[0]}') w0
+        {joins}
+        GROUP BY doc_id
     """
 
 

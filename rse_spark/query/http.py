@@ -130,7 +130,10 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                            if want_snippets else None)
                 return
             if phrase.strip():
-                self._phrase(phrase, k)
+                use_pos = (qs.get("pos") or ["0"])[0] not in (
+                    "0", "", "false",
+                )
+                self._phrase(phrase, k, use_pos)
                 return
             if prefix.strip():
                 terms = searcher.expand_prefix(prefix.strip())
@@ -144,13 +147,10 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
             self._page(q, k, mode, hits,
                        snippet_q=q if want_snippets else None)
 
-        def _phrase(self, phrase: str, k: int) -> None:
-            if corpus_path is None:
-                self._json(400, {
-                    "error": "phrase search not enabled "
-                             "(server started without a content store)"
-                })
-                return
+        def _phrase(self, phrase: str, k: int,
+                    use_pos: bool = False) -> None:
+            import os as _os
+
             from rse_spark.query.engine import query_terms
 
             if not query_terms(phrase, searcher.analyzer):
@@ -158,13 +158,36 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                     "error": "phrase has no indexable terms"
                 })
                 return
-            hits = searcher.phrase_search(
-                phrase, corpus_path, k=k,
-                content_col=content_col, id_col=id_col, key_col=key_col,
+            has_pos = _os.path.isdir(
+                _os.path.join(searcher.root, "positions")
             )
+            if use_pos and not has_pos:
+                self._json(400, {
+                    "error": "index has no positional sidecar"
+                })
+                return
+            # positional sidecar when forced (?pos=1) or when it is
+            # the only phrase-capable surface (no content store)
+            if has_pos and (use_pos or corpus_path is None):
+                hits = searcher.phrase_search_positions(phrase, k=k)
+                algo = "positions"
+            elif corpus_path is not None:
+                hits = searcher.phrase_search(
+                    phrase, corpus_path, k=k,
+                    content_col=content_col, id_col=id_col,
+                    key_col=key_col,
+                )
+                algo = "content_verify"
+            else:
+                self._json(400, {
+                    "error": "phrase search not enabled (no content "
+                             "store and no positional sidecar)"
+                })
+                return
             self._json(200, {
                 "phrase": phrase,
                 "k": k,
+                "algo": algo,
                 "n_results": len(hits),
                 "results": [
                     {"doc_id": int(d), "n_occurrences": int(n)}

@@ -120,6 +120,8 @@ def search_ql(searcher, q: str, k: int = 10,
     ``max_atoms`` atoms, or a phrase atom when no ``corpus_path``
     content store is available (adjacency cannot be verified from the
     tf-only postings)."""
+    import os
+
     import numpy as np
 
     clauses = parse_ql(q)
@@ -128,8 +130,12 @@ def search_ql(searcher, q: str, k: int = 10,
         raise ValueError(
             f"query has {n_atoms} atoms (max {max_atoms})"
         )
-    if any(c.phrases for c in clauses) and corpus_path is None:
-        raise ValueError("phrase atoms need a content store")
+    has_pos = os.path.isdir(os.path.join(searcher.root, "positions"))
+    if any(c.phrases for c in clauses) and corpus_path is None \
+            and not has_pos:
+        raise ValueError(
+            "phrase atoms need a content store or a positional sidecar"
+        )
 
     empty = np.empty(0, dtype=np.int64)
     docs_cache: dict[str, np.ndarray] = {}
@@ -177,12 +183,18 @@ def search_ql(searcher, q: str, k: int = 10,
             clause_sets.append(docs)
         for ph in c.phrases:
             scoring_terms.extend(query_terms(ph, searcher.analyzer))
-            clause_sets.append(np.asarray(
-                [d for d, _n in searcher.phrase_search(
+            if corpus_path is not None:
+                ph_hits = searcher.phrase_search(
                     ph, corpus_path, k=searcher.n_docs,
                     content_col=content_col, id_col=id_col,
                     key_col=key_col,
-                )], dtype=np.int64,
+                )
+            else:  # positional sidecar (checked above)
+                ph_hits = searcher.phrase_search_positions(
+                    ph, k=searcher.n_docs
+                )
+            clause_sets.append(np.asarray(
+                [d for d, _n in ph_hits], dtype=np.int64,
             ))
         if not clause_sets:
             continue

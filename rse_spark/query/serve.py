@@ -544,6 +544,91 @@ class DirectSearcher:
         out.sort(key=lambda r: (-r[1], r[0]))
         return out[:k]
 
+    def phrase_search_positions(self, phrase: str, k: int = 10):
+        """Exact-adjacency phrase top-k from the POSITIONAL sidecar
+        index (index/positions.py) — [(doc_id, n_occurrences)], same
+        contract as :meth:`phrase_search` but resolved entirely inside
+        the index: no content store, no per-query corpus IO. Adjacency
+        is over the analyzed token stream (Lucene semantics; for the
+        ``simple`` analyzer this equals whitespace adjacency, proven
+        by the equivalence pytest).
+
+        Raises ValueError when the index has no positional sidecar."""
+        import numpy as np
+
+        from rse_spark.index.positions import decode_position_list
+
+        self._check_generation()
+        pos_root = os.path.join(self.root, "positions")
+        if not os.path.isdir(pos_root):
+            raise ValueError(
+                "index has no positional sidecar "
+                "(build it with index.positions.build_positions)"
+            )
+        from rse_spark.tokenizer import tokenize
+
+        terms = tokenize(phrase, self.analyzer)  # ordered, dups kept
+        if not terms:
+            raise ValueError("phrase has no indexable terms")
+
+        # decode per unique term: [(doc_ids, lens, starts, flat)]
+        decoded: dict[str, list] = {}
+        cand = None
+        for t in sorted(set(terms)):
+            info = self.term_dict.get(t)
+            if not info:
+                return []
+            tbl = pq.read_table(
+                pos_root,
+                filters=[("bucket", "==", info[1]), ("term", "==", t)],
+                columns=["doc_payload", "pos_payload"],
+            )
+            rows = []
+            ids_parts = []
+            for dp, pp in zip(
+                tbl["doc_payload"].to_pylist(),
+                tbl["pos_payload"].to_pylist(),
+            ):
+                doc_ids, lens, flat = decode_position_list(
+                    bytes(dp), bytes(pp)
+                )
+                starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                rows.append((doc_ids, lens, starts, flat))
+                ids_parts.append(doc_ids)
+            decoded[t] = rows
+            all_ids = (
+                np.unique(np.concatenate(ids_parts))
+                if ids_parts else np.empty(0, dtype=np.int64)
+            )
+            cand = all_ids if cand is None else np.intersect1d(
+                cand, all_ids, assume_unique=True
+            )
+            if not len(cand):
+                return []
+
+        def _positions(term: str, doc: int):
+            for doc_ids, lens, starts, flat in decoded[term]:
+                j = int(np.searchsorted(doc_ids, doc))
+                if j < len(doc_ids) and doc_ids[j] == doc:
+                    return flat[starts[j]: starts[j] + lens[j]]
+            return None
+
+        out = []
+        for d in cand.tolist():
+            cur = _positions(terms[0], d)
+            for j, t in enumerate(terms[1:], 1):
+                if cur is None or not len(cur):
+                    break
+                nxt = _positions(t, d)
+                if nxt is None:
+                    cur = None
+                    break
+                cur = cur[np.isin(cur + j, nxt, assume_unique=True)]
+            if cur is not None and len(cur):
+                out.append((int(d), int(len(cur))))
+        out.sort(key=lambda r: (-r[1], r[0]))
+        return out[:k]
+
     def fetch_content(self, ids: list[int], corpus_path: str,
                       content_col: str = "text",
                       id_col: str = "doc_id",

@@ -75,6 +75,49 @@ def phrase_match(docs: DataFrame, phrase: str, content_col: str = "text",
     )
 
 
+def phrase_match_positions(docs: DataFrame, phrase: str,
+                           content_col: str = "text",
+                           id_col: str = "doc_id",
+                           candidates: DataFrame | None = None
+                           ) -> DataFrame:
+    """(id, n_occurrences) via POSITIONAL JOIN — the relational form
+    of a positional-index phrase query (index/positions.py is the
+    serving-tier artifact of the same idea): posexplode the token
+    stream once, filter each phrase word to its (id, position) set,
+    then equi-join on (id, position - offset). Occurrence count =
+    surviving rows of the n-way join.
+
+    Same semantics and results as :func:`phrase_match` (equivalence-
+    tested); different scale shape — work is ~sum of the phrase
+    words' posting sizes (each join input is a filtered token set,
+    hash-joined on narrow keys), instead of a verify scan over every
+    candidate's full content. The right plan when the phrase words
+    are selective and content rows are wide."""
+    words = phrase.split()
+    if not words:
+        raise ValueError("empty phrase")
+    if candidates is not None:
+        docs = docs.join(candidates.select(id_col), id_col, "left_semi")
+    toks = docs.select(
+        id_col,
+        F.posexplode(F.split(F.col(content_col), " ")).alias(
+            "pos", "tok"
+        ),
+    )
+    acc = (
+        toks.filter(F.col("tok") == F.lit(words[0]))
+        .select(id_col, "pos")
+    )
+    for j, w in enumerate(words[1:], 1):
+        nxt = toks.filter(F.col("tok") == F.lit(w)).select(
+            id_col, (F.col("pos") - F.lit(j)).alias("pos")
+        )
+        acc = acc.join(nxt, [id_col, "pos"])
+    return acc.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_occurrences")
+    )
+
+
 def expand_prefix(term_dict: DataFrame, prefix: str,
                   max_terms: int = 64) -> list[str]:
     """Dictionary expansion: all indexed terms starting with ``prefix``

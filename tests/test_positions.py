@@ -1,0 +1,221 @@
+"""Positional sidecar index (index/positions.py) + the positional
+phrase paths: codec round-trip, build, serving equivalence with the
+content-verify path, and the declarative positional join."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rse_spark.index.positions import (
+    build_positions,
+    decode_position_list,
+    encode_position_list,
+)
+from rse_spark.query.serve import DirectSearcher
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def test_position_codec_round_trip():
+    rng = np.random.default_rng(11)
+    for _ in range(25):
+        n = int(rng.integers(1, 40))
+        doc_ids = np.sort(
+            rng.choice(100_000, size=n, replace=False)
+        ).astype(np.int64)
+        lens = rng.integers(1, 12, size=n).astype(np.int64)
+        flat = np.concatenate([
+            np.sort(rng.choice(5_000, size=int(k), replace=False))
+            for k in lens
+        ]).astype(np.int64)
+        dp, pp = encode_position_list(doc_ids, lens, flat)
+        d2, l2, f2 = decode_position_list(dp, pp)
+        assert (d2 == doc_ids).all()
+        assert (l2 == lens).all()
+        assert (f2 == flat).all()
+    # empty list
+    dp, pp = encode_position_list(
+        np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+    )
+    d2, l2, f2 = decode_position_list(dp, pp)
+    assert len(d2) == 0 and len(f2) == 0
+
+
+def test_position_codec_rejects_bad_input():
+    with pytest.raises(ValueError):
+        encode_position_list(
+            np.array([5, 3]), np.array([1, 1]), np.array([0, 0])
+        )
+    with pytest.raises(ValueError):
+        encode_position_list(
+            np.array([1]), np.array([2]), np.array([3])  # len mismatch
+        )
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tmp_path_factory):
+    """Pre-keyed build (index ids == corpus ids) + positional sidecar."""
+    from rse_spark.index.storage import build_resumable
+
+    root = str(tmp_path_factory.mktemp("pos_idx"))
+    corpus = spark.read.parquet(DOCS)
+    build_resumable(
+        spark, corpus, root, analyzer="simple", content_col="text",
+        docs_per_segment=64, segments_per_group=4,
+    )
+    build_positions(
+        spark, corpus, root, analyzer="simple", content_col="text",
+    )
+    return root
+
+
+def test_positions_manifest_unit(spark, pos_index):
+    from rse_spark.index.storage import IndexStorage
+
+    done = IndexStorage(pos_index).completed_units()
+    assert "positions" in done
+    assert done["positions"]["analyzer"] == "simple"
+
+
+def test_phrase_positions_equivalence(spark, pos_index):
+    """Positional phrase == content-verify phrase on every probe (the
+    simple analyzer's token positions ARE whitespace positions)."""
+    s = DirectSearcher(pos_index, analyzer="simple")
+    for phrase in ("value table part", "the data", "merge join",
+                   "table scan", "data data", "zz absent phrase"):
+        via_pos = s.phrase_search_positions(phrase, k=50)
+        via_content = s.phrase_search(phrase, DOCS, k=50,
+                                      content_col="text")
+        assert via_pos == via_content, phrase
+    # probes must actually match something at this scale
+    assert len(s.phrase_search_positions("the data", k=50)) >= 10
+
+
+def test_phrase_positions_counts_multi_occurrence(spark, tmp_path):
+    from rse_spark.index.storage import build_resumable
+
+    root = str(tmp_path / "idx")
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "a b a b a b",          # "a b" x3
+            "a a a a",              # "a a" x3 (overlapping)
+            "b a b",                # "a b" x1
+            "c d e",
+        ],
+    })
+    corpus = spark.createDataFrame(pdf)
+    build_resumable(spark, corpus, root, analyzer="simple",
+                    content_col="text", docs_per_segment=64)
+    build_positions(spark, corpus, root, analyzer="simple",
+                    content_col="text")
+    s = DirectSearcher(root, analyzer="simple")
+    assert s.phrase_search_positions("a b") == [(0, 3), (2, 1)]
+    assert s.phrase_search_positions("a a") == [(1, 3)]
+    assert s.phrase_search_positions("a b a") == [(0, 2)]
+    assert s.phrase_search_positions("c d e") == [(3, 1)]
+    assert s.phrase_search_positions("b c") == []
+    # an index without the sidecar raises
+    root2 = str(tmp_path / "idx_nopos")
+    build_resumable(spark, corpus, root2, analyzer="simple",
+                    content_col="text", docs_per_segment=64)
+    s3 = DirectSearcher(root2, analyzer="simple")
+    with pytest.raises(ValueError, match="sidecar"):
+        s3.phrase_search_positions("a b")
+
+
+def test_phrase_positions_stream_grown(spark, tmp_path):
+    """src_doc_id bridge: positions built over a stream-grown index
+    whose ids differ from the corpus ids."""
+    from rse_spark.streaming.stream_index import append_batch
+
+    root = str(tmp_path / "idx")
+    docs = spark.read.parquet(DOCS)
+    for i, (lo, hi) in enumerate([(0, 100), (100, 200)]):
+        append_batch(
+            spark,
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            root, analyzer="simple", content_col="text",
+            docs_per_segment=64, segments_per_group=4, batch_id=i,
+        )
+    build_positions(spark, docs.filter(F.col("doc_id") < 200), root,
+                    analyzer="simple", content_col="text")
+    s = DirectSearcher(root, analyzer="simple")
+    via_pos = s.phrase_search_positions("the data", k=50)
+    via_content = s.phrase_search("the data", DOCS, k=50,
+                                  content_col="text",
+                                  key_col="src_doc_id")
+    assert via_pos == via_content
+    assert via_pos  # non-empty on this corpus
+
+
+def test_http_positions_surface(spark, pos_index):
+    """?pos=1 forces the sidecar; a server with NO content store can
+    still answer ?phrase= (and ?ql= phrase atoms) through it."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    from rse_spark.query.http import SearchServer
+
+    srv = SearchServer(pos_index, analyzer="simple").start()
+    try:
+        with urllib.request.urlopen(
+            f"{srv.address}/search?phrase=the+data&k=5", timeout=30
+        ) as r:
+            body = json.load(r)
+        assert body["algo"] == "positions"
+        assert body["n_results"] == 5
+        # ql phrase atom without a content store
+        with urllib.request.urlopen(
+            srv.address + '/search?ql=%22the+data%22&k=5', timeout=30
+        ) as r:
+            assert json.load(r)["n_results"] == 5
+    finally:
+        srv.stop()
+    # content-store server: default content_verify, ?pos=1 overrides
+    srv = SearchServer(
+        pos_index, analyzer="simple", corpus_path=DOCS,
+    ).start()
+    try:
+        with urllib.request.urlopen(
+            f"{srv.address}/search?phrase=the+data&k=5", timeout=30
+        ) as r:
+            a = json.load(r)
+        assert a["algo"] == "content_verify"
+        with urllib.request.urlopen(
+            f"{srv.address}/search?phrase=the+data&k=5&pos=1",
+            timeout=30,
+        ) as r:
+            b = json.load(r)
+        assert b["algo"] == "positions"
+        assert a["results"] == b["results"]
+    finally:
+        srv.stop()
+
+
+def test_declarative_positional_join_matches_scan(spark):
+    """textmatch.phrase_match_positions == textmatch.phrase_match."""
+    from rse_spark.query.textmatch import (
+        phrase_match,
+        phrase_match_positions,
+    )
+
+    docs = spark.read.parquet(DOCS)
+    for phrase in ("value table part", "merge join", "data data"):
+        a = sorted(
+            (r["doc_id"], r["n_occurrences"])
+            for r in phrase_match_positions(
+                docs, phrase, content_col="text"
+            ).collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["n_occurrences"])
+            for r in phrase_match(docs, phrase,
+                                  content_col="text").collect()
+        )
+        assert a == b, phrase
