@@ -114,6 +114,9 @@ def main(argv: list[str] | None = None) -> int:
     bp.add_argument("--root", required=True)
     bp.add_argument("--analyzer", default="code")
     bp.add_argument("--content-col", default="content")
+    bp.add_argument("--only-missing", action="store_true",
+                    help="incremental: build only postings groups "
+                         "with no positions partition yet")
 
     cs = sub.add_parser(
         "content-store",
@@ -178,11 +181,12 @@ def main(argv: list[str] | None = None) -> int:
         from rse_spark.index.positions import build_positions
 
         t0 = time.time()
-        build_positions(
+        n = build_positions(
             spark, spark.read.parquet(args.corpus), args.root,
             analyzer=args.analyzer, content_col=args.content_col,
+            only_missing=args.only_missing,
         )
-        print(json.dumps({"root": args.root,
+        print(json.dumps({"root": args.root, "groups_built": n,
                           "wall_sec": round(time.time() - t0, 2)}))
     elif args.cmd == "content-store":
         from rse_spark.sources.corpus_io import write_content_store

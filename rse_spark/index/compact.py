@@ -270,6 +270,13 @@ def _run(
             )
         store.remove_unit(f"group={g:06d}")
     shutil.rmtree(tmp, ignore_errors=True)
+    # the positional sidecar (index/positions.py) keys positions to
+    # the OLD doc ids — after renumbering it would silently return
+    # wrong/missing docs, so drop it outright (loud: the positional
+    # query path raises until build_positions is re-run)
+    if os.path.isdir(store._p("positions")):
+        shutil.rmtree(store._p("positions"), ignore_errors=True)
+        store.remove_unit("positions")
 
     n_new_groups = (
         rec["n_docs_moved"] + docs_per_group - 1

@@ -164,6 +164,15 @@ def _attach_doc_ids(meta: DataFrame, corpus: DataFrame,
     ).select("doc_id", "content")
 
 
+def _group_dirs(path: str) -> set[int]:
+    if not os.path.isdir(path):
+        return set()
+    return {
+        int(p.split("=", 1)[1]) for p in os.listdir(path)
+        if p.startswith("seg_group=")
+    }
+
+
 def build_positions(
     spark: SparkSession,
     corpus: DataFrame,
@@ -171,12 +180,22 @@ def build_positions(
     analyzer: str = "simple",
     content_col: str = "content",
     n_buckets: int | None = None,
-) -> None:
+    only_missing: bool = False,
+) -> int:
     """Build the positional sidecar for an ALREADY-BUILT index at
     ``root`` (doc ids, segment layout and term buckets are read from
     its manifest, so positions land exactly where the postings
     reader's bucket pruning expects them). Committed as manifest unit
-    ``positions`` — bumps the index generation like any writer."""
+    ``positions`` — bumps the index generation like any writer.
+    Returns the number of segment groups (re)built.
+
+    ``only_missing=True`` is the STREAM-GROWN maintenance mode: only
+    postings groups with no positions partition yet are tokenized and
+    written (dynamic partition overwrite) — work ~ the appended
+    batches, not the whole corpus. Group-rewriting writers (compact,
+    delete/upsert) drop the whole sidecar instead, because their old
+    positions are wrong, not merely absent; after those, a full
+    rebuild is required and this function does one."""
     store = IndexStorage(root)
     done = store.completed_units()
     layout = done["docs"]["layout"]
@@ -184,9 +203,27 @@ def build_positions(
     n_buckets = int(n_buckets or layout["n_buckets"])
     t0 = time.time()
 
-    pairs = _attach_doc_ids(
-        store.docs_meta(spark), corpus, content_col
-    )
+    segments_per_group = int(layout["segments_per_group"])
+    docs_per_group = docs_per_segment * segments_per_group
+    meta = store.docs_meta(spark)
+    if "seg_group" not in meta.columns:  # write_bundle layouts
+        meta = meta.withColumn(
+            "seg_group",
+            (F.col("doc_id") / F.lit(docs_per_group)).cast("long"),
+        )
+    missing: set[int] | None = None
+    if only_missing:
+        missing = (
+            _group_dirs(os.path.join(root, "postings"))
+            - _group_dirs(os.path.join(root, "positions"))
+        )
+        if not missing:
+            return 0
+        meta = meta.filter(
+            F.col("seg_group").isin([int(g) for g in missing])
+        )
+
+    pairs = _attach_doc_ids(meta, corpus, content_col)
 
     def _positions(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from rse_spark.tokenizer import tokenize
@@ -235,7 +272,19 @@ def build_positions(
             "pos_payload": [pos_payload],
         })
 
-    segments_per_group = int(layout["segments_per_group"])
+    pos_root = os.path.join(root, "positions")
+    if only_missing:
+        # append the absent groups only: dynamic partition overwrite
+        # touches exactly the partitions this job writes
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+    else:
+        # full (re)build: clear the directory first so group dirs from
+        # a previous layout can't linger under dynamic-overwrite confs
+        import shutil
+
+        shutil.rmtree(pos_root, ignore_errors=True)
     (
         rows.groupBy("term", "segment_id", "bucket")
         .applyInPandas(_encode, _POS_SEG_SCHEMA)
@@ -247,13 +296,19 @@ def build_positions(
         .sortWithinPartitions("term")
         .write.mode("overwrite")
         .partitionBy("seg_group", "bucket")
-        .parquet(os.path.join(root, "positions"))
+        .parquet(pos_root)
+    )
+    built = len(missing) if missing is not None else len(
+        _group_dirs(pos_root)
     )
     store.mark_done(
         "positions",
         analyzer=analyzer,
         wall_ms=int(1000 * (time.time() - t0)),
+        groups_built=int(built),
+        mode="incremental" if only_missing else "full",
     )
+    return int(built)
 
 
 def has_positions(root: str) -> bool:

@@ -165,6 +165,12 @@ def delete_docs(
                      part_dirs)
     shutil.rmtree(tmp, ignore_errors=True)
     dead.unpersist()
+    # a positional sidecar still carries the deleted docs' positions —
+    # drop it so the positional phrase path fails loudly until rebuilt
+    # (index/positions.py), instead of returning dead docs
+    if os.path.isdir(store._p("positions")):
+        shutil.rmtree(store._p("positions"), ignore_errors=True)
+        store.remove_unit("positions")
 
     if refresh_stats:
         n_docs, avgdl = _refresh_stats(spark, store, n_buckets)

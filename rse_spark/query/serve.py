@@ -565,6 +565,25 @@ class DirectSearcher:
                 "index has no positional sidecar "
                 "(build it with index.positions.build_positions)"
             )
+        # coverage check: every live postings group must have its
+        # positions partition — a stream-grown index whose sidecar
+        # predates the newest batches must fail LOUDLY, not silently
+        # miss the new docs (writers that rewrite groups — compaction,
+        # upsert — drop the sidecar outright for the same reason)
+        live = {
+            p for p in os.listdir(os.path.join(self.root, "postings"))
+            if p.startswith("seg_group=")
+        }
+        covered = {
+            p for p in os.listdir(pos_root)
+            if p.startswith("seg_group=")
+        }
+        if not live <= covered:
+            raise ValueError(
+                "positional sidecar is incomplete (groups "
+                f"{sorted(live - covered)} missing) — re-run "
+                "build_positions(only_missing=True)"
+            )
         from rse_spark.tokenizer import tokenize
 
         terms = tokenize(phrase, self.analyzer)  # ordered, dups kept

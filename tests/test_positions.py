@@ -198,6 +198,101 @@ def test_http_positions_surface(spark, pos_index):
         srv.stop()
 
 
+def test_positions_mutation_lifecycle(spark, tmp_path):
+    """The sidecar stays truthful under index mutation: appends make
+    it fail LOUDLY until incrementally extended; group-rewriting
+    writers (compaction, delete) drop it outright."""
+    import os
+
+    from rse_spark.index.compact import compact_groups
+    from rse_spark.index.storage import IndexStorage
+    from rse_spark.streaming.stream_index import append_batch
+
+    root = str(tmp_path / "idx")
+    docs = spark.read.parquet(DOCS)
+    for i, (lo, hi) in enumerate([(0, 80), (80, 150)]):
+        append_batch(
+            spark,
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            root, analyzer="simple", content_col="text",
+            docs_per_segment=64, segments_per_group=4, batch_id=i,
+        )
+    sub = docs.filter(F.col("doc_id") < 150)
+    n = build_positions(spark, sub, root, analyzer="simple",
+                        content_col="text")
+    assert n >= 2
+    s = DirectSearcher(root, analyzer="simple")
+    assert s.phrase_search_positions("the data", k=5)
+
+    # 1. append a new batch -> coverage check must fail loudly
+    append_batch(
+        spark,
+        docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300)),
+        root, analyzer="simple", content_col="text",
+        docs_per_segment=64, segments_per_group=4, batch_id=2,
+    )
+    s = DirectSearcher(root, analyzer="simple")
+    with pytest.raises(ValueError, match="incomplete"):
+        s.phrase_search_positions("the data", k=5)
+
+    # 2. incremental extension builds ONLY the missing groups
+    pos_root = os.path.join(root, "positions")
+    old_dir = sorted(
+        p for p in os.listdir(pos_root) if p.startswith("seg_group=")
+    )[0]
+    mtime0 = os.path.getmtime(os.path.join(pos_root, old_dir))
+    full = docs.filter(F.col("doc_id") < 300)
+    built = build_positions(spark, full, root, analyzer="simple",
+                            content_col="text", only_missing=True)
+    assert built >= 1
+    assert os.path.getmtime(os.path.join(pos_root, old_dir)) == mtime0
+    # nothing more to do -> 0
+    assert build_positions(spark, full, root, analyzer="simple",
+                           content_col="text", only_missing=True) == 0
+    s = DirectSearcher(root, analyzer="simple")
+    via_pos = s.phrase_search_positions("the data", k=50)
+    via_content = s.phrase_search("the data", DOCS, k=50,
+                                  content_col="text",
+                                  key_col="src_doc_id")
+    assert via_pos == via_content and via_pos
+
+    # 3. compaction renumbers ids -> sidecar dropped, path raises
+    assert compact_groups(spark, root, min_fill=0.5)["merged"] >= 2
+    assert not os.path.isdir(pos_root)
+    assert "positions" not in IndexStorage(root).completed_units()
+    s = DirectSearcher(root, analyzer="simple")
+    with pytest.raises(ValueError, match="sidecar"):
+        s.phrase_search_positions("the data", k=5)
+
+    # 4. full rebuild after compaction -> green again
+    assert build_positions(spark, full, root, analyzer="simple",
+                           content_col="text") >= 1
+    s = DirectSearcher(root, analyzer="simple")
+    assert s.phrase_search_positions("the data", k=50) == \
+        s.phrase_search("the data", DOCS, k=50, content_col="text",
+                        key_col="src_doc_id")
+
+
+def test_positions_dropped_on_delete(spark, tmp_path):
+    from rse_spark.index.storage import IndexStorage, build_resumable
+    from rse_spark.index.upsert import delete_docs
+
+    root = str(tmp_path / "idx")
+    corpus = spark.read.parquet(DOCS)
+    build_resumable(spark, corpus, root, analyzer="simple",
+                    content_col="text", docs_per_segment=64)
+    build_positions(spark, corpus, root, analyzer="simple",
+                    content_col="text")
+    s = DirectSearcher(root, analyzer="simple")
+    assert s.phrase_search_positions("the data", k=5)
+    dead = spark.createDataFrame(pd.DataFrame({"doc_id": [0, 1, 2]}))
+    assert delete_docs(spark, root, dead) == 3
+    assert "positions" not in IndexStorage(root).completed_units()
+    s = DirectSearcher(root, analyzer="simple")
+    with pytest.raises(ValueError, match="sidecar"):
+        s.phrase_search_positions("the data", k=5)
+
+
 def test_declarative_positional_join_matches_scan(spark):
     """textmatch.phrase_match_positions == textmatch.phrase_match."""
     from rse_spark.query.textmatch import (
