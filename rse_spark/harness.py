@@ -276,6 +276,22 @@ def q_phrase_pos_search(spark, sf_dir):
     )
 
 
+PROX_FIRST, PROX_SECOND, PROX_DIST = "merge", "join", 5
+
+
+def q_proximity_search(spark, sf_dir):
+    """Ordered proximity (Lucene NEAR): docs where 'merge' precedes
+    'join' within 5 tokens, with the qualifying pair count — a
+    positional join with a range predicate (query/textmatch.py). The
+    serving twin runs the same counting vectorized over the positional
+    sidecar (serve.near_search_positions)."""
+    from rse_spark.query.textmatch import proximity_match
+
+    return proximity_match(
+        _docs(spark, sf_dir), PROX_FIRST, PROX_SECOND, PROX_DIST
+    )
+
+
 def q_prefix_bm25(spark, sf_dir):
     """Prefix query (s*): dictionary expansion feeding the standard
     BM25 scorer, declarative path."""
@@ -1338,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "phrase_search": q_phrase_search,
         "phrase_pos_search": q_phrase_pos_search,
+        "proximity_search": q_proximity_search,
         "prefix_bm25": q_prefix_bm25,
         "prefix_wand": q_prefix_wand,
         "facet_counts": q_facet_counts,
@@ -2038,6 +2055,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "phrase_search": _phrase_sql(),
         "phrase_pos_search": _phrase_pos_sql(),
+        "proximity_search": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(sp) AS tok,
+                     unnest(range(1, len(sp) + 1)) AS pos
+              FROM (SELECT doc_id, string_split(text, ' ') AS sp
+                    FROM documents)
+            )
+            SELECT a.doc_id, count(*)::bigint AS n_pairs
+            FROM (SELECT doc_id, pos FROM toks
+                  WHERE tok = '{PROX_FIRST}') a
+            JOIN (SELECT doc_id, pos FROM toks
+                  WHERE tok = '{PROX_SECOND}') b
+              ON a.doc_id = b.doc_id
+             AND b.pos - a.pos BETWEEN 1 AND {PROX_DIST}
+            GROUP BY a.doc_id
+        """,
         "prefix_bm25": _bm25_sql("or", prefix=PREFIX),
         "prefix_wand": _bm25_sql("or", prefix=PREFIX),
         "facet_counts": f"""

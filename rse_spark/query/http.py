@@ -87,12 +87,15 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
             phrase = (qs.get("phrase") or [""])[0]
             prefix = (qs.get("prefix") or [""])[0]
             ql = (qs.get("ql") or [""])[0]
-            given = [p for p in (q, phrase, prefix, ql) if p.strip()]
+            near = (qs.get("near") or [""])[0]
+            given = [p for p in (q, phrase, prefix, ql, near)
+                     if p.strip()]
             if len(given) != 1:
                 # GSE: empty query -> http.Error 400 (main.go:210-214);
-                # exactly one of q / phrase / prefix / ql must be present
+                # exactly one selector must be present
                 self._json(400, {
-                    "error": "exactly one of q, phrase, prefix, ql required"
+                    "error": "exactly one of q, phrase, prefix, ql, "
+                             "near required"
                 })
                 return
             try:
@@ -128,6 +131,34 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                            snippet_q=ql.replace('"', " ").replace(
                                " AND ", " ").replace(" OR ", " ")
                            if want_snippets else None)
+                return
+            if near.strip():
+                parts = [w for w in near.replace(",", " ").split() if w]
+                try:
+                    dist = int((qs.get("dist") or ["3"])[0])
+                    if len(parts) != 2 or dist < 1:
+                        raise ValueError
+                except ValueError:
+                    self._json(400, {
+                        "error": "near needs two words (near=w1,w2) "
+                                 "and dist >= 1"
+                    })
+                    return
+                try:
+                    hits = searcher.near_search_positions(
+                        parts[0], parts[1], dist, k=k
+                    )
+                except ValueError as e:
+                    self._json(400, {"error": str(e)})
+                    return
+                self._json(200, {
+                    "near": parts, "dist": dist, "k": k,
+                    "n_results": len(hits),
+                    "results": [
+                        {"doc_id": int(d), "n_pairs": int(n)}
+                        for d, n in hits
+                    ],
+                })
                 return
             if phrase.strip():
                 use_pos = (qs.get("pos") or ["0"])[0] not in (

@@ -556,34 +556,7 @@ class DirectSearcher:
         Raises ValueError when the index has no positional sidecar."""
         import numpy as np
 
-        from rse_spark.index.positions import decode_position_list
-
-        self._check_generation()
-        pos_root = os.path.join(self.root, "positions")
-        if not os.path.isdir(pos_root):
-            raise ValueError(
-                "index has no positional sidecar "
-                "(build it with index.positions.build_positions)"
-            )
-        # coverage check: every live postings group must have its
-        # positions partition — a stream-grown index whose sidecar
-        # predates the newest batches must fail LOUDLY, not silently
-        # miss the new docs (writers that rewrite groups — compaction,
-        # upsert — drop the sidecar outright for the same reason)
-        live = {
-            p for p in os.listdir(os.path.join(self.root, "postings"))
-            if p.startswith("seg_group=")
-        }
-        covered = {
-            p for p in os.listdir(pos_root)
-            if p.startswith("seg_group=")
-        }
-        if not live <= covered:
-            raise ValueError(
-                "positional sidecar is incomplete (groups "
-                f"{sorted(live - covered)} missing) — re-run "
-                "build_positions(only_missing=True)"
-            )
+        self._check_positions_coverage()
         from rse_spark.tokenizer import tokenize
 
         terms = tokenize(phrase, self.analyzer)  # ordered, dups kept
@@ -594,31 +567,8 @@ class DirectSearcher:
         decoded: dict[str, list] = {}
         cand = None
         for t in sorted(set(terms)):
-            info = self.term_dict.get(t)
-            if not info:
-                return []
-            tbl = pq.read_table(
-                pos_root,
-                filters=[("bucket", "==", info[1]), ("term", "==", t)],
-                columns=["doc_payload", "pos_payload"],
-            )
-            rows = []
-            ids_parts = []
-            for dp, pp in zip(
-                tbl["doc_payload"].to_pylist(),
-                tbl["pos_payload"].to_pylist(),
-            ):
-                doc_ids, lens, flat = decode_position_list(
-                    bytes(dp), bytes(pp)
-                )
-                starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-                rows.append((doc_ids, lens, starts, flat))
-                ids_parts.append(doc_ids)
+            rows, all_ids = self._decode_positions_term(t)
             decoded[t] = rows
-            all_ids = (
-                np.unique(np.concatenate(ids_parts))
-                if ids_parts else np.empty(0, dtype=np.int64)
-            )
             cand = all_ids if cand is None else np.intersect1d(
                 cand, all_ids, assume_unique=True
             )
@@ -647,6 +597,134 @@ class DirectSearcher:
                 out.append((int(d), int(len(cur))))
         out.sort(key=lambda r: (-r[1], r[0]))
         return out[:k]
+
+    def near_search_positions(self, first: str, second: str,
+                              max_dist: int, k: int = 10):
+        """Ordered proximity top-k from the positional sidecar:
+        [(doc_id, n_pairs)] where ``first`` precedes ``second`` within
+        ``max_dist`` tokens (Lucene NEAR). Pair counting is fully
+        vectorized per candidate: searchsorted window counts over the
+        two position arrays. Raw query words are analyzed first; a
+        word that splits into several tokens is rejected (proximity
+        over multi-token units is a phrase query composition, not a
+        pair query)."""
+        from rse_spark.tokenizer import tokenize
+
+        if max_dist < 1:
+            raise ValueError("max_dist must be >= 1")
+        self._check_positions_coverage()
+        t1 = tokenize(first, self.analyzer)
+        t2 = tokenize(second, self.analyzer)
+        if len(t1) != 1 or len(t2) != 1:
+            raise ValueError(
+                "proximity operands must each analyze to one token"
+            )
+        hits = self._positions_pairs(t1[0], t2[0], max_dist)
+        hits.sort(key=lambda r: (-r[1], r[0]))
+        return hits[:k]
+
+    def _positions_pairs(self, t1: str, t2: str, max_dist: int):
+        import numpy as np
+
+        rows_by_term = {}
+        cand = None
+        for t in sorted({t1, t2}):
+            rows, all_ids = self._decode_positions_term(t)
+            if all_ids is None or not len(all_ids):
+                return []
+            rows_by_term[t] = rows
+            cand = all_ids if cand is None else np.intersect1d(
+                cand, all_ids, assume_unique=True
+            )
+        if cand is None or not len(cand):
+            return []
+
+        def _positions(term, doc):
+            for doc_ids, lens, starts, flat in rows_by_term[term]:
+                j = int(np.searchsorted(doc_ids, doc))
+                if j < len(doc_ids) and doc_ids[j] == doc:
+                    return flat[starts[j]: starts[j] + lens[j]]
+            return None
+
+        out = []
+        for d in cand.tolist():
+            p1 = _positions(t1, d)
+            p2 = _positions(t2, d)
+            if p1 is None or p2 is None:
+                continue
+            n = int(
+                (
+                    np.searchsorted(p2, p1 + max_dist, side="right")
+                    - np.searchsorted(p2, p1, side="right")
+                ).sum()
+            )
+            if n:
+                out.append((int(d), n))
+        return out
+
+    def _check_positions_coverage(self) -> None:
+        """Sidecar presence + coverage: every live postings group must
+        have its positions partition — a stream-grown index whose
+        sidecar predates the newest batches must fail LOUDLY, not
+        silently miss the new docs (writers that rewrite groups —
+        compaction, delete/upsert — drop the sidecar outright for the
+        same reason)."""
+        self._check_generation()
+        pos_root = os.path.join(self.root, "positions")
+        if not os.path.isdir(pos_root):
+            raise ValueError(
+                "index has no positional sidecar "
+                "(build it with index.positions.build_positions)"
+            )
+        live = {
+            p for p in os.listdir(os.path.join(self.root, "postings"))
+            if p.startswith("seg_group=")
+        }
+        covered = {
+            p for p in os.listdir(pos_root)
+            if p.startswith("seg_group=")
+        }
+        if not live <= covered:
+            raise ValueError(
+                "positional sidecar is incomplete (groups "
+                f"{sorted(live - covered)} missing) — re-run "
+                "build_positions(only_missing=True)"
+            )
+
+    def _decode_positions_term(self, term: str):
+        """Decode one term's positional rows:
+        ([(doc_ids, lens, starts, flat)], all_doc_ids) — shared by the
+        phrase and proximity paths; empty results for an absent
+        term."""
+        import numpy as np
+
+        from rse_spark.index.positions import decode_position_list
+
+        pos_root = os.path.join(self.root, "positions")
+        info = self.term_dict.get(term)
+        if not info:
+            return [], np.empty(0, dtype=np.int64)
+        tbl = pq.read_table(
+            pos_root,
+            filters=[("bucket", "==", info[1]), ("term", "==", term)],
+            columns=["doc_payload", "pos_payload"],
+        )
+        rows, ids_parts = [], []
+        for dp, pp in zip(
+            tbl["doc_payload"].to_pylist(),
+            tbl["pos_payload"].to_pylist(),
+        ):
+            doc_ids, lens, flat = decode_position_list(
+                bytes(dp), bytes(pp)
+            )
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            rows.append((doc_ids, lens, starts, flat))
+            ids_parts.append(doc_ids)
+        all_ids = (
+            np.unique(np.concatenate(ids_parts))
+            if ids_parts else np.empty(0, dtype=np.int64)
+        )
+        return rows, all_ids
 
     def fetch_content(self, ids: list[int], corpus_path: str,
                       content_col: str = "text",

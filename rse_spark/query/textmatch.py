@@ -118,6 +118,46 @@ def phrase_match_positions(docs: DataFrame, phrase: str,
     )
 
 
+def proximity_match(docs: DataFrame, first: str, second: str,
+                    max_dist: int, content_col: str = "text",
+                    id_col: str = "doc_id",
+                    candidates: DataFrame | None = None) -> DataFrame:
+    """(id, n_pairs) — ordered proximity: occurrences of ``first``
+    followed by ``second`` within ``max_dist`` tokens (1 = adjacent,
+    i.e. the 2-word phrase). n_pairs counts qualifying (pos_first,
+    pos_second) pairs. The Lucene NEAR/slop primitive, expressed as a
+    positional join with a range predicate: equi-join on the doc,
+    range condition on the position gap — work ~ the two words'
+    posting sizes (the serving twin is
+    DirectSearcher.near_search_positions over the positional
+    sidecar)."""
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    if candidates is not None:
+        docs = docs.join(candidates.select(id_col), id_col, "left_semi")
+    toks = docs.select(
+        id_col,
+        F.posexplode(F.split(F.col(content_col), " ")).alias(
+            "pos", "tok"
+        ),
+    )
+    a = toks.filter(F.col("tok") == F.lit(first)).select(
+        id_col, F.col("pos").alias("_pa")
+    )
+    b = toks.filter(F.col("tok") == F.lit(second)).select(
+        id_col, F.col("pos").alias("_pb")
+    )
+    return (
+        a.join(b, id_col)
+        .filter(
+            (F.col("_pb") - F.col("_pa") >= 1)
+            & (F.col("_pb") - F.col("_pa") <= max_dist)
+        )
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+
+
 def expand_prefix(term_dict: DataFrame, prefix: str,
                   max_terms: int = 64) -> list[str]:
     """Dictionary expansion: all indexed terms starting with ``prefix``

@@ -198,6 +198,81 @@ def test_http_positions_surface(spark, pos_index):
         srv.stop()
 
 
+def test_near_search_counts(spark, tmp_path):
+    """Ordered proximity over the sidecar: planted pair counts."""
+    from rse_spark.index.storage import build_resumable
+
+    root = str(tmp_path / "idx")
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "a x x b",        # gap 3
+            "a b x a x b",    # pairs: (0,1),(0,5),(3,5) gaps 1,5,2
+            "b x a",          # wrong order only
+            "a x x x x x b",  # gap 6
+        ],
+    })
+    corpus = spark.createDataFrame(pdf)
+    build_resumable(spark, corpus, root, analyzer="simple",
+                    content_col="text", docs_per_segment=64)
+    build_positions(spark, corpus, root, analyzer="simple",
+                    content_col="text")
+    s = DirectSearcher(root, analyzer="simple")
+    assert s.near_search_positions("a", "b", 3) == [(1, 2), (0, 1)]
+    assert s.near_search_positions("a", "b", 5) == [(1, 3), (0, 1)]
+    assert s.near_search_positions("a", "b", 6) == [(1, 3), (0, 1), (3, 1)]
+    assert s.near_search_positions("b", "a", 2) == [(1, 1), (2, 1)]
+    assert s.near_search_positions("a", "zzz", 3) == []
+    with pytest.raises(ValueError, match="max_dist"):
+        s.near_search_positions("a", "b", 0)
+    with pytest.raises(ValueError, match="one token"):
+        s.near_search_positions("a b", "c", 3)
+
+
+def test_near_search_matches_declarative(spark, pos_index):
+    from rse_spark.query.textmatch import proximity_match
+
+    s = DirectSearcher(pos_index, analyzer="simple")
+    via_serve = s.near_search_positions("merge", "join", 5,
+                                        k=10_000)
+    docs = spark.read.parquet(DOCS)
+    via_spark = sorted(
+        ((r["doc_id"], r["n_pairs"])
+         for r in proximity_match(docs, "merge", "join", 5,
+                                  content_col="text").collect()),
+        key=lambda r: (-r[1], r[0]),
+    )
+    assert via_serve == via_spark
+    assert via_serve  # non-empty at this scale
+
+
+def test_http_near(spark, pos_index):
+    import json
+    import urllib.request
+
+    from rse_spark.query.http import SearchServer
+
+    srv = SearchServer(pos_index, analyzer="simple").start()
+    try:
+        with urllib.request.urlopen(
+            f"{srv.address}/search?near=merge,join&dist=5&k=3",
+            timeout=30,
+        ) as r:
+            body = json.load(r)
+        assert body["n_results"] == 3
+        assert all(r["n_pairs"] >= 1 for r in body["results"])
+        import urllib.error
+        try:
+            urllib.request.urlopen(
+                f"{srv.address}/search?near=only_one", timeout=10
+            )
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.stop()
+
+
 def test_positions_mutation_lifecycle(spark, tmp_path):
     """The sidecar stays truthful under index mutation: appends make
     it fail LOUDLY until incrementally extended; group-rewriting
