@@ -298,6 +298,16 @@ def build_positions(
         .partitionBy("seg_group", "bucket")
         .parquet(pos_root)
     )
+    if missing is not None:
+        # a corpus that doesn't contain the missing groups' docs
+        # produces an empty write — that is NOT success; stay loud so
+        # the caller doesn't believe the sidecar is current
+        still = missing - _group_dirs(pos_root)
+        if still:
+            raise ValueError(
+                f"corpus did not cover positions for groups "
+                f"{sorted(still)}"
+            )
     built = len(missing) if missing is not None else len(
         _group_dirs(pos_root)
     )

@@ -143,6 +143,7 @@ def append_batch(
     segments_per_group: int = 4,
     n_buckets: int = 16,
     batch_id: int = -1,
+    maintain_positions: bool = True,
 ) -> int:
     """Index one micro-batch as fresh segment groups; returns docs added.
 
@@ -329,6 +330,41 @@ def append_batch(
                                    if k not in ("unit", "status")})
     if claim_unit:
         store.mark_done(claim_unit, g0=g0, committed=True)
+    # keep an existing positional sidecar current: the batch's groups
+    # are exactly the ones missing from positions/, so the incremental
+    # build costs ~ this batch (idempotent on replay: diff is empty).
+    # Without this, the next positional query would fail the coverage
+    # check until a manual build_positions(only_missing=True).
+    if maintain_positions:
+        from rse_spark.index.positions import build_positions, has_positions
+
+        if has_positions(root):
+            pos_rec = store.completed_units().get("positions", {})
+            # batch_df was normalized above (content_col -> 'content',
+            # doc_id -> src_doc_id); present it to the sidecar builder
+            # in corpus shape so the id bridge resolves
+            pos_corpus = batch_df
+            if "src_doc_id" in pos_corpus.columns \
+                    and "doc_id" not in pos_corpus.columns:
+                pos_corpus = pos_corpus.withColumnRenamed(
+                    "src_doc_id", "doc_id"
+                )
+            try:
+                build_positions(
+                    spark, pos_corpus, root,
+                    analyzer=pos_rec.get("analyzer", analyzer),
+                    content_col="content",
+                    only_missing=True,
+                )
+            except ValueError:
+                # keyless batches can't be bridged to doc ids — drop
+                # the sidecar so the positional path fails loudly as
+                # "no sidecar" instead of serving a stale one
+                import shutil
+
+                shutil.rmtree(store._p("positions"),
+                              ignore_errors=True)
+                store.remove_unit("positions")
     meta_src.unpersist()
     for h in handles:
         h.unpersist()

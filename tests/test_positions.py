@@ -299,12 +299,13 @@ def test_positions_mutation_lifecycle(spark, tmp_path):
     s = DirectSearcher(root, analyzer="simple")
     assert s.phrase_search_positions("the data", k=5)
 
-    # 1. append a new batch -> coverage check must fail loudly
+    # 1. append WITHOUT maintenance -> coverage check must fail loudly
     append_batch(
         spark,
-        docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300)),
+        docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 220)),
         root, analyzer="simple", content_col="text",
         docs_per_segment=64, segments_per_group=4, batch_id=2,
+        maintain_positions=False,
     )
     s = DirectSearcher(root, analyzer="simple")
     with pytest.raises(ValueError, match="incomplete"):
@@ -316,7 +317,7 @@ def test_positions_mutation_lifecycle(spark, tmp_path):
         p for p in os.listdir(pos_root) if p.startswith("seg_group=")
     )[0]
     mtime0 = os.path.getmtime(os.path.join(pos_root, old_dir))
-    full = docs.filter(F.col("doc_id") < 300)
+    full = docs.filter(F.col("doc_id") < 220)
     built = build_positions(spark, full, root, analyzer="simple",
                             content_col="text", only_missing=True)
     assert built >= 1
@@ -330,6 +331,21 @@ def test_positions_mutation_lifecycle(spark, tmp_path):
                                   content_col="text",
                                   key_col="src_doc_id")
     assert via_pos == via_content and via_pos
+
+    # 2b. default append AUTO-maintains the sidecar: next batch is
+    # immediately queryable, work ~ the batch (idempotent on replay)
+    append_batch(
+        spark,
+        docs.filter((F.col("doc_id") >= 220) & (F.col("doc_id") < 300)),
+        root, analyzer="simple", content_col="text",
+        docs_per_segment=64, segments_per_group=4, batch_id=3,
+    )
+    full = docs.filter(F.col("doc_id") < 300)
+    s = DirectSearcher(root, analyzer="simple")
+    via_pos = s.phrase_search_positions("the data", k=50)
+    assert via_pos == s.phrase_search("the data", DOCS, k=50,
+                                      content_col="text",
+                                      key_col="src_doc_id")
 
     # 3. compaction renumbers ids -> sidecar dropped, path raises
     assert compact_groups(spark, root, min_fill=0.5)["merged"] >= 2
