@@ -147,6 +147,37 @@ def main() -> None:
         qlat.sort()
         ql_p50 = qlat[len(qlat) // 2] if qlat else 0.0
 
+        # ---- positional sidecar: build cost, size ratio, and phrase
+        # latency resolved entirely inside the index (no content IO)
+        from rse_spark.index.positions import build_positions
+
+        t0 = time.time()
+        build_positions(
+            spark, corpus, idx_root, analyzer="code",
+            content_col="content",
+        )
+        positions_build_sec = time.time() - t0
+
+        def _tree_bytes(path: str) -> int:
+            total = 0
+            for dirpath, _dirs, files in os.walk(path):
+                for fn in files:
+                    total += os.path.getsize(os.path.join(dirpath, fn))
+            return total
+
+        positions_bytes = _tree_bytes(os.path.join(idx_root, "positions"))
+        postings_bytes = _tree_bytes(os.path.join(idx_root, "postings"))
+        pplat: list[float] = []
+        for q in qset.itertuples():
+            toks = q.query_text.split()
+            if len(toks) < 2:
+                continue
+            t0 = time.time()
+            searcher.phrase_search_positions(" ".join(toks[:2]), k=10)
+            pplat.append(time.time() - t0)
+        pplat.sort()
+        phrase_pos_p50 = pplat[len(pplat) // 2] if pplat else 0.0
+
         # ---- integrity job at bench scale (round-4 verdict item 7):
         # the per-row sha invariant + structural checks demonstrated
         # on the full sf corpus each round, with its wall time
@@ -241,6 +272,13 @@ def main() -> None:
                 "serve_cold_p95_ms": round(1000 * c95, 2),
                 "serve_prefix_p50_ms": round(1000 * p50_prefix, 2),
                 "serve_ql_p50_ms": round(1000 * ql_p50, 2),
+                "serve_phrase_pos_p50_ms": round(
+                    1000 * phrase_pos_p50, 2
+                ),
+                "positions_build_sec": round(positions_build_sec, 3),
+                "positions_vs_postings_size": round(
+                    positions_bytes / max(1, postings_bytes), 3
+                ),
                 "integrity_ok": bool(integrity["ok"]),
                 "integrity_sec": round(integrity_sec, 3),
                 "skew_exhaustive_ms": round(1000 * skew_ex, 2),
