@@ -115,6 +115,27 @@ def main() -> None:
         + cap_explain(harness.q_tfidf_top_terms(spark, sf_dir)),
     ))
 
+    # 10. positional join phrase — filtered token sets hash-joined on
+    # narrow (doc, pos) keys; occurrence count as a hash aggregate
+    sections.append((
+        "phrase_pos_search (positional join, no content verify scan)",
+        "Expect: each phrase word a filtered projection of the "
+        "posexploded token stream, equi-joined on (doc_id, pos - "
+        "offset) — hash joins on narrow keys, then one hash "
+        "aggregate. No full-content adjacency scan.\n\n"
+        + cap_explain(harness.q_phrase_pos_search(spark, sf_dir)),
+    ))
+
+    # 11. proximity — same join shape with a range predicate on the
+    # position gap (never a cartesian product)
+    sections.append((
+        "proximity_search (positional join + range predicate)",
+        "Expect: equi-join on doc_id with the gap range as a join "
+        "filter/post-filter — never BroadcastNestedLoopJoin over the "
+        "corpus.\n\n"
+        + cap_explain(harness.q_proximity_search(spark, sf_dir)),
+    ))
+
     out = ["# PLANS — physical plans of the key paths\n"]
     out.append(
         "Generated by tools/dump_plans.py (`df.explain('formatted')`).\n"
