@@ -8,6 +8,7 @@ Lucene's SimpleQueryParser popularized, nesting-free by design:
 
     error AND handler OR panic        ->  (error ∧ handler) ∨ panic
     "merge sort" AND stable           ->  adjacency ∧ term
+    "merge sort"~2 AND stable         ->  in-order slop<=2 ∧ term
     pars* AND config                  ->  (any pars… term) ∧ config
     spark join                        ->  spark ∨ join   (GSE default)
 
@@ -38,6 +39,10 @@ class Clause:
     terms: list[str] = field(default_factory=list)
     prefixes: list[str] = field(default_factory=list)
     phrases: list[str] = field(default_factory=list)
+    # per-phrase slop, aligned with ``phrases``: 0 = exact adjacency;
+    # N >= 1 allows up to N tokens between successive words
+    # (Lucene SimpleQueryParser's ``"…"~N``)
+    slops: list[int] = field(default_factory=list)
 
     def atoms(self) -> int:
         return len(self.terms) + len(self.prefixes) + len(self.phrases)
@@ -55,8 +60,12 @@ def _tokenize(q: str) -> list[str]:
         if q[i] == '"':
             j = q.find('"', i + 1)
             j = n if j < 0 else j
-            out.append(q[i:j + 1])
-            i = j + 1
+            # keep a non-space suffix (the ~N slop marker) attached
+            k = j + 1
+            while k < n and not q[k].isspace():
+                k += 1
+            out.append(q[i:k])
+            i = k
         else:
             j = i
             while j < n and not q[j].isspace():
@@ -85,9 +94,22 @@ def parse_ql(q: str) -> list[Clause]:
             clauses.append(cur)
         pending_and = False
         if tok.startswith('"'):
-            phrase = tok.strip('"').strip()
+            body, slop = tok[1:], 0
+            close = body.find('"')
+            if close >= 0:
+                suffix = body[close + 1:]
+                body = body[:close]
+                if suffix.startswith("~"):
+                    try:
+                        slop = max(0, int(suffix[1:]))
+                    except ValueError:
+                        raise ValueError(
+                            f"bad phrase slop {suffix!r}"
+                        ) from None
+            phrase = body.strip()
             if phrase:
                 cur.phrases.append(phrase)
+                cur.slops.append(slop)
         elif tok.endswith("*") and len(tok) > 1:
             cur.prefixes.append(tok[:-1])
         else:
@@ -136,6 +158,10 @@ def search_ql(searcher, q: str, k: int = 10,
         raise ValueError(
             "phrase atoms need a content store or a positional sidecar"
         )
+    if any(s > 0 for c in clauses for s in c.slops) and not has_pos:
+        raise ValueError(
+            'sloppy phrases ("…"~N) need a positional sidecar'
+        )
 
     empty = np.empty(0, dtype=np.int64)
     docs_cache: dict[str, np.ndarray] = {}
@@ -181,8 +207,16 @@ def search_ql(searcher, q: str, k: int = 10,
             docs, terms = prefix_docs(p)
             scoring_terms.extend(terms)
             clause_sets.append(docs)
-        for ph in c.phrases:
+        for ph, slop in zip(c.phrases, c.slops):
             scoring_terms.extend(query_terms(ph, searcher.analyzer))
+            if slop > 0:
+                # slop semantics: up to ``slop`` extra tokens between
+                # successive words -> max chain gap slop + 1
+                clause_sets.append(np.asarray(
+                    searcher.phrase_chain_docs(ph, max_gap=slop + 1),
+                    dtype=np.int64,
+                ))
+                continue
             if corpus_path is not None:
                 ph_hits = searcher.phrase_search(
                     ph, corpus_path, k=searcher.n_docs,

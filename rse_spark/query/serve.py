@@ -616,6 +616,41 @@ class DirectSearcher:
         hits.sort(key=lambda r: (-r[1], r[0]))
         return hits[:k]
 
+    def phrase_chain_docs(self, phrase: str, max_gap: int = 1):
+        """Sorted doc-id array of documents containing the phrase
+        words IN ORDER with each successive gap <= ``max_gap`` tokens
+        (1 = exact adjacency; this is the qlang ``\"…\"~N`` slop
+        atom's presence primitive). Vectorized chaining on packed
+        keys: a next-word occurrence q survives iff some current
+        occurrence p satisfies 0 < q - p <= max_gap — two
+        searchsorted calls per word. The underflow at q - max_gap
+        cannot cross into the previous document because real
+        positions are far below 2^32 - max_gap."""
+        import numpy as np
+
+        from rse_spark.tokenizer import tokenize
+
+        if max_gap < 1:
+            raise ValueError("max_gap must be >= 1")
+        self._check_positions_coverage()
+        terms = tokenize(phrase, self.analyzer)
+        if not terms:
+            raise ValueError("phrase has no indexable terms")
+        cur = self._term_position_keys(terms[0])
+        for t in terms[1:]:
+            if not len(cur):
+                break
+            kt = self._term_position_keys(t)
+            if not len(kt):
+                cur = kt
+                break
+            lo = np.searchsorted(cur, kt - max_gap, side="left")
+            hi = np.searchsorted(cur, kt, side="left")
+            cur = kt[hi > lo]
+        if not len(cur):
+            return np.empty(0, dtype=np.int64)
+        return np.unique(cur >> np.int64(32))
+
     def _positions_pairs(self, t1: str, t2: str, max_dist: int):
         """Fully vectorized ordered-pair counting on packed
         (doc << 32 | pos) keys: for every occurrence of t1 the number

@@ -273,6 +273,83 @@ def test_http_near(spark, pos_index):
         srv.stop()
 
 
+def test_phrase_slop_chain_and_qlang(spark, tmp_path):
+    """``"…"~N`` slop atoms: in-order match with up to N extra tokens
+    between successive words, resolved on the positional sidecar."""
+    import numpy as np
+
+    from rse_spark.index.storage import build_resumable
+    from rse_spark.query.qlang import parse_ql, search_ql
+
+    cs = parse_ql('"a b"~2 AND c')
+    assert cs[0].phrases == ["a b"] and cs[0].slops == [2]
+    assert cs[0].terms == ["c"]
+    assert parse_ql('"a b"')[0].slops == [0]
+    with pytest.raises(ValueError, match="slop"):
+        parse_ql('"a b"~x')
+
+    root = str(tmp_path / "idx")
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "a b z",
+            "a x b z",
+            "a x x b z",
+            "b a z",
+        ],
+    })
+    corpus = spark.createDataFrame(pdf)
+    build_resumable(spark, corpus, root, analyzer="simple",
+                    content_col="text", docs_per_segment=64)
+    build_positions(spark, corpus, root, analyzer="simple",
+                    content_col="text")
+    s = DirectSearcher(root, analyzer="simple")
+    assert s.phrase_chain_docs("a b", max_gap=1).tolist() == [0]
+    assert s.phrase_chain_docs("a b", max_gap=2).tolist() == [0, 1]
+    assert s.phrase_chain_docs("a b", max_gap=3).tolist() == [0, 1, 2]
+    with pytest.raises(ValueError, match="max_gap"):
+        s.phrase_chain_docs("a b", max_gap=0)
+
+    def docs(hits):
+        return sorted(d for d, _s, _m in hits)
+
+    assert docs(search_ql(s, '"a b"')) == [0]
+    assert docs(search_ql(s, '"a b"~1')) == [0, 1]
+    assert docs(search_ql(s, '"a b"~2')) == [0, 1, 2]
+    assert docs(search_ql(s, '"a b"~2 AND z')) == [0, 1, 2]
+    # 3-word chain: each successive gap bounded independently
+    pdf2 = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["p q r", "p x q x r"],
+    })
+    root2 = str(tmp_path / "idx2")
+    c2 = spark.createDataFrame(pdf2)
+    build_resumable(spark, c2, root2, analyzer="simple",
+                    content_col="text", docs_per_segment=64)
+    build_positions(spark, c2, root2, analyzer="simple",
+                    content_col="text")
+    s2 = DirectSearcher(root2, analyzer="simple")
+    assert s2.phrase_chain_docs("p q r", max_gap=1).tolist() == [0]
+    assert s2.phrase_chain_docs("p q r", max_gap=2).tolist() == [0, 1]
+
+
+def test_phrase_slop_requires_sidecar(spark, tmp_path):
+    from rse_spark.index.storage import build_resumable
+    from rse_spark.query.qlang import search_ql
+
+    root = str(tmp_path / "idx")
+    corpus_path = str(tmp_path / "c.parquet")
+    pd.DataFrame({"doc_id": [0], "text": ["a x b"]}).to_parquet(
+        corpus_path
+    )
+    corpus = spark.read.parquet(corpus_path)
+    build_resumable(spark, corpus, root, analyzer="simple",
+                    content_col="text", docs_per_segment=64)
+    s = DirectSearcher(root, analyzer="simple")
+    with pytest.raises(ValueError, match="positional sidecar"):
+        search_ql(s, '"a b"~1', corpus_path=corpus_path)
+
+
 def test_positions_mutation_lifecycle(spark, tmp_path):
     """The sidecar stays truthful under index mutation: appends make
     it fail LOUDLY until incrementally extended; group-rewriting
