@@ -10,6 +10,7 @@ Lucene's SimpleQueryParser popularized, nesting-free by design:
     "merge sort" AND stable           ->  adjacency ∧ term
     "merge sort"~2 AND stable         ->  in-order slop<=2 ∧ term
     pars* AND config                  ->  (any pars… term) ∧ config
+    error AND -deprecated             ->  error ∧ ¬deprecated
     spark join                        ->  spark ∨ join   (GSE default)
 
 Semantics: the query is a disjunction of clauses; ``AND`` chains the
@@ -43,8 +44,24 @@ class Clause:
     # N >= 1 allows up to N tokens between successive words
     # (Lucene SimpleQueryParser's ``"…"~N``)
     slops: list[int] = field(default_factory=list)
+    # negated atoms (``-tok`` / ``-tok*`` / ``-"…"``): docs containing
+    # them are EXCLUDED from this clause's hits (SimpleQueryParser's
+    # NOT, clause-scoped). A clause with only negative atoms is a
+    # parse error — "everything except X" over a corpus is not a
+    # bounded query.
+    neg_terms: list[str] = field(default_factory=list)
+    neg_prefixes: list[str] = field(default_factory=list)
+    neg_phrases: list[str] = field(default_factory=list)
+    neg_slops: list[int] = field(default_factory=list)
 
     def atoms(self) -> int:
+        return (
+            len(self.terms) + len(self.prefixes) + len(self.phrases)
+            + len(self.neg_terms) + len(self.neg_prefixes)
+            + len(self.neg_phrases)
+        )
+
+    def positive_atoms(self) -> int:
         return len(self.terms) + len(self.prefixes) + len(self.phrases)
 
 
@@ -57,8 +74,10 @@ def _tokenize(q: str) -> list[str]:
         if q[i].isspace():
             i += 1
             continue
-        if q[i] == '"':
-            j = q.find('"', i + 1)
+        if q[i] == '"' or (
+            q[i] == "-" and i + 1 < n and q[i + 1] == '"'
+        ):
+            j = q.find('"', i + (2 if q[i] == "-" else 1))
             j = n if j < 0 else j
             # keep a non-space suffix (the ~N slop marker) attached
             k = j + 1
@@ -93,6 +112,9 @@ def parse_ql(q: str) -> list[Clause]:
             cur = Clause()
             clauses.append(cur)
         pending_and = False
+        neg = tok.startswith("-") and len(tok) > 1
+        if neg:
+            tok = tok[1:]
         if tok.startswith('"'):
             body, slop = tok[1:], 0
             close = body.find('"')
@@ -108,15 +130,25 @@ def parse_ql(q: str) -> list[Clause]:
                         ) from None
             phrase = body.strip()
             if phrase:
-                cur.phrases.append(phrase)
-                cur.slops.append(slop)
+                if neg:
+                    cur.neg_phrases.append(phrase)
+                    cur.neg_slops.append(slop)
+                else:
+                    cur.phrases.append(phrase)
+                    cur.slops.append(slop)
         elif tok.endswith("*") and len(tok) > 1:
-            cur.prefixes.append(tok[:-1])
+            (cur.neg_prefixes if neg else cur.prefixes).append(tok[:-1])
         else:
-            cur.terms.append(tok)
+            (cur.neg_terms if neg else cur.terms).append(tok)
     clauses = [c for c in clauses if c.atoms()]
     if not clauses:
         raise ValueError("empty query")
+    for c in clauses:
+        if c.positive_atoms() == 0:
+            raise ValueError(
+                "purely negative clause (every clause needs at least "
+                "one positive atom)"
+            )
     return clauses
 
 
@@ -153,12 +185,13 @@ def search_ql(searcher, q: str, k: int = 10,
             f"query has {n_atoms} atoms (max {max_atoms})"
         )
     has_pos = os.path.isdir(os.path.join(searcher.root, "positions"))
-    if any(c.phrases for c in clauses) and corpus_path is None \
-            and not has_pos:
+    if any(c.phrases or c.neg_phrases for c in clauses) \
+            and corpus_path is None and not has_pos:
         raise ValueError(
             "phrase atoms need a content store or a positional sidecar"
         )
-    if any(s > 0 for c in clauses for s in c.slops) and not has_pos:
+    if any(s > 0 for c in clauses for s in (*c.slops, *c.neg_slops)) \
+            and not has_pos:
         raise ValueError(
             'sloppy phrases ("…"~N) need a positional sidecar'
         )
@@ -196,6 +229,28 @@ def search_ql(searcher, q: str, k: int = 10,
             return empty, terms
         return np.unique(np.concatenate(arrs)), terms
 
+    def phrase_docs(ph: str, slop: int) -> np.ndarray:
+        if slop > 0:
+            # slop semantics: up to ``slop`` extra tokens between
+            # successive words -> max chain gap slop + 1
+            return np.asarray(
+                searcher.phrase_chain_docs(ph, max_gap=slop + 1),
+                dtype=np.int64,
+            )
+        if corpus_path is not None:
+            ph_hits = searcher.phrase_search(
+                ph, corpus_path, k=searcher.n_docs,
+                content_col=content_col, id_col=id_col,
+                key_col=key_col,
+            )
+        else:  # positional sidecar (checked above)
+            ph_hits = searcher.phrase_search_positions(
+                ph, k=searcher.n_docs
+            )
+        return np.asarray(
+            [d for d, _n in ph_hits], dtype=np.int64,
+        )
+
     scoring_terms: list[str] = []
     qualified_parts: list[np.ndarray] = []
     for c in clauses:
@@ -209,27 +264,7 @@ def search_ql(searcher, q: str, k: int = 10,
             clause_sets.append(docs)
         for ph, slop in zip(c.phrases, c.slops):
             scoring_terms.extend(query_terms(ph, searcher.analyzer))
-            if slop > 0:
-                # slop semantics: up to ``slop`` extra tokens between
-                # successive words -> max chain gap slop + 1
-                clause_sets.append(np.asarray(
-                    searcher.phrase_chain_docs(ph, max_gap=slop + 1),
-                    dtype=np.int64,
-                ))
-                continue
-            if corpus_path is not None:
-                ph_hits = searcher.phrase_search(
-                    ph, corpus_path, k=searcher.n_docs,
-                    content_col=content_col, id_col=id_col,
-                    key_col=key_col,
-                )
-            else:  # positional sidecar (checked above)
-                ph_hits = searcher.phrase_search_positions(
-                    ph, k=searcher.n_docs
-                )
-            clause_sets.append(np.asarray(
-                [d for d, _n in ph_hits], dtype=np.int64,
-            ))
+            clause_sets.append(phrase_docs(ph, slop))
         if not clause_sets:
             continue
         # smallest set first: intersections shrink fastest
@@ -240,6 +275,25 @@ def search_ql(searcher, q: str, k: int = 10,
                 break
             hit = np.intersect1d(np.sort(hit), np.sort(s),
                                  assume_unique=True)
+        # clause-scoped negation: docs matching ANY negative atom are
+        # excluded from this clause's hits (they never enter scoring —
+        # the negatives contribute no scoring terms)
+        if len(hit) and (
+            c.neg_terms or c.neg_prefixes or c.neg_phrases
+        ):
+            neg_parts = [token_docs(t) for t in c.neg_terms]
+            neg_parts += [prefix_docs(p)[0] for p in c.neg_prefixes]
+            neg_parts += [
+                phrase_docs(ph, slop)
+                for ph, slop in zip(c.neg_phrases, c.neg_slops)
+            ]
+            neg_parts = [a for a in neg_parts if len(a)]
+            if neg_parts:
+                hit = np.setdiff1d(
+                    np.sort(hit),
+                    np.unique(np.concatenate(neg_parts)),
+                    assume_unique=False,
+                )
         if len(hit):
             qualified_parts.append(hit)
     if not qualified_parts:

@@ -102,6 +102,37 @@ def test_ranking_matches_plain_search(planted):
     assert ql == plain
 
 
+def test_negation(planted):
+    """Clause-scoped NOT: -term / -prefix* / -"phrase" exclude their
+    docs from the clause; purely negative clauses are parse errors."""
+    root, corpus_path, to_src = planted
+    s = DirectSearcher(root, analyzer="simple")
+    kw = dict(corpus_path=corpus_path, key_col="src_doc_id")
+
+    cs = parse_ql("error AND -deprecated")
+    assert cs[0].terms == ["error"] and cs[0].neg_terms == ["deprecated"]
+    cs = parse_ql('x AND -"a b"~2')
+    assert cs[0].neg_phrases == ["a b"] and cs[0].neg_slops == [2]
+    for bad in ("-alpha", "-alpha AND -beta", 'alpha OR -beta'):
+        with pytest.raises(ValueError, match="negative"):
+            parse_ql(bad)
+
+    assert _src_ids(search_ql(s, "alpha AND -beta", **kw), to_src) == {1}
+    assert _src_ids(
+        search_ql(s, "alpha AND -delt*", **kw), to_src
+    ) == {0, 5}
+    assert _src_ids(
+        search_ql(s, 'alpha AND -"beta alpha"', **kw), to_src
+    ) == {0, 1}
+    assert _src_ids(
+        search_ql(s, "alpha AND -beta OR epsilon", **kw), to_src
+    ) == {1, 3}
+    # negation of an absent atom excludes nothing
+    assert _src_ids(
+        search_ql(s, "alpha AND -nonexistent", **kw), to_src
+    ) == {0, 1, 5}
+
+
 def test_atom_cap_bounds_work(planted):
     """Per-query work is bounded: more than max_atoms atoms is a
     ValueError (HTTP maps it to a 400), not unbounded evaluation."""
