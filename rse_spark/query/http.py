@@ -13,7 +13,10 @@ match against the content store) and ``?prefix=`` (term-dictionary
 expansion feeding the BM25 scorer) expose the textmatch query semantics
 (query/textmatch.py) at the same endpoint, ``?ql=`` accepts the flat
 boolean mini-language (query/qlang.py: OR of AND-clauses with quoted
-phrases and ``tok*`` prefixes), and ``?snippets=1`` adds a highlighted
+phrases, ``"…"~N`` slop, ``tok*`` prefixes and ``-atom`` negation),
+``?near=w1,w2&dist=N`` runs ordered proximity on the positional
+sidecar, ``?pos=1`` forces phrase resolution through it (automatic
+when no content store is mounted), and ``?snippets=1`` adds a highlighted
 content-store preview per hit (the result-page surface GSE's
 CompletePage implied, main.go:34-46).
 """
