@@ -182,6 +182,12 @@ class DirectSearcher:
         self._bucket_tables: OrderedDict[int, list] = OrderedDict()
         self._bucket_bytes: dict[int, int] = {}
         self._term_rows: dict[tuple[int, str], list[dict]] = {}
+        # decoded positional keys per term (phrase/NEAR serving path):
+        # LRU, byte-budgeted like the bucket cache, invalidated on
+        # generation change
+        self._pos_keys: OrderedDict[str, object] = OrderedDict()
+        self._pos_keys_bytes = 0
+        self.max_pos_keys_bytes = 256 << 20
         import threading
 
         # the HTTP endpoint serves one searcher from many threads.
@@ -254,6 +260,8 @@ class DirectSearcher:
             self._bucket_tables.clear()
             self._bucket_bytes.clear()
             self._term_rows.clear()
+            self._pos_keys.clear()
+            self._pos_keys_bytes = 0
             self._gen_sig = self._gen_stat()
 
     @property
@@ -678,19 +686,38 @@ class DirectSearcher:
 
     def _term_position_keys(self, term: str):
         """Sorted packed occurrence keys (doc_id << 32) | position for
-        one analyzed term. Bounds (enforced at build time by int
-        ranges, asserted here): doc_id < 2^31, position < 2^32."""
+        one analyzed term (doc_id < 2^31, position < 2^32). Decoded
+        arrays are LRU-cached under ``max_pos_keys_bytes`` so repeated
+        phrase/NEAR terms skip the parquet read + varint decode; the
+        generation check clears the cache on writer commits."""
         import numpy as np
 
+        with self._meta_lock:
+            cached = self._pos_keys.get(term)
+            if cached is not None:
+                self._pos_keys.move_to_end(term)
+                return cached
         rows, _ids = self._decode_positions_term(term)
         parts = []
         for doc_ids, lens, _starts, flat in rows:
             parts.append(
                 (np.repeat(doc_ids, lens) << np.int64(32)) | flat
             )
-        if not parts:
-            return np.empty(0, dtype=np.int64)
-        return np.sort(np.concatenate(parts))
+        keys = (
+            np.sort(np.concatenate(parts))
+            if parts else np.empty(0, dtype=np.int64)
+        )
+        with self._meta_lock:
+            if term not in self._pos_keys:
+                self._pos_keys[term] = keys
+                self._pos_keys_bytes += keys.nbytes
+                while (
+                    len(self._pos_keys) > 1
+                    and self._pos_keys_bytes > self.max_pos_keys_bytes
+                ):
+                    _t, old = self._pos_keys.popitem(last=False)
+                    self._pos_keys_bytes -= old.nbytes
+        return keys
 
     def _check_positions_coverage(self) -> None:
         """Sidecar presence + coverage: every live postings group must

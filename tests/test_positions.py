@@ -229,6 +229,28 @@ def test_near_search_counts(spark, tmp_path):
         s.near_search_positions("a b", "c", 3)
 
 
+def test_position_key_cache(spark, pos_index):
+    """Decoded key arrays are memoized (LRU, byte-budgeted) and
+    invalidated by the generation check."""
+    from rse_spark.index.storage import IndexStorage
+
+    s = DirectSearcher(pos_index, analyzer="simple")
+    r1 = s.phrase_search_positions("the data", k=5)
+    assert len(s._pos_keys) >= 2  # 'the' and 'data' cached
+    assert s.phrase_search_positions("the data", k=5) == r1  # hit path
+    # eviction under a tiny budget keeps at least the newest entry
+    s.max_pos_keys_bytes = 1
+    s.near_search_positions("merge", "join", 5, k=5)
+    assert len(s._pos_keys) == 1
+    # a writer commit clears the cache via the generation check
+    s.max_pos_keys_bytes = 256 << 20
+    s.phrase_search_positions("the data", k=5)
+    assert len(s._pos_keys) >= 1
+    IndexStorage(pos_index).bump_generation()
+    s.search("the", k=1)  # any query path runs the generation check
+    assert len(s._pos_keys) == 0
+
+
 def test_near_search_matches_declarative(spark, pos_index):
     from rse_spark.query.textmatch import proximity_match
 
