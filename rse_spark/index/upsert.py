@@ -165,12 +165,32 @@ def delete_docs(
                      part_dirs)
     shutil.rmtree(tmp, ignore_errors=True)
     dead.unpersist()
-    # a positional sidecar still carries the deleted docs' positions —
-    # drop it so the positional phrase path fails loudly until rebuilt
-    # (index/positions.py), instead of returning dead docs
+    # a positional sidecar still carries the deleted docs' positions
     if os.path.isdir(store._p("positions")):
-        shutil.rmtree(store._p("positions"), ignore_errors=True)
-        store.remove_unit("positions")
+        from rse_spark.index.positions import (
+            build_positions,
+            positions_in_enriched,
+        )
+
+        if positions_in_enriched(store):
+            # group-scoped refresh: drop the touched groups' position
+            # partitions and rebuild them from the post-swap enriched
+            # rows (which no longer contain the dead docs). A group
+            # whose docs ALL died has no postings partition anymore and
+            # is correctly left absent. Work ~ affected groups.
+            for g in affected:
+                shutil.rmtree(
+                    os.path.join(store._p("positions"), f"seg_group={g}"),
+                    ignore_errors=True,
+                )
+            build_positions(spark, None, root, analyzer=None,
+                            only_missing=True)
+        else:
+            # corpus-scan sidecar: drop it so the positional phrase
+            # path fails loudly until rebuilt, instead of returning
+            # dead docs
+            shutil.rmtree(store._p("positions"), ignore_errors=True)
+            store.remove_unit("positions")
 
     if refresh_stats:
         n_docs, avgdl = _refresh_stats(spark, store, n_buckets)

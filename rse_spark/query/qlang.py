@@ -11,7 +11,17 @@ Lucene's SimpleQueryParser popularized, nesting-free by design:
     "merge sort"~2 AND stable         ->  in-order slop<=2 ∧ term
     pars* AND config                  ->  (any pars… term) ∧ config
     error AND -deprecated             ->  error ∧ ¬deprecated
+    lang:python AND "binary search"   ->  metadata filter ∧ phrase
+    path:src/* AND config            ->  metadata prefix ∧ term
     spark join                        ->  spark ∨ join   (GSE default)
+
+Metadata atoms (``lang:``, ``repo:``, ``path:``, ``commit:``,
+``source:``) FILTER a clause by the per-doc metadata table — the
+single most common restriction a real code-search user applies. They
+contribute a presence doc-id set to the clause intersection and no
+scoring terms; a value ending in ``*`` is a prefix match
+(``path:src/*``). A clause of only filters is rejected (unbounded:
+"every python doc" is a table scan, not a ranked query).
 
 Semantics: the query is a disjunction of clauses; ``AND`` chains the
 adjacent atoms into one clause; bare atoms are their own clause.
@@ -30,9 +40,17 @@ clause, one BM25 scoring pass restricted to qualifying docs.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from rse_spark.query.engine import query_terms
+
+# fixed field set: anything else containing ':' stays a term atom
+# (std::vector must not parse as a metadata filter)
+META_FIELDS = ("lang", "repo", "path", "commit", "source")
+_META_RE = re.compile(
+    r"^(" + "|".join(META_FIELDS) + r"):(.+)$"
+)
 
 
 @dataclass
@@ -53,15 +71,22 @@ class Clause:
     neg_prefixes: list[str] = field(default_factory=list)
     neg_phrases: list[str] = field(default_factory=list)
     neg_slops: list[int] = field(default_factory=list)
+    # metadata filters ((field, value) pairs; value may end in '*' for
+    # prefix match) — presence sets only, never scoring terms
+    metas: list[tuple[str, str]] = field(default_factory=list)
+    neg_metas: list[tuple[str, str]] = field(default_factory=list)
 
     def atoms(self) -> int:
         return (
             len(self.terms) + len(self.prefixes) + len(self.phrases)
             + len(self.neg_terms) + len(self.neg_prefixes)
-            + len(self.neg_phrases)
+            + len(self.neg_phrases) + len(self.metas)
+            + len(self.neg_metas)
         )
 
     def positive_atoms(self) -> int:
+        """Scoring atoms — metadata filters deliberately excluded: a
+        clause of only filters is unbounded (and unrankable)."""
         return len(self.terms) + len(self.prefixes) + len(self.phrases)
 
 
@@ -128,6 +153,14 @@ def parse_ql(q: str) -> list[Clause]:
                         raise ValueError(
                             f"bad phrase slop {suffix!r}"
                         ) from None
+                elif suffix:
+                    # '"merge sort"stable' — ~N is the only meaningful
+                    # suffix; anything else was previously discarded
+                    # silently (round-5 ADVICE #3). Error, don't drop.
+                    raise ValueError(
+                        f"unrecognized suffix {suffix!r} after quoted "
+                        f"phrase (only '~N' slop is allowed)"
+                    )
             phrase = body.strip()
             if phrase:
                 if neg:
@@ -136,6 +169,10 @@ def parse_ql(q: str) -> list[Clause]:
                 else:
                     cur.phrases.append(phrase)
                     cur.slops.append(slop)
+        elif (m := _META_RE.match(tok)) is not None:
+            (cur.neg_metas if neg else cur.metas).append(
+                (m.group(1), m.group(2))
+            )
         elif tok.endswith("*") and len(tok) > 1:
             (cur.neg_prefixes if neg else cur.prefixes).append(tok[:-1])
         else:
@@ -146,8 +183,9 @@ def parse_ql(q: str) -> list[Clause]:
     for c in clauses:
         if c.positive_atoms() == 0:
             raise ValueError(
-                "purely negative clause (every clause needs at least "
-                "one positive atom)"
+                "clause has only negative/filter atoms (every clause "
+                "needs a positive term, prefix, or phrase — metadata "
+                "filters and negations only restrict)"
             )
     return clauses
 
@@ -251,6 +289,16 @@ def search_ql(searcher, q: str, k: int = 10,
             [d for d, _n in ph_hits], dtype=np.int64,
         )
 
+    meta_cache: dict[tuple[str, str], np.ndarray] = {}
+
+    def meta_set(f: str, v: str) -> np.ndarray:
+        arr = meta_cache.get((f, v))
+        if arr is None:
+            arr = meta_cache[(f, v)] = np.asarray(
+                searcher.meta_docs(f, v), dtype=np.int64
+            )
+        return arr
+
     scoring_terms: list[str] = []
     qualified_parts: list[np.ndarray] = []
     for c in clauses:
@@ -265,6 +313,10 @@ def search_ql(searcher, q: str, k: int = 10,
         for ph, slop in zip(c.phrases, c.slops):
             scoring_terms.extend(query_terms(ph, searcher.analyzer))
             clause_sets.append(phrase_docs(ph, slop))
+        for f, v in c.metas:
+            # filter-only: presence set in the intersection, no
+            # scoring contribution
+            clause_sets.append(meta_set(f, v))
         if not clause_sets:
             continue
         # smallest set first: intersections shrink fastest
@@ -280,6 +332,7 @@ def search_ql(searcher, q: str, k: int = 10,
         # the negatives contribute no scoring terms)
         if len(hit) and (
             c.neg_terms or c.neg_prefixes or c.neg_phrases
+            or c.neg_metas
         ):
             neg_parts = [token_docs(t) for t in c.neg_terms]
             neg_parts += [prefix_docs(p)[0] for p in c.neg_prefixes]
@@ -287,6 +340,7 @@ def search_ql(searcher, q: str, k: int = 10,
                 phrase_docs(ph, slop)
                 for ph, slop in zip(c.neg_phrases, c.neg_slops)
             ]
+            neg_parts += [meta_set(f, v) for f, v in c.neg_metas]
             neg_parts = [a for a in neg_parts if len(a)]
             if neg_parts:
                 hit = np.setdiff1d(

@@ -39,6 +39,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE broadcast the doc-id map-back join (keys+ids only,
+        # never content) by its MEASURED runtime size instead of a
+        # driver-side row-count heuristic — build.assign_doc_ids is
+        # fully declarative on the strength of this (one fewer job in
+        # stage A); beyond the threshold AQE falls back to a shuffled
+        # hash join of keys+ids, still never content
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "256m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -144,6 +144,7 @@ def append_batch(
     n_buckets: int = 16,
     batch_id: int = -1,
     maintain_positions: bool = True,
+    with_positions: bool = False,
 ) -> int:
     """Index one micro-batch as fresh segment groups; returns docs added.
 
@@ -151,6 +152,13 @@ def append_batch(
     increments. Corpus-level stats (avgdl, n_docs, df) are recomputed
     from the persisted tables after the write — BM25 scores therefore
     reflect the full corpus after every batch.
+
+    ``with_positions`` applies only when this batch CREATES the index
+    (no ``docs`` manifest record yet): whether the enriched rows store
+    per-term token positions. An existing index's layout always wins —
+    every batch must match the stored enriched schema, and a
+    positions-storing index keeps its sidecar current from enriched
+    (corpus-free, so even keyless batches maintain it).
 
     Idempotent under foreachBatch's at-least-once retry semantics
     (round-1 ADVICE): a batch CLAIMS its segment-group range in the
@@ -225,9 +233,17 @@ def append_batch(
     # with tokenize_path='jvm' stores FLAT (doc_id, term, tf, doc_len)
     # enriched rows; appending array-form rows would mix schemas in one
     # parquet dir and silently null out columns on later reads
-    fmt = store.completed_units().get("docs", {}).get(
-        "tokenize_path", "udf"
-    )
+    docs_rec = store.completed_units().get("docs", {})
+    fmt = docs_rec.get("tokenize_path", "udf")
+    if docs_rec:
+        # existing index: the stored enriched schema wins — appending
+        # rows without tf_positions to a positions-storing table would
+        # silently null the column on later reads (and vice versa)
+        store_positions = bool(
+            docs_rec.get("layout", {}).get("positions_in_enriched", False)
+        )
+    else:
+        store_positions = bool(with_positions)
     handles: list = []
     if fmt == "jvm":
         from rse_spark.index.build import jvm_base, tf_flat_jvm
@@ -239,7 +255,9 @@ def append_batch(
             "doc_id", "term", "tf", "doc_len", "seg_group"
         )
     else:
-        meta_src = enrich(ids, analyzer).withColumn(
+        meta_src = enrich(
+            ids, analyzer, with_positions=store_positions
+        ).withColumn(
             "seg_group", seg_col
         ).persist()
         enriched = meta_src
@@ -319,9 +337,11 @@ def append_batch(
             "docs", n_docs=new_n, avgdl=new_avg,
             source_snapshot=f"stream-batch-{batch_id}", wall_ms=0,
             tokenize_path=fmt,
+            analyzer=analyzer,
             layout={"docs_per_segment": docs_per_segment,
                     "segments_per_group": segments_per_group,
-                    "n_buckets": n_buckets},
+                    "n_buckets": n_buckets,
+                    "positions_in_enriched": store_positions},
         )
     else:
         rec = store.completed_units()["docs"]
@@ -338,11 +358,22 @@ def append_batch(
     if maintain_positions:
         from rse_spark.index.positions import build_positions, has_positions
 
-        if has_positions(root):
+        if store_positions:
+            # positions live in the just-written enriched rows —
+            # corpus-free incremental sidecar build, works for any
+            # batch shape (keyed or keyless). Not gated on an existing
+            # sidecar: a positions-storing index keeps its sidecar
+            # complete from the first batch on (only_missing bootstraps
+            # an absent dir by building every postings group).
+            build_positions(
+                spark, None, root, analyzer=None, only_missing=True
+            )
+        elif has_positions(root):
             pos_rec = store.completed_units().get("positions", {})
-            # batch_df was normalized above (content_col -> 'content',
-            # doc_id -> src_doc_id); present it to the sidecar builder
-            # in corpus shape so the id bridge resolves
+            # batch_df was normalized above (content_col ->
+            # 'content', doc_id -> src_doc_id); present it to the
+            # sidecar builder in corpus shape so the id bridge
+            # resolves
             pos_corpus = batch_df
             if "src_doc_id" in pos_corpus.columns \
                     and "doc_id" not in pos_corpus.columns:
@@ -357,9 +388,10 @@ def append_batch(
                     only_missing=True,
                 )
             except ValueError:
-                # keyless batches can't be bridged to doc ids — drop
-                # the sidecar so the positional path fails loudly as
-                # "no sidecar" instead of serving a stale one
+                # keyless batches can't be bridged to doc ids —
+                # drop the sidecar so the positional path fails
+                # loudly as "no sidecar" instead of serving a
+                # stale one
                 import shutil
 
                 shutil.rmtree(store._p("positions"),

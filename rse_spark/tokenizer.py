@@ -243,8 +243,9 @@ def tokens_udf(analyzer: str = "code"):
     return _tok
 
 
-def tf_arrays_udf(analyzer: str = "code"):
-    """Arrow UDF: content -> struct(terms: array, tfs: array, doc_len).
+def tf_arrays_udf(analyzer: str = "code", with_positions: bool = False):
+    """Arrow UDF: content -> struct(terms: array, tfs: array, doc_len
+    [, poss: array<array<int>>]).
 
     Term frequencies are counted PER DOCUMENT inside the UDF (a natural
     map-side combiner): the downstream (doc_id, term, tf) rows come from
@@ -252,14 +253,25 @@ def tf_arrays_udf(analyzer: str = "code"):
     10-100x more raw token rows and paying a (doc_id, token) groupBy
     shuffle. At 100 TB this removes the largest shuffle of the build.
     Paired arrays (not a map column) — Arrow/parquet encode them ~35%
-    faster and dictionary-compress the term array."""
-    out_type = T.StructType(
-        [
-            T.StructField("terms", T.ArrayType(T.StringType())),
-            T.StructField("tfs", T.ArrayType(T.IntegerType())),
-            T.StructField("doc_len", T.IntegerType()),
-        ]
-    )
+    faster and dictionary-compress the term array.
+
+    ``with_positions=True`` additionally emits, aligned with ``terms``,
+    each term's token positions in the analyzed stream (Lucene
+    semantics; ``tfs[i] == len(poss[i])`` by construction). This is the
+    single-scan feed for the positional sidecar (index/positions.py):
+    the corpus is tokenized exactly ONCE for postings AND positions —
+    the standalone sidecar build used to re-tokenize everything, which
+    at 100 TB doubles the most expensive phase of the pipeline."""
+    fields = [
+        T.StructField("terms", T.ArrayType(T.StringType())),
+        T.StructField("tfs", T.ArrayType(T.IntegerType())),
+        T.StructField("doc_len", T.IntegerType()),
+    ]
+    if with_positions:
+        fields.append(
+            T.StructField("poss", T.ArrayType(T.ArrayType(T.IntegerType())))
+        )
+    out_type = T.StructType(fields)
 
     @F.pandas_udf(out_type)
     def _tf(s: pd.Series) -> pd.DataFrame:
@@ -268,13 +280,25 @@ def tf_arrays_udf(analyzer: str = "code"):
         terms: list[list[str]] = []
         tfs: list[list[int]] = []
         lens: list[int] = []
+        poss: list[list[list[int]]] = []
         for x in s:
             toks = tokenize(x, analyzer) if x is not None else []
-            c = Counter(toks)
-            terms.append(list(c.keys()))
-            tfs.append(list(c.values()))
+            if with_positions:
+                by: dict[str, list[int]] = {}
+                for i, t in enumerate(toks):
+                    by.setdefault(t, []).append(i)
+                terms.append(list(by.keys()))
+                tfs.append([len(v) for v in by.values()])
+                poss.append(list(by.values()))
+            else:
+                c = Counter(toks)
+                terms.append(list(c.keys()))
+                tfs.append(list(c.values()))
             lens.append(len(toks))
-        return pd.DataFrame({"terms": terms, "tfs": tfs, "doc_len": lens})
+        out = {"terms": terms, "tfs": tfs, "doc_len": lens}
+        if with_positions:
+            out["poss"] = poss
+        return pd.DataFrame(out)
 
     return _tf
 

@@ -8,6 +8,8 @@ not assumed from the pyarrow ``in`` filter.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -110,3 +112,24 @@ def test_snippets_record_fetch_stats(spark, tmp_path):
     assert st["row_groups_total"] == 10
     assert 0 < st["row_groups_read"] <= st["row_groups_total"]
     assert "meta_row_groups_total" in st
+
+
+def test_partition_column_id_falls_back_to_dataset_read(tmp_path):
+    """Hive-partitioned store where the id lives ONLY in the partition
+    path: no physical file carries id_col, so row-group stats cannot
+    prune — the read must fall back to a dataset-level read (partition
+    pruning via filters) instead of silently returning empty
+    (round-5 ADVICE #4)."""
+    root = str(tmp_path / "hive")
+    for i in range(4):
+        d = os.path.join(root, f"doc_id={i}")
+        os.makedirs(d)
+        pq.write_table(
+            pa.table({"text": [f"content {i}"]}),
+            os.path.join(d, "part.parquet"),
+        )
+    tbl, stats = read_ids_pruned(root, [1, 3], ["doc_id", "text"],
+                                 "doc_id")
+    assert stats.get("dataset_fallback") == 1
+    assert sorted(tbl["doc_id"].to_pylist()) == [1, 3]
+    assert sorted(tbl["text"].to_pylist()) == ["content 1", "content 3"]

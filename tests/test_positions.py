@@ -504,3 +504,213 @@ def test_declarative_positional_join_matches_scan(spark):
                                   content_col="text").collect()
         )
         assert a == b, phrase
+
+
+def test_analyzer_mismatch_raises(spark, pos_index):
+    """Sidecar built with analyzer='simple' queried through a 'code'
+    searcher must ERROR, not silently return wrong/empty phrases —
+    the two analyzers tokenize differently, so the defaults diverging
+    (build_positions: 'simple'; DirectSearcher: 'code') was a silent
+    wrong-answer trap (round-5 ADVICE #1)."""
+    s = DirectSearcher(pos_index, analyzer="code")
+    with pytest.raises(ValueError, match="analyzer"):
+        s.phrase_search_positions("the data", k=5)
+    with pytest.raises(ValueError, match="analyzer"):
+        s.near_search_positions("merge", "join", 5, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Single-scan (folded) sidecar: positions emitted by the build's own
+# tokenizer pass, stored in enriched, sidecar derived corpus-free
+# (round-5 VERDICT items 1 + 2).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pos_index_folded(spark, tmp_path_factory):
+    from rse_spark.index.storage import build_resumable
+
+    root = str(tmp_path_factory.mktemp("pos_idx_folded"))
+    corpus = spark.read.parquet(DOCS)
+    build_resumable(
+        spark, corpus, root, analyzer="simple", content_col="text",
+        docs_per_segment=64, segments_per_group=4, with_positions=True,
+    )
+    return root
+
+
+def test_folded_build_sidecar_from_enriched(spark, pos_index_folded):
+    from rse_spark.index.storage import IndexStorage
+
+    store = IndexStorage(pos_index_folded)
+    done = store.completed_units()
+    assert done["positions"]["source"] == "enriched"
+    assert done["positions"]["analyzer"] == "simple"
+    assert done["docs"]["layout"]["positions_in_enriched"] is True
+    # the virtual docs_meta projection must not leak the position arrays
+    assert "tf_positions" not in store.docs_meta(spark).columns
+
+
+def test_folded_matches_corpus_scan_sidecar(spark, pos_index,
+                                            pos_index_folded):
+    """The from-enriched sidecar answers identically to the corpus-scan
+    sidecar on the same corpus + analyzer (both indexes are pre-keyed,
+    so doc ids line up exactly)."""
+    s1 = DirectSearcher(pos_index, analyzer="simple")
+    s2 = DirectSearcher(pos_index_folded, analyzer="simple")
+    for phrase in ("the data", "merge join", "data data",
+                   "zz absent phrase"):
+        assert s1.phrase_search_positions(phrase, k=50) == \
+            s2.phrase_search_positions(phrase, k=50), phrase
+    assert s1.near_search_positions("merge", "join", 4, k=50) == \
+        s2.near_search_positions("merge", "join", 4, k=50)
+
+
+def test_positions_corpus_required_without_stored(spark, pos_index):
+    """An index whose enriched table has no tf_positions cannot build a
+    sidecar corpus-free."""
+    with pytest.raises(ValueError, match="corpus required"):
+        build_positions(spark, None, pos_index)
+
+
+def test_enriched_analyzer_mismatch_raises(spark, pos_index_folded):
+    with pytest.raises(ValueError, match="cannot derive"):
+        build_positions(spark, None, pos_index_folded, analyzer="code")
+
+
+def test_compact_rebuilds_positions_group_scoped(spark, tmp_path):
+    import os
+
+    from rse_spark.index.compact import compact_groups
+    from rse_spark.index.storage import IndexStorage
+    from rse_spark.streaming.stream_index import append_batch
+
+    root = str(tmp_path / "idx")
+    docs = spark.read.parquet(DOCS)
+    ranges = [(0, 256), (256, 300), (300, 350), (350, 500)]
+    for i, (lo, hi) in enumerate(ranges):
+        append_batch(
+            spark,
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            root, analyzer="simple", content_col="text",
+            docs_per_segment=64, segments_per_group=4, batch_id=i,
+            with_positions=True,
+        )
+    s = DirectSearcher(root, analyzer="simple")
+    before = s.phrase_search_positions("the data", k=100)
+    assert before
+
+    def _mtimes(g):
+        d = os.path.join(root, "positions", f"seg_group={g}")
+        return {
+            f: os.path.getmtime(os.path.join(r, f))
+            for r, _dirs, files in os.walk(d) for f in files
+        }
+
+    g0_before = _mtimes(0)
+    g3_before = _mtimes(3)
+    assert g0_before and g3_before
+    res = compact_groups(spark, root, min_fill=0.5)
+    # the 44- and 50-doc groups are sparse; 256 (full) and 150 are not
+    assert res["merged"] == 2
+    # sidecar survived group-scoped: phrase serving works immediately,
+    # and the untouched group's position files were not rewritten
+    after = s.phrase_search_positions("the data", k=100)
+
+    def scores(hits):
+        return sorted(n for _d, n in hits)
+
+    assert scores(after) == scores(before)  # ids renumber, counts don't
+    assert _mtimes(0) == g0_before
+    assert _mtimes(3) == g3_before
+    done = IndexStorage(root).completed_units()
+    assert "positions" in done  # never dropped
+
+
+def test_delete_docs_refreshes_positions_groups(spark, tmp_path):
+    from rse_spark.index.storage import IndexStorage, build_resumable
+    from rse_spark.index.upsert import delete_docs
+
+    root = str(tmp_path / "idx")
+    corpus = spark.read.parquet(DOCS)
+    build_resumable(
+        spark, corpus, root, analyzer="simple", content_col="text",
+        docs_per_segment=64, segments_per_group=4, with_positions=True,
+    )
+    s = DirectSearcher(root, analyzer="simple")
+    before = s.phrase_search_positions("the data", k=100)
+    assert len(before) >= 3
+    dead = int(before[0][0])
+    n = delete_docs(
+        spark, root,
+        spark.createDataFrame([(dead,)], "doc_id long"),
+    )
+    assert n == 1
+    after = s.phrase_search_positions("the data", k=100)
+    assert {d for d, _n in after} == {d for d, _n in before} - {dead}
+    assert "positions" in IndexStorage(root).completed_units()
+
+
+def test_keyless_batch_maintains_folded_sidecar(spark, tmp_path):
+    """Keyless batches used to force a sidecar drop (no id bridge to
+    the corpus); the from-enriched path needs no bridge at all."""
+    from rse_spark.index.storage import IndexStorage
+    from rse_spark.streaming.stream_index import append_batch
+
+    root = str(tmp_path / "idx")
+    docs = spark.read.parquet(DOCS)
+    for i, (lo, hi) in enumerate([(0, 60), (60, 150)]):
+        append_batch(
+            spark,
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).select("text"),  # keyless: content only
+            root, analyzer="simple", content_col="text",
+            docs_per_segment=64, segments_per_group=4, batch_id=i,
+            with_positions=True,
+        )
+    assert "positions" in IndexStorage(root).completed_units()
+    s = DirectSearcher(root, analyzer="simple")
+    assert s.phrase_search_positions("the data", k=10)
+
+
+def test_positions_doc_ids_beyond_2_31(spark, tmp_path):
+    """Packed positional keys must survive doc ids past 2^31 (the old
+    fixed 32/32 bit split silently required doc_id < 2^31 — round-5
+    VERDICT item 3). Simulated as a stream-grown index whose id space
+    has already consumed 2^31+ ids: the next batch claims a group
+    above that, so every indexed doc id exceeds 2^31."""
+    from rse_spark.index.storage import IndexStorage
+    from rse_spark.streaming.stream_index import append_batch
+
+    root = str(tmp_path / "idx")
+    store = IndexStorage(root)
+    docs_per_group = 64 * 4
+    fake_g = (2 ** 31) // docs_per_group + 7
+    store.mark_done(
+        f"group={fake_g:06d}", seg_group=fake_g,
+        doc_lo=fake_g * docs_per_group,
+        doc_hi=(fake_g + 1) * docs_per_group,
+        rows=0, n_postings=0, sha="",
+        source_snapshot="synthetic-id-space-placeholder", wall_ms=0,
+    )
+    docs = spark.read.parquet(DOCS).filter(F.col("doc_id") < 120)
+    append_batch(
+        spark, docs, root, analyzer="simple", content_col="text",
+        docs_per_segment=64, segments_per_group=4, batch_id=0,
+        with_positions=True,
+    )
+    done = store.completed_units()
+    assert done["positions"]["pos_bits"] + (2 ** 31).bit_length() <= 63
+    s = DirectSearcher(root, analyzer="simple")
+    hits = s.phrase_search_positions("the data", k=20)
+    assert hits and all(d > 2 ** 31 for d, _n in hits)
+    near = s.near_search_positions("the", "data", 3, k=20)
+    assert near and all(d > 2 ** 31 for d, _n in near)
+    chain = s.phrase_chain_docs("the data", max_gap=2)
+    assert len(chain) and (chain > 2 ** 31).all()
+    # slop/gap values beyond the reserved slack are rejected loudly
+    with pytest.raises(ValueError, match="max_gap"):
+        s.phrase_chain_docs("the data", max_gap=10_000)
+    with pytest.raises(ValueError, match="max_dist"):
+        s.near_search_positions("the", "data", 10_000)

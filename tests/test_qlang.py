@@ -60,6 +60,13 @@ def test_parse_ql():
     for bad in ("", "   ", "AND OR", '""'):
         with pytest.raises(ValueError):
             parse_ql(bad)
+    # only ~N is a legal suffix after a quoted phrase; anything else
+    # used to be silently discarded (round-5 ADVICE #3)
+    assert parse_ql('"merge sort"~2')[0].slops == [2]
+    with pytest.raises(ValueError, match="unrecognized suffix"):
+        parse_ql('"merge sort"stable')
+    with pytest.raises(ValueError, match="bad phrase slop"):
+        parse_ql('"merge sort"~x')
 
 
 def _src_ids(hits, to_src):
@@ -181,6 +188,110 @@ def test_http_ql(planted):
         try:
             urllib.request.urlopen(
                 srv.address + "/search?ql=AND", timeout=10
+            )
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.stop()
+
+
+# ---------------------------------------------------------------------------
+# Metadata filter atoms (lang: / repo: / path: …) — round-5 VERDICT
+# item 5: presence doc-id sets from docs_meta intersected into the
+# clause algebra.
+# ---------------------------------------------------------------------------
+
+META_ROWS = [
+    (0, "alpha beta", "python", "src/core/a.py"),
+    (1, "alpha gamma", "go", "src/net/b.go"),
+    (2, "alpha beta", "python", "lib/x.py"),
+    (3, "beta delta", "go", "src/core/c.go"),
+]
+
+
+@pytest.fixture(scope="module")
+def planted_meta(spark, tmp_path_factory):
+    from rse_spark.streaming.stream_index import append_batch
+
+    base = tmp_path_factory.mktemp("qlang_meta")
+    corpus_path = str(base / "corpus.parquet")
+    pd.DataFrame(
+        META_ROWS, columns=["doc_id", "text", "lang", "path"]
+    ).to_parquet(corpus_path)
+    root = str(base / "idx")
+    append_batch(spark, spark.read.parquet(corpus_path), root,
+                 analyzer="simple", content_col="text", batch_id=0)
+    to_src = {
+        int(r["doc_id"]): int(r["src_doc_id"])
+        for r in spark.read.parquet(f"{root}/enriched")
+        .select("doc_id", "src_doc_id").collect()
+    }
+    return root, corpus_path, to_src
+
+
+def test_metadata_atom_parsing():
+    cs = parse_ql("lang:python AND alpha")
+    assert cs[0].metas == [("lang", "python")]
+    assert cs[0].terms == ["alpha"]
+    cs = parse_ql("alpha AND -lang:go AND path:src/*")
+    assert cs[0].neg_metas == [("lang", "go")]
+    assert cs[0].metas == [("path", "src/*")]
+    # unknown prefixes with ':' stay terms — std::vector is code
+    assert parse_ql("std::vector")[0].terms == ["std::vector"]
+    # a clause of only filters is unbounded -> parse error
+    with pytest.raises(ValueError, match="negative/filter"):
+        parse_ql("lang:python")
+    with pytest.raises(ValueError, match="negative/filter"):
+        parse_ql("lang:python AND path:src/*")
+
+
+def test_metadata_atom_semantics(planted_meta):
+    root, corpus_path, to_src = planted_meta
+    s = DirectSearcher(root, analyzer="simple")
+    kw = dict(corpus_path=corpus_path, key_col="src_doc_id")
+    assert _src_ids(
+        search_ql(s, "lang:python AND alpha", **kw), to_src
+    ) == {0, 2}
+    assert _src_ids(
+        search_ql(s, "path:src/* AND alpha", **kw), to_src
+    ) == {0, 1}
+    assert _src_ids(
+        search_ql(s, "alpha AND -lang:go", **kw), to_src
+    ) == {0, 2}
+    assert _src_ids(
+        search_ql(s, "lang:go AND alpha OR lang:python AND beta", **kw),
+        to_src,
+    ) == {0, 1, 2}
+    # filters never change scores: restricted results carry the same
+    # scores as the unrestricted query on the shared docs
+    unres = {d: sc for d, sc, _m in search_ql(s, "alpha", **kw)}
+    for d, sc, _m in search_ql(s, "lang:python AND alpha", **kw):
+        assert sc == unres[d]
+    # a field the metadata table doesn't carry errors loudly
+    with pytest.raises(ValueError, match="unknown metadata field"):
+        search_ql(s, "repo:x AND alpha", **kw)
+
+
+def test_metadata_atom_http(planted_meta):
+    root, corpus_path, _to_src = planted_meta
+    from rse_spark.query.http import SearchServer
+
+    srv = SearchServer(root, analyzer="simple",
+                       corpus_path=corpus_path,
+                       key_col="src_doc_id").start()
+    try:
+        with urllib.request.urlopen(
+            srv.address + "/search?ql=lang%3Apython+AND+alpha&k=5",
+            timeout=30,
+        ) as r:
+            body = json.load(r)
+        assert body["n_results"] == 2
+        # unknown field -> 400, not a 500
+        try:
+            urllib.request.urlopen(
+                srv.address + "/search?ql=repo%3Ax+AND+alpha&k=5",
+                timeout=30,
             )
             raise AssertionError("expected HTTP 400")
         except urllib.error.HTTPError as e:

@@ -136,3 +136,38 @@ def test_generation_tracking_optional(tmp_path):
     # the check is a no-op without the file
     s._check_generation()
     assert s.n_docs == 1
+
+
+def test_generation_stamp_taken_before_reload(spark, grown, monkeypatch):
+    """A writer commit that RACES the reload must not be absorbed: the
+    stored signature is stamped before _load_meta(), so metadata loaded
+    just-before the racing commit stays flagged stale and the next
+    query reloads again (round-5 ADVICE #2)."""
+    s = DirectSearcher(grown, analyzer="simple")
+    assert s.search("the", k=3)  # initial load
+    store = IndexStorage(grown)
+    store.mark_done("probe_pre", note="force a reload")
+    orig = s._load_meta
+
+    def racing_load():
+        orig()
+        # a writer commits while the reload is in flight
+        store.mark_done("probe_racer", note="raced the reload")
+
+    monkeypatch.setattr(s, "_load_meta", racing_load)
+    s.search("the", k=3)  # reload happens; racer commits mid-load
+    monkeypatch.setattr(s, "_load_meta", orig)
+    # stored signature must PREDATE the racing commit...
+    assert s._gen_stat() != s._gen_sig
+    calls = []
+
+    def counting_load():
+        calls.append(1)
+        orig()
+
+    monkeypatch.setattr(s, "_load_meta", counting_load)
+    s.search("the", k=3)
+    assert calls, "next query must reload the raced metadata"
+    assert s._gen_stat() == s._gen_sig
+    store.remove_unit("probe_pre")
+    store.remove_unit("probe_racer")
