@@ -181,6 +181,22 @@ def main() -> None:
         pplat.sort()
         phrase_pos_p50 = pplat[len(pplat) // 2] if pplat else 0.0
 
+        # ---- batch phrase execution: a SET of phrases resolved from
+        # the positional sidecar in ONE Spark job (the cluster-serving
+        # shape; per-phrase jobs pay Spark's ~1s fixed cost each)
+        from rse_spark.index.positions import phrase_batch_index
+
+        batch_phrases = sorted({
+            " ".join(q.query_text.split()[:2])
+            for q in qset.itertuples()
+            if len(q.query_text.split()) >= 2
+        })[:8]
+        t0 = time.time()
+        n_batch_rows = phrase_batch_index(
+            spark, idx_root, batch_phrases
+        ).count()
+        phrase_batch_sec = time.time() - t0
+
         # ---- integrity job at bench scale (round-4 verdict item 7):
         # the per-row sha invariant + structural checks demonstrated
         # on the full sf corpus each round, with its wall time
@@ -282,6 +298,9 @@ def main() -> None:
                 "positions_vs_postings_size": round(
                     positions_bytes / max(1, postings_bytes), 3
                 ),
+                "phrase_batch_sec": round(phrase_batch_sec, 3),
+                "phrase_batch_n_phrases": len(batch_phrases),
+                "phrase_batch_rows": int(n_batch_rows),
                 "integrity_ok": bool(integrity["ok"]),
                 "integrity_sec": round(integrity_sec, 3),
                 "skew_exhaustive_ms": round(1000 * skew_ex, 2),

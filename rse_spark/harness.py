@@ -300,6 +300,21 @@ def q_phrase_pos_search(spark, sf_dir):
     )
 
 
+PHRASE_SET = [PHRASE, "the data", "merge join", "data data"]
+
+
+def q_phrase_batch(spark, sf_dir):
+    """A SET of phrases resolved in ONE positional-join job — the
+    cluster-serving shape for batch phrase workloads: the job's fixed
+    cost amortizes over the query set, and phrases sharing words share
+    one scan of those words' occurrences (query/textmatch.
+    phrase_match_batch; the index-artifact twin is
+    index.positions.phrase_batch_index, equivalence-tested)."""
+    from rse_spark.query.textmatch import phrase_match_batch
+
+    return phrase_match_batch(_docs(spark, sf_dir), PHRASE_SET)
+
+
 PROX_FIRST, PROX_SECOND, PROX_DIST = "merge", "join", 5
 
 
@@ -1385,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "phrase_search": q_phrase_search,
         "phrase_pos_search": q_phrase_pos_search,
+        "phrase_batch": q_phrase_batch,
         "proximity_search": q_proximity_search,
         "prefix_bm25": q_prefix_bm25,
         "prefix_wand": q_prefix_wand,
@@ -2087,6 +2103,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "phrase_search": _phrase_sql(),
         "phrase_pos_search": _phrase_pos_sql(),
+        "phrase_batch": _phrase_batch_sql(),
         "proximity_search": f"""
             WITH toks AS (
               SELECT doc_id, unnest(sp) AS tok,
@@ -2226,6 +2243,34 @@ def _phrase_pos_sql() -> str:
               WHERE tok = '{words[0]}') w0
         {joins}
         GROUP BY doc_id
+    """
+
+
+def _phrase_batch_sql() -> str:
+    """DuckDB twin of q_phrase_batch — the same batched positional-join
+    algebra (shared token scan, broadcast phrase table, per-start
+    offset-count chain verification)."""
+    vals = ", ".join(
+        f"({pid}, {off}, '{w}', {len(ph.split())})"
+        for pid, ph in enumerate(PHRASE_SET)
+        for off, w in enumerate(ph.split())
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(sp) AS tok,
+                 unnest(range(1, len(sp) + 1)) AS pos
+          FROM (SELECT doc_id, string_split(text, ' ') AS sp
+                FROM documents)
+        ),
+        q(phrase_id, off, tok, plen) AS (VALUES {vals}),
+        j AS (SELECT q.phrase_id, t.doc_id, t.pos - q.off AS strt,
+                     q.plen
+              FROM toks t JOIN q USING (tok)),
+        occ AS (SELECT phrase_id, doc_id, strt,
+                       count(*) AS nm, max(plen) AS plen
+                FROM j GROUP BY 1, 2, 3)
+        SELECT phrase_id, doc_id, count(*)::bigint AS n_occurrences
+        FROM occ WHERE nm = plen GROUP BY 1, 2
     """
 
 

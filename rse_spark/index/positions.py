@@ -428,6 +428,109 @@ def build_positions(
     return int(built)
 
 
+def phrase_batch_index(
+    spark: SparkSession,
+    root: str,
+    phrases: list[str],
+    analyzer: str | None = None,
+) -> DataFrame:
+    """(phrase_id, doc_id, n_occurrences) for a SET of phrases resolved
+    from the positional sidecar in ONE Spark job — the cluster-serving
+    shape for batch phrase workloads: no corpus access, scan pruned to
+    the query terms' (bucket, term) rows, one job's fixed cost
+    amortized over the whole set (round-5 VERDICT item 6; the
+    single-phrase driver-side twin is DirectSearcher.
+    phrase_search_positions, the content-scan twin
+    query/textmatch.phrase_match_batch — all equivalence-tested).
+
+    Plan shape: partition-pruned parquet scan of positions/ (bucket
+    dirs of the query terms only, term filter pushed down), vectorized
+    varint decode of just those lists in one Arrow pass, then the
+    shared broadcast-join chain verification
+    (textmatch.phrase_batch_counts). Work ~ the query terms' total
+    occurrence counts — the positional-query bound."""
+    from rse_spark.query.textmatch import phrase_batch_counts
+    from rse_spark.tokenizer import tokenize
+
+    store = IndexStorage(root)
+    done = store.completed_units()
+    if "positions" not in done or not has_positions(root):
+        raise ValueError(
+            "index has no positional sidecar "
+            "(build it with index.positions.build_positions)"
+        )
+    analyzer = analyzer or done["positions"].get("analyzer", "simple")
+    if analyzer != done["positions"].get("analyzer", analyzer):
+        raise ValueError(
+            f"sidecar was built with analyzer="
+            f"{done['positions'].get('analyzer')!r}, not {analyzer!r}"
+        )
+
+    qrows = []
+    terms: set[str] = set()
+    for pid, ph in enumerate(phrases):
+        toks = tokenize(ph, analyzer)
+        if not toks:
+            raise ValueError(f"phrase {pid} has no indexable terms")
+        for off, t in enumerate(toks):
+            qrows.append((pid, off, t, len(toks)))
+        terms.update(toks)
+    qdf = spark.createDataFrame(
+        qrows, "phrase_id int, off int, tok string, plen int"
+    )
+    term_list = sorted(terms)
+    # bucket set from the term dictionary (driver-side filtered parquet
+    # read with pushdown — no Spark job; absent terms have no bucket
+    # and contribute no rows)
+    import pyarrow.parquet as pqt
+
+    tdict = pqt.read_table(
+        os.path.join(root, "term_stats"),
+        columns=["bucket"],
+        filters=[("term", "in", term_list)],
+    )
+    buckets = sorted(set(tdict["bucket"].to_pylist()))
+
+    rows = (
+        spark.read.parquet(os.path.join(root, "positions"))
+        .filter(F.col("bucket").isin(buckets))       # partition prune
+        .filter(F.col("term").isin(term_list))       # predicate prune
+        .select("term", "doc_payload", "pos_payload")
+    )
+
+    _TOK_SCHEMA = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("pos", T.LongType()),
+        T.StructField("tok", T.StringType()),
+    ])
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            docs_parts, pos_parts, tok_parts = [], [], []
+            for t, dp, pp in zip(
+                pdf["term"], pdf["doc_payload"], pdf["pos_payload"]
+            ):
+                doc_ids, lens, flat = decode_position_list(
+                    bytes(dp), bytes(pp)
+                )
+                docs_parts.append(np.repeat(doc_ids, lens))
+                pos_parts.append(flat)
+                tok_parts.append(np.full(len(flat), t, dtype=object))
+            if not docs_parts:
+                yield pd.DataFrame(
+                    {"doc_id": [], "pos": [], "tok": []}
+                ).astype({"doc_id": "int64", "pos": "int64"})
+                continue
+            yield pd.DataFrame({
+                "doc_id": np.concatenate(docs_parts),
+                "pos": np.concatenate(pos_parts),
+                "tok": np.concatenate(tok_parts),
+            })
+
+    toks_df = rows.mapInPandas(_decode, _TOK_SCHEMA)
+    return phrase_batch_counts(toks_df, qdf, "doc_id")
+
+
 def has_positions(root: str) -> bool:
     return os.path.isdir(os.path.join(root, "positions"))
 

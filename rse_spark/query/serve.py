@@ -376,28 +376,55 @@ class DirectSearcher:
             if tables is not None:
                 return tables
             gen0 = self._gen_sig  # snapshot: don't cache across a reload
-            tables = []
             pattern = os.path.join(
                 self.root, "postings", "seg_group=*",
                 f"bucket={bucket}", "*.parquet",
             )
-            for path in sorted(glob.glob(pattern)):
+            files = sorted(glob.glob(pattern))
+
+            def _read_one(path: str):
+                import numpy as np
+                import pyarrow.compute as pc
+
                 tbl = pq.read_table(path, columns=self._COLS)
-                terms = tbl["term"].to_pylist()
                 # files are written sortWithinPartitions("term")
-                # (index/storage.py:131,325) so each term is one run;
-                # a span LIST keeps this correct even if a future
-                # writer interleaves runs
+                # (index/storage.py) so each term is one contiguous
+                # run; a span LIST keeps this correct even if a future
+                # writer interleaves runs. Run boundaries are found on
+                # the DICTIONARY INDICES (pure numpy diff) — the old
+                # to_pylist() + Python scan over every row was the
+                # dominant first-touch CPU cost on large buckets
+                # (round-5 VERDICT item 4: cold p95).
                 spans: dict[str, list[tuple[int, int]]] = {}
-                i, n = 0, len(terms)
-                while i < n:
-                    j = i + 1
-                    t = terms[i]
-                    while j < n and terms[j] == t:
-                        j += 1
-                    spans.setdefault(t, []).append((i, j - i))
-                    i = j
-                tables.append((tbl, spans))
+                n = tbl.num_rows
+                if n:
+                    enc = pc.dictionary_encode(
+                        tbl["term"].combine_chunks()
+                    )
+                    idx = enc.indices.to_numpy()
+                    dic = enc.dictionary.to_pylist()
+                    bnd = np.flatnonzero(np.diff(idx)) + 1
+                    starts = np.concatenate(([0], bnd))
+                    ends = np.concatenate((bnd, [n]))
+                    for s_, e_ in zip(starts.tolist(), ends.tolist()):
+                        spans.setdefault(dic[idx[s_]], []).append(
+                            (s_, e_ - s_)
+                        )
+                return tbl, spans
+
+            if len(files) > 1:
+                # parallel first-touch: parquet IO + decode release the
+                # GIL, so a bucket's per-seg_group files load
+                # concurrently instead of serially (the cold path is
+                # IO-burst-bound on a noisy host)
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                    max_workers=min(8, len(files))
+                ) as ex:
+                    tables = list(ex.map(_read_one, files))
+            else:
+                tables = [_read_one(f) for f in files]
             # publish only when fully built (evicts LRU past budget) —
             # and only if no generation flip happened mid-read, else a
             # pre-commit load would poison the just-invalidated cache

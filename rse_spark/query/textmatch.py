@@ -118,6 +118,66 @@ def phrase_match_positions(docs: DataFrame, phrase: str,
     )
 
 
+def phrase_match_batch(docs: DataFrame, phrases: list[str],
+                       content_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(phrase_id, id, n_occurrences) for a SET of phrases in ONE job —
+    the cluster-serving shape for phrase workloads: a Spark job's fixed
+    cost (~1 s in local mode) amortizes over the whole query set
+    instead of being paid per phrase (round-5 VERDICT item 6).
+
+    One posexplode of the token stream, hash-joined against the tiny
+    broadcast (phrase_id, offset, term, plen) table; a start position
+    ``pos - offset`` holds a full occurrence of a phrase when all
+    ``plen`` of its offsets joined there (rows are unique per
+    (phrase, doc, start, offset), so a plain count suffices). Work ~
+    the sum of the phrase words' token frequencies — the positional-
+    join bound — independent of the number of phrases sharing words
+    (shared words are scanned once)."""
+    if not phrases:
+        raise ValueError("empty phrase set")
+    spark = docs.sparkSession
+    qrows = []
+    for pid, ph in enumerate(phrases):
+        words = ph.split()
+        if not words:
+            raise ValueError(f"empty phrase at position {pid}")
+        for off, w in enumerate(words):
+            qrows.append((pid, off, w, len(words)))
+    qdf = spark.createDataFrame(
+        qrows, "phrase_id int, off int, tok string, plen int"
+    )
+    toks = docs.select(
+        id_col,
+        F.posexplode(F.split(F.col(content_col), " ")).alias(
+            "pos", "tok"
+        ),
+    )
+    return phrase_batch_counts(toks, qdf, id_col)
+
+
+def phrase_batch_counts(toks: DataFrame, qdf: DataFrame,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Shared chain-verification algebra of the batch phrase paths:
+    ``toks`` is any (id, pos, tok) occurrence table — posexploded
+    content (phrase_match_batch) or decoded positional-sidecar rows
+    (index.positions.phrase_batch_index) — and ``qdf`` the broadcast
+    (phrase_id, off, tok, plen) phrase table."""
+    j = toks.join(F.broadcast(qdf), "tok").select(
+        "phrase_id", id_col,
+        (F.col("pos") - F.col("off")).alias("start"),
+        "plen",
+    )
+    occ = j.groupBy("phrase_id", id_col, "start").agg(
+        F.count("*").alias("_nm"), F.max("plen").alias("_plen")
+    )
+    return (
+        occ.filter(F.col("_nm") == F.col("_plen"))
+        .groupBy("phrase_id", id_col)
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+    )
+
+
 def proximity_match(docs: DataFrame, first: str, second: str,
                     max_dist: int, content_col: str = "text",
                     id_col: str = "doc_id",

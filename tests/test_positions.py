@@ -714,3 +714,32 @@ def test_positions_doc_ids_beyond_2_31(spark, tmp_path):
         s.phrase_chain_docs("the data", max_gap=10_000)
     with pytest.raises(ValueError, match="max_dist"):
         s.near_search_positions("the", "data", 10_000)
+
+
+def test_phrase_batch_index_matches_declarative(spark, pos_index_folded):
+    """Batch phrase resolution from the sidecar (one Spark job, scan
+    pruned to the query terms) == the declarative content-scan batch ==
+    the per-phrase serving path (round-5 VERDICT item 6)."""
+    from rse_spark.index.positions import phrase_batch_index
+    from rse_spark.query.textmatch import phrase_match_batch
+
+    phrases = ["the data", "merge join", "data data"]
+    via_idx = {
+        (r["phrase_id"], r["doc_id"]): r["n_occurrences"]
+        for r in phrase_batch_index(
+            spark, pos_index_folded, phrases
+        ).collect()
+    }
+    via_docs = {
+        (r["phrase_id"], r["doc_id"]): r["n_occurrences"]
+        for r in phrase_match_batch(
+            spark.read.parquet(DOCS), phrases
+        ).collect()
+    }
+    assert via_idx and via_idx == via_docs
+    s = DirectSearcher(pos_index_folded, analyzer="simple")
+    for pid, ph in enumerate(phrases):
+        serve_hits = dict(s.phrase_search_positions(ph, k=100_000))
+        assert serve_hits == {
+            d: n for (p, d), n in via_idx.items() if p == pid
+        }, ph
