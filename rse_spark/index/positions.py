@@ -221,44 +221,6 @@ def build_positions(
     n_buckets = int(n_buckets or layout["n_buckets"])
     t0 = time.time()
 
-    # ---- packed-key bit split ----------------------------------------
-    # The serving tier matches phrases on packed (doc_id << pos_bits) |
-    # position int64 keys (query/serve.py). A fixed 32/32 split bounds
-    # doc_id < 2^31 — real at ~2 B docs (round-5 VERDICT item 3). The
-    # split is therefore CHOSEN AT BUILD TIME from the actual id/length
-    # ranges and recorded in the manifest: position bits cover the
-    # longest document plus arithmetic slack (queries add/subtract up
-    # to _POS_SLACK to positions: phrase offsets, NEAR windows, slop
-    # gaps — the no-doc-boundary-crossing arguments in serve.py need
-    # real positions to stay that far below 2^pos_bits), the rest go
-    # to doc ids; an index that genuinely cannot fit (doc_bits +
-    # pos_bits > 63) fails HERE, loudly, instead of silently matching
-    # across documents at query time.
-    bounds = store.docs_meta(spark).agg(
-        F.max("doc_len").alias("dl"), F.max("doc_id").alias("di")
-    ).collect()[0]
-    max_dl = int(bounds["dl"] or 0)
-    max_di = int(bounds["di"] or 0)
-    prev = done.get("positions", {})
-    if only_missing and "pos_bits" in prev:
-        pos_bits = int(prev["pos_bits"])  # must match existing keys
-    else:
-        pos_bits = max((max_dl + _POS_SLACK).bit_length(), 26)
-    if max_dl + _POS_SLACK >= (1 << pos_bits):
-        raise ValueError(
-            f"document of {max_dl} tokens exceeds the sidecar's "
-            f"position space (2^{pos_bits} - {_POS_SLACK}); rebuild "
-            f"the sidecar full (only_missing=False) to re-derive the "
-            f"bit split"
-        )
-    if max_di.bit_length() + pos_bits > 63:
-        raise ValueError(
-            f"doc_id {max_di} needs {max_di.bit_length()} bits and "
-            f"positions need {pos_bits}: packed int64 keys cannot "
-            f"represent this index (compact the id space or shard "
-            f"the sidecar)"
-        )
-
     idx_analyzer = done["docs"].get("analyzer")
     use_enriched = bool(layout.get("positions_in_enriched"))
     if use_enriched:
@@ -293,6 +255,51 @@ def build_positions(
         )
         if not missing:
             return 0
+
+    # ---- packed-key bit split ----------------------------------------
+    # The serving tier matches phrases on packed (doc_id << pos_bits) |
+    # position int64 keys (query/serve.py). A fixed 32/32 split bounds
+    # doc_id < 2^31 — real at ~2 B docs (round-5 VERDICT item 3). The
+    # split is therefore CHOSEN AT BUILD TIME from the actual id/length
+    # ranges and recorded in the manifest: position bits cover the
+    # longest document plus arithmetic slack (queries add/subtract up
+    # to _POS_SLACK to positions: phrase offsets, NEAR windows, slop
+    # gaps — the no-doc-boundary-crossing arguments in serve.py need
+    # real positions to stay that far below 2^pos_bits), the rest go
+    # to doc ids; an index that genuinely cannot fit (doc_bits +
+    # pos_bits > 63) fails HERE, loudly, instead of silently matching
+    # across documents at query time. Incremental maintenance keeps
+    # the recorded split and checks only the NEW groups against it —
+    # per-batch work stays proportional to the batch, not the index.
+    bounds_meta = store.docs_meta(spark)
+    prev = done.get("positions", {})
+    if missing is not None and "seg_group" in bounds_meta.columns:
+        bounds_meta = bounds_meta.filter(
+            F.col("seg_group").isin([int(g) for g in missing])
+        )
+    bounds = bounds_meta.agg(
+        F.max("doc_len").alias("dl"), F.max("doc_id").alias("di")
+    ).collect()[0]
+    max_dl = int(bounds["dl"] or 0)
+    max_di = int(bounds["di"] or 0)
+    if only_missing and "pos_bits" in prev:
+        pos_bits = int(prev["pos_bits"])  # must match existing keys
+    else:
+        pos_bits = max((max_dl + _POS_SLACK).bit_length(), 26)
+    if max_dl + _POS_SLACK >= (1 << pos_bits):
+        raise ValueError(
+            f"document of {max_dl} tokens exceeds the sidecar's "
+            f"position space (2^{pos_bits} - {_POS_SLACK}); rebuild "
+            f"the sidecar full (only_missing=False) to re-derive the "
+            f"bit split"
+        )
+    if max_di.bit_length() + pos_bits > 63:
+        raise ValueError(
+            f"doc_id {max_di} needs {max_di.bit_length()} bits and "
+            f"positions need {pos_bits}: packed int64 keys cannot "
+            f"represent this index (compact the id space or shard "
+            f"the sidecar)"
+        )
 
     if use_enriched:
         e = spark.read.parquet(os.path.join(root, "enriched"))

@@ -417,6 +417,7 @@ def start_stream(
     auto_compact_every: int | None = None,
     compact_min_fill: float = 0.5,
     max_files_per_trigger: int | None = None,
+    with_positions: bool = False,
 ):
     """File-source stream -> foreachBatch incremental indexing.
 
@@ -442,6 +443,7 @@ def start_stream(
             docs_per_segment=docs_per_segment,
             segments_per_group=segments_per_group,
             batch_id=batch_id,
+            with_positions=with_positions,
         )
         if (
             auto_compact_every

@@ -136,6 +136,47 @@ def main() -> None:
         + cap_explain(harness.q_proximity_search(spark, sf_dir)),
     ))
 
+    # 12. batch phrase — ONE job for a phrase set: single posexplode,
+    # broadcast of the tiny (phrase, offset, term) table, two hash
+    # aggregates (per-start offset count, then per-doc occurrence count)
+    sections.append((
+        "phrase_batch (one job for a phrase set)",
+        "Expect: one posexplode of the token stream, "
+        "BroadcastHashJoin against the phrase table (a few rows), "
+        "then partial+final hash aggregates. The job count is 1 for "
+        "the whole set — the per-phrase fixed cost is gone.\n\n"
+        + cap_explain(harness.q_phrase_batch(spark, sf_dir)),
+    ))
+
+    # 13. batch phrase over the positional SIDECAR — scan pruned to the
+    # query terms' bucket partitions with the term filter pushed down;
+    # no corpus access at all
+    from rse_spark.index.positions import build_positions, phrase_batch_index
+
+    build_positions(spark, corpus, root, analyzer="code",
+                    content_col="content")
+    sections.append((
+        "phrase_batch_index (sidecar scan, bucket-pruned)",
+        "Expect: parquet scan of positions/ with PartitionFilters on "
+        "bucket and PushedFilters on term — only the query terms' "
+        "lists are read and varint-decoded; then the same broadcast "
+        "chain verification as phrase_batch.\n\n"
+        + cap_explain(phrase_batch_index(
+            spark, root, ["merge join", "the data"]
+        )),
+    ))
+
+    # 14. metadata-filtered BM25 — the filter is a semi-join that must
+    # not disturb the scoring aggregates (stats stay corpus-wide)
+    sections.append((
+        "meta_bm25 (metadata semi-join restriction)",
+        "Expect: the BM25 plan unchanged, plus one LeftSemi join "
+        "against the (doc_id) projection of the lang-filtered "
+        "documents scan (filter pushed to that scan); AQE free to "
+        "broadcast the filtered side.\n\n"
+        + cap_explain(harness.q_meta_bm25(spark, sf_dir)),
+    ))
+
     out = ["# PLANS — physical plans of the key paths\n"]
     out.append(
         "Generated by tools/dump_plans.py (`df.explain('formatted')`).\n"
