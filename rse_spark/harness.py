@@ -114,11 +114,14 @@ def q_candidates_or(spark, sf_dir):
 
 
 def _bm25(spark, sf_dir, mode: str, prefix: str | None = None,
-          lang: str | None = None) -> DataFrame:
+          lang: str | None = None, regex: str | None = None) -> DataFrame:
     """Declarative single-DAG BM25 (no driver-side collects): stats join
     via broadcast cross-join of the 1-row corpus_stats. ``prefix``
     switches term selection from the fixed BM25_TERMS list to
-    dictionary expansion (every term starting with it). ``lang``
+    dictionary expansion (every term starting with it); ``regex``
+    likewise to full-match regex expansion (``rlike`` anchored —
+    Lucene RegexpQuery semantics, the serving twin is
+    ``DirectSearcher.expand_regex``). ``lang``
     restricts the RESULT set to docs of that language via a semi-join
     on the metadata table — scoring statistics (idf, avgdl, n_docs)
     stay corpus-wide, matching the serving tier's qlang metadata
@@ -138,6 +141,15 @@ def _bm25(spark, sf_dir, mode: str, prefix: str | None = None,
         expanded = (
             tf.select("term").distinct()
             .filter(F.col("term").startswith(prefix))
+            .orderBy("term").limit(PREFIX_MAX_TERMS)
+        )
+        qtf = tf.join(F.broadcast(expanded), "term")
+    elif regex is not None:
+        # regex expansion: same vocab-bounded, capped rewrite as
+        # prefix, the automaton anchored to the full term
+        expanded = (
+            tf.select("term").distinct()
+            .filter(F.col("term").rlike(f"^(?:{regex})$"))
             .orderBy("term").limit(PREFIX_MAX_TERMS)
         )
         qtf = tf.join(F.broadcast(expanded), "term")
@@ -254,6 +266,19 @@ def q_bm25_wand_topk(spark, sf_dir):
 PHRASE = "value table part"  # 3-token phrase present in the fixtures
 PREFIX = "s"  # dictionary-expansion prefix (scan, slow, sort, spark...)
 PREFIX_MAX_TERMS = 64  # Lucene-style rewrite cap, shared with oracle
+# regex-atom probe: alternation + class, portable across Java regex
+# (Spark rlike), Python re (serving tier), and DuckDB RE2 (oracle);
+# full-matches hash/join/sort on the fixture vocabulary
+REGEX_Q = "(ha|jo|so)[a-z]+"
+
+
+def q_regex_bm25(spark, sf_dir):
+    """Regex atom end-to-end, declarative tier: full-match dictionary
+    expansion (``/(ha|jo|so)[a-z]+/`` -> hash, join, sort) feeding the
+    standard BM25 scorer — the declarative twin of qlang's
+    ``/pattern/`` atoms (query/qlang.py, DirectSearcher.expand_regex).
+    Expansion is vocab-bounded and capped like prefixes."""
+    return _bm25(spark, sf_dir, "or", regex=REGEX_Q)
 
 
 def q_phrase_search(spark, sf_dir):
@@ -400,13 +425,22 @@ def q_bm25_batch(spark, sf_dir):
 
 
 def _bm25_sql(mode: str, prefix: str | None = None,
-              lang: str | None = None) -> str:
-    where = (
-        f"term IN (SELECT DISTINCT term FROM tf WHERE term LIKE "
-        f"'{prefix}%' ORDER BY term LIMIT {PREFIX_MAX_TERMS})"
-        if prefix is not None
-        else "term IN (" + ", ".join(f"'{t}'" for t in BM25_TERMS) + ")"
-    )
+              lang: str | None = None, regex: str | None = None) -> str:
+    if prefix is not None:
+        where = (
+            f"term IN (SELECT DISTINCT term FROM tf WHERE term LIKE "
+            f"'{prefix}%' ORDER BY term LIMIT {PREFIX_MAX_TERMS})"
+        )
+    elif regex is not None:
+        where = (
+            f"term IN (SELECT DISTINCT term FROM tf WHERE "
+            f"regexp_full_match(term, '{regex}') "
+            f"ORDER BY term LIMIT {PREFIX_MAX_TERMS})"
+        )
+    else:
+        where = (
+            "term IN (" + ", ".join(f"'{t}'" for t in BM25_TERMS) + ")"
+        )
     having = (
         f"HAVING count(*) = {len(BM25_TERMS)}" if mode == "and" else ""
     )
@@ -1403,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_batch": q_phrase_batch,
         "proximity_search": q_proximity_search,
         "prefix_bm25": q_prefix_bm25,
+        "regex_bm25": q_regex_bm25,
         "prefix_wand": q_prefix_wand,
         "facet_counts": q_facet_counts,
         "rep_ratio": q_rep_ratio,
@@ -2121,6 +2156,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY a.doc_id
         """,
         "prefix_bm25": _bm25_sql("or", prefix=PREFIX),
+        "regex_bm25": _bm25_sql("or", regex=REGEX_Q),
         "prefix_wand": _bm25_sql("or", prefix=PREFIX),
         "facet_counts": f"""
             SELECT lang, source, count(*)::bigint AS n_docs

@@ -119,18 +119,45 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                 })
                 return
             if ql.strip():
-                from rse_spark.query.qlang import search_ql
+                from rse_spark.query.qlang import (
+                    search_ql,
+                    search_ql_facets,
+                )
 
+                # ?facets=lang,repo — per-field value counts over the
+                # full qualifying set (faceted navigation); ql-only:
+                # the other selectors don't materialize their match
+                # set
+                facet_fields = [
+                    f for f in (qs.get("facets") or [""])[0]
+                    .replace(",", " ").split() if f
+                ]
+                extra = None
                 try:
-                    hits = search_ql(
-                        searcher, ql, k=k, corpus_path=corpus_path,
-                        content_col=content_col, id_col=id_col,
-                        key_col=key_col,
-                    )
+                    if facet_fields:
+                        hits, facets = search_ql_facets(
+                            searcher, ql, facet_fields, k=k,
+                            corpus_path=corpus_path,
+                            content_col=content_col, id_col=id_col,
+                            key_col=key_col,
+                        )
+                        extra = {"facets": {
+                            f: [
+                                {"value": v, "n_docs": int(n)}
+                                for v, n in vals
+                            ]
+                            for f, vals in facets.items()
+                        }}
+                    else:
+                        hits = search_ql(
+                            searcher, ql, k=k, corpus_path=corpus_path,
+                            content_col=content_col, id_col=id_col,
+                            key_col=key_col,
+                        )
                 except ValueError as e:
                     self._json(400, {"error": str(e)})
                     return
-                self._page(ql, k, "ql", hits,
+                self._page(ql, k, "ql", hits, extra=extra,
                            snippet_q=ql.replace('"', " ").replace(
                                " AND ", " ").replace(" OR ", " ")
                            if want_snippets else None)

@@ -10,6 +10,7 @@ Lucene's SimpleQueryParser popularized, nesting-free by design:
     "merge sort" AND stable           ->  adjacency ∧ term
     "merge sort"~2 AND stable         ->  in-order slop<=2 ∧ term
     pars* AND config                  ->  (any pars… term) ∧ config
+    /ha.h(es)?/ AND table             ->  (any regex-matched term) ∧ term
     error AND -deprecated             ->  error ∧ ¬deprecated
     lang:python AND "binary search"   ->  metadata filter ∧ phrase
     path:src/* AND config            ->  metadata prefix ∧ term
@@ -71,6 +72,10 @@ class Clause:
     neg_prefixes: list[str] = field(default_factory=list)
     neg_phrases: list[str] = field(default_factory=list)
     neg_slops: list[int] = field(default_factory=list)
+    # ``/pattern/`` atoms (Lucene RegexpQuery syntax): dictionary-
+    # expanded like prefixes — full-term match, capped expansion
+    regexes: list[str] = field(default_factory=list)
+    neg_regexes: list[str] = field(default_factory=list)
     # metadata filters ((field, value) pairs; value may end in '*' for
     # prefix match) — presence sets only, never scoring terms
     metas: list[tuple[str, str]] = field(default_factory=list)
@@ -81,13 +86,17 @@ class Clause:
             len(self.terms) + len(self.prefixes) + len(self.phrases)
             + len(self.neg_terms) + len(self.neg_prefixes)
             + len(self.neg_phrases) + len(self.metas)
-            + len(self.neg_metas)
+            + len(self.neg_metas) + len(self.regexes)
+            + len(self.neg_regexes)
         )
 
     def positive_atoms(self) -> int:
         """Scoring atoms — metadata filters deliberately excluded: a
         clause of only filters is unbounded (and unrankable)."""
-        return len(self.terms) + len(self.prefixes) + len(self.phrases)
+        return (
+            len(self.terms) + len(self.prefixes) + len(self.phrases)
+            + len(self.regexes)
+        )
 
 
 def _tokenize(q: str) -> list[str]:
@@ -173,6 +182,18 @@ def parse_ql(q: str) -> list[Clause]:
             (cur.neg_metas if neg else cur.metas).append(
                 (m.group(1), m.group(2))
             )
+        elif tok.startswith("/") and tok.endswith("/") and len(tok) > 2:
+            # /pattern/ — Lucene RegexpQuery syntax, validated at
+            # parse time so the HTTP surface 400s bad patterns before
+            # any index work
+            pattern = tok[1:-1]
+            try:
+                re.compile(pattern)
+            except re.error as e:
+                raise ValueError(
+                    f"bad regex atom /{pattern}/: {e}"
+                ) from None
+            (cur.neg_regexes if neg else cur.regexes).append(pattern)
         elif tok.endswith("*") and len(tok) > 1:
             (cur.neg_prefixes if neg else cur.prefixes).append(tok[:-1])
         else:
@@ -190,23 +211,26 @@ def parse_ql(q: str) -> list[Clause]:
     return clauses
 
 
-def search_ql(searcher, q: str, k: int = 10,
-              corpus_path: str | None = None,
-              content_col: str = "text", id_col: str = "doc_id",
-              key_col: str | None = None,
-              max_prefix_terms: int = 64,
-              max_atoms: int = 16):
-    """Top-k for a mini-language query over a DirectSearcher.
-    Returns [(doc_id, score, n_terms_matched)] like search().
+def match_ql(searcher, q: str,
+             corpus_path: str | None = None,
+             content_col: str = "text", id_col: str = "doc_id",
+             key_col: str | None = None,
+             max_prefix_terms: int = 64,
+             max_atoms: int = 16):
+    """Presence evaluation for a mini-language query: returns
+    ``(qualified, scoring_terms)`` — the sorted doc-id array of every
+    document satisfying the clause algebra, plus the deduplicated
+    analyzed terms that should drive BM25 ranking. The shared core of
+    ``search_ql`` (which scores the set) and ``search_ql_facets``
+    (which additionally aggregates metadata over the FULL set, not
+    just the returned page).
 
-    Presence evaluation is doc-id arrays only (DirectSearcher.
-    term_docs: posting decode, no BM25 work), memoized per analyzed
-    term across atoms; clause algebra is np.intersect1d / np.unique;
-    then ONE scoring pass restricted to the qualifying docs
-    (``search_terms(within=...)``). Per-query work is bounded:
-    ``max_atoms`` caps the atom count (the HTTP surface maps the
-    ValueError to a 400), ``max_prefix_terms`` caps each prefix
-    expansion.
+    Evaluation is doc-id arrays only (DirectSearcher.term_docs:
+    posting decode, no BM25 work), memoized per analyzed term across
+    atoms; clause algebra is np.intersect1d / np.unique. Per-query
+    work is bounded: ``max_atoms`` caps the atom count (the HTTP
+    surface maps the ValueError to a 400), ``max_prefix_terms`` caps
+    each prefix/regex expansion.
 
     Raises ValueError for an empty query, a query with more than
     ``max_atoms`` atoms, or a phrase atom when no ``corpus_path``
@@ -267,6 +291,17 @@ def search_ql(searcher, q: str, k: int = 10,
             return empty, terms
         return np.unique(np.concatenate(arrs)), terms
 
+    def regex_docs(p: str) -> tuple[np.ndarray, list[str]]:
+        """Dictionary-expanded regex atom — same shape as a prefix
+        atom: the expansion's presence union plus its terms for
+        scoring (capped by the same rewrite limit)."""
+        terms = searcher.expand_regex(p, max_terms=max_prefix_terms)
+        arrs = [tdocs(t) for t in terms]
+        arrs = [a for a in arrs if len(a)]
+        if not arrs:
+            return empty, terms
+        return np.unique(np.concatenate(arrs)), terms
+
     def phrase_docs(ph: str, slop: int) -> np.ndarray:
         if slop > 0:
             # slop semantics: up to ``slop`` extra tokens between
@@ -310,6 +345,10 @@ def search_ql(searcher, q: str, k: int = 10,
             docs, terms = prefix_docs(p)
             scoring_terms.extend(terms)
             clause_sets.append(docs)
+        for p in c.regexes:
+            docs, terms = regex_docs(p)
+            scoring_terms.extend(terms)
+            clause_sets.append(docs)
         for ph, slop in zip(c.phrases, c.slops):
             scoring_terms.extend(query_terms(ph, searcher.analyzer))
             clause_sets.append(phrase_docs(ph, slop))
@@ -332,10 +371,11 @@ def search_ql(searcher, q: str, k: int = 10,
         # the negatives contribute no scoring terms)
         if len(hit) and (
             c.neg_terms or c.neg_prefixes or c.neg_phrases
-            or c.neg_metas
+            or c.neg_metas or c.neg_regexes
         ):
             neg_parts = [token_docs(t) for t in c.neg_terms]
             neg_parts += [prefix_docs(p)[0] for p in c.neg_prefixes]
+            neg_parts += [regex_docs(p)[0] for p in c.neg_regexes]
             neg_parts += [
                 phrase_docs(ph, slop)
                 for ph, slop in zip(c.neg_phrases, c.neg_slops)
@@ -351,15 +391,63 @@ def search_ql(searcher, q: str, k: int = 10,
         if len(hit):
             qualified_parts.append(hit)
     if not qualified_parts:
+        qualified = empty
+    else:
+        qualified = (
+            np.unique(np.concatenate(qualified_parts))
+            if len(qualified_parts) > 1
+            else np.sort(qualified_parts[0])
+        )
+    return qualified, sorted(set(scoring_terms))
+
+
+def search_ql(searcher, q: str, k: int = 10,
+              corpus_path: str | None = None,
+              content_col: str = "text", id_col: str = "doc_id",
+              key_col: str | None = None,
+              max_prefix_terms: int = 64,
+              max_atoms: int = 16):
+    """Top-k for a mini-language query over a DirectSearcher.
+    Returns [(doc_id, score, n_terms_matched)] like search():
+    presence evaluation via ``match_ql``, then ONE scoring pass
+    restricted to the qualifying docs (``search_terms(within=...)``).
+    Every qualifying doc matches at least one scoring term (its
+    clause's own terms), so nothing is dropped by the OR."""
+    qualified, scoring_terms = match_ql(
+        searcher, q, corpus_path=corpus_path, content_col=content_col,
+        id_col=id_col, key_col=key_col,
+        max_prefix_terms=max_prefix_terms, max_atoms=max_atoms,
+    )
+    if not len(qualified):
         return []
-    qualified = (
-        np.unique(np.concatenate(qualified_parts))
-        if len(qualified_parts) > 1
-        else np.sort(qualified_parts[0])
-    )
-    # one scoring pass, restricted to qualifiers; every qualifying doc
-    # matches at least one scoring term (its clause's own terms), so
-    # nothing is dropped by the OR
     return searcher.search_terms(
-        sorted(set(scoring_terms)), k=k, mode="or", within=qualified
+        scoring_terms, k=k, mode="or", within=qualified
     )
+
+
+def search_ql_facets(searcher, q: str, facet_fields: list[str],
+                     k: int = 10, top: int = 10,
+                     corpus_path: str | None = None,
+                     content_col: str = "text", id_col: str = "doc_id",
+                     key_col: str | None = None,
+                     max_prefix_terms: int = 64,
+                     max_atoms: int = 16):
+    """``search_ql`` plus faceted navigation: returns ``(hits,
+    facets)`` where ``facets`` maps each requested metadata field to
+    its top value counts over the FULL qualifying set (not the
+    returned page) — the search-UI drill-down panel, served replica-
+    side. One presence evaluation feeds both the scoring pass and the
+    facet aggregation (``DirectSearcher.facet_counts``: a column-
+    pruned metadata scan, no Spark job, no content read)."""
+    qualified, scoring_terms = match_ql(
+        searcher, q, corpus_path=corpus_path, content_col=content_col,
+        id_col=id_col, key_col=key_col,
+        max_prefix_terms=max_prefix_terms, max_atoms=max_atoms,
+    )
+    facets = searcher.facet_counts(qualified, facet_fields, top=top)
+    if not len(qualified):
+        return [], facets
+    hits = searcher.search_terms(
+        scoring_terms, k=k, mode="or", within=qualified
+    )
+    return hits, facets

@@ -157,6 +157,54 @@ class _LazyTermDict:
         )
         return sorted(set(tbl["term"].to_pylist()))[:max_terms]
 
+    def expand_regex(self, pattern: str, max_terms: int) -> list[str]:
+        """Vocabulary terms fully matching ``pattern`` — the huge-vocab
+        twin of DirectSearcher.expand_regex. Any literal prefix of the
+        pattern becomes a term-range parquet filter (row-group pruning,
+        same trick as expand_prefix); only the surviving range's term
+        column is streamed batch-wise through the compiled regex, so a
+        prefixed pattern never reads the whole vocabulary and an
+        unprefixed one reads exactly one pruned string column."""
+        import re as _re
+
+        rx = _re.compile(pattern)
+        lit = _regex_literal_prefix(pattern)
+        filters = None
+        if lit:
+            hi = lit[:-1] + chr(ord(lit[-1]) + 1)
+            filters = [("term", ">=", lit), ("term", "<", hi)]
+        tbl = pq.read_table(
+            self._path, columns=["term"], filters=filters,
+        )
+        out = set()
+        for chunk in tbl["term"].chunks:
+            out.update(
+                t for t in chunk.to_pylist() if rx.fullmatch(t)
+            )
+        return sorted(out)[:max_terms]
+
+
+# characters that end the literal prefix of a regex (anything the
+# engine could interpret); a leading literal run lets both dictionary
+# flavors restrict the candidate range before running the automaton —
+# the poor man's version of Lucene's term-automaton intersection
+_REGEX_META = set(r"\.^$*+?()[]{}|")
+
+
+def _regex_literal_prefix(pattern: str) -> str:
+    lit = []
+    for i, ch in enumerate(pattern):
+        if ch in _REGEX_META:
+            # 'ab+' — the '+' quantifies the last literal char, which
+            # therefore may appear 0+ times filtered... it appears 1+
+            # times for '+', but 0 times for '*'/'?'/'{0,..}': drop the
+            # char before any quantifier to stay conservative
+            if ch in "*?{" and lit:
+                lit.pop()
+            break
+        lit.append(ch)
+    return "".join(lit)
+
 
 class DirectSearcher:
     """Driver/process-local searcher over a persisted index root."""
@@ -608,6 +656,99 @@ class DirectSearcher:
         return sorted(
             t for t in self.term_dict if t.startswith(prefix)
         )[:max_terms]
+
+    def expand_regex(self, pattern: str, max_terms: int = 64) -> list[str]:
+        """All indexed terms the (Python ``re``) pattern FULLY matches
+        — Lucene RegexpQuery semantics: ``/ha.h/`` matches ``hash``,
+        not ``hashes``; anchor-free substring search is spelled
+        ``/.*ha.h.*/``. Capped like prefix expansion (deterministic
+        sorted order). Work is bounded by the VOCABULARY, never the
+        corpus: the in-memory dict filters by the pattern's literal
+        prefix (C-level startswith) before running the automaton; the
+        lazy dict turns that prefix into a term-range parquet filter.
+        Raises ``re.error`` on a bad pattern (qlang validates patterns
+        at parse time, so the HTTP surface 400s before reaching
+        here)."""
+        import re as _re
+
+        self._check_generation()
+        if isinstance(self.term_dict, _LazyTermDict):
+            return self.term_dict.expand_regex(pattern, max_terms)
+        rx = _re.compile(pattern)
+        lit = _regex_literal_prefix(pattern)
+        cand = (
+            (t for t in self.term_dict if t.startswith(lit))
+            if lit else self.term_dict
+        )
+        return sorted(t for t in cand if rx.fullmatch(t))[:max_terms]
+
+    def facet_counts(self, doc_ids, fields: list[str],
+                     top: int = 10) -> dict[str, list]:
+        """Per-field value counts over a matched doc-id set — the
+        serving twin of the declarative ``textmatch.facet_counts``
+        (semi-join + hash aggregate), computed replica-side with no
+        Spark job: one column-pruned streaming scan of the metadata
+        table (``doc_id`` + the facet columns only), a vectorized
+        ``np.isin`` membership mask per batch, and Arrow
+        ``value_counts`` on the surviving rows. Work is bounded by the
+        metadata table's row count times the pruned column width —
+        the table a replica already memory-maps for filter atoms —
+        never by content. Returns ``{field: [(value, count), ...]}``,
+        each list the ``top`` values by (count desc, value asc).
+        Raises ValueError for a field the table doesn't carry (same
+        contract as meta_docs)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        self._check_generation()
+        ids = np.unique(np.asarray(doc_ids, dtype=np.int64))
+        path = os.path.join(self.root, "docs_meta")
+        if not os.path.isdir(path):
+            path = os.path.join(self.root, "enriched")
+        dset = pads.dataset(path, format="parquet", partitioning="hive")
+        names = set(dset.schema.names)
+        bad = [f for f in fields if f not in names]
+        if bad or not fields:
+            have = sorted(
+                n for n in names
+                if n not in ("tf_terms", "tf_counts", "tf_positions",
+                             "doc_id")
+            )
+            raise ValueError(
+                f"unknown facet field(s) {bad!r} (have {have})"
+            )
+        counts: dict[str, dict] = {f: {} for f in fields}
+        if len(ids):
+            for batch in dset.to_batches(
+                columns=["doc_id", *fields]
+            ):
+                if batch.num_rows == 0:
+                    continue
+                mask = np.isin(
+                    batch.column("doc_id").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    ids, assume_unique=False,
+                )
+                if not mask.any():
+                    continue
+                pa_mask = pa.array(mask)
+                for f in fields:
+                    acc = counts[f]
+                    vc = pc.value_counts(
+                        pc.filter(batch.column(f), pa_mask)
+                    )
+                    for rec in vc.to_pylist():
+                        v = rec["values"]
+                        acc[v] = acc.get(v, 0) + rec["counts"]
+        return {
+            f: sorted(
+                counts[f].items(), key=lambda kv: (-kv[1], str(kv[0]))
+            )[:top]
+            for f in fields
+        }
 
     def phrase_search(self, phrase: str, corpus_path: str, k: int = 10,
                       content_col: str = "text", id_col: str = "doc_id",

@@ -231,6 +231,23 @@ def expand_prefix(term_dict: DataFrame, prefix: str,
     return [r["term"] for r in rows]
 
 
+def expand_regex(term_dict: DataFrame, pattern: str,
+                 max_terms: int = 64) -> list[str]:
+    """Dictionary expansion for a regex atom: all indexed terms the
+    pattern FULLY matches (Lucene RegexpQuery semantics — ``rlike``
+    anchored with ``^(?:…)$``), deterministic order, capped like the
+    prefix rewrite limit. Runs on the term-stats table — |vocab| rows,
+    never the corpus; the serving twin is
+    ``DirectSearcher.expand_regex`` (which additionally range-
+    restricts by the pattern's literal prefix)."""
+    rows = (
+        term_dict.filter(F.col("term").rlike(f"^(?:{pattern})$"))
+        .select("term").distinct().orderBy("term").limit(max_terms)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
 def facet_counts(candidates: DataFrame, docs: DataFrame,
                  facet_cols: list[str],
                  id_col: str = "doc_id") -> DataFrame:

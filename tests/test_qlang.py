@@ -298,3 +298,162 @@ def test_metadata_atom_http(planted_meta):
             assert e.code == 400
     finally:
         srv.stop()
+
+
+# ---------------------------------------------------------------------------
+# Regex atoms (/pattern/) — dictionary-expanded like prefixes, Lucene
+# RegexpQuery semantics (full-term match).
+# ---------------------------------------------------------------------------
+
+
+def test_regex_atom_parsing():
+    cs = parse_ql("/alp.a/ AND beta")
+    assert cs[0].regexes == ["alp.a"] and cs[0].terms == ["beta"]
+    cs = parse_ql("alpha AND -/bet./")
+    assert cs[0].neg_regexes == ["bet."] and cs[0].terms == ["alpha"]
+    # a bad pattern fails at parse time (HTTP maps it to a 400)
+    with pytest.raises(ValueError, match="bad regex"):
+        parse_ql("/al(pha/")
+    # bare or empty slashes are ordinary terms, not regex atoms
+    assert parse_ql("a/b")[0].terms == ["a/b"]
+    # purely-negative clauses stay parse errors with regexes too
+    with pytest.raises(ValueError, match="negative/filter"):
+        parse_ql("-/alp.a/")
+
+
+def test_regex_atom_semantics(planted):
+    root, corpus_path, to_src = planted
+    s = DirectSearcher(root, analyzer="simple")
+    kw = dict(corpus_path=corpus_path, key_col="src_doc_id")
+
+    # full-term match: /alp.a/ hits alpha, NOT alphabet
+    assert _src_ids(search_ql(s, "/alp.a/", **kw), to_src) == {0, 1, 5}
+    # optional group widens to alphabet
+    assert _src_ids(
+        search_ql(s, "/alpha(bet)?/", **kw), to_src
+    ) == {0, 1, 4, 5}
+    # conjunction with a term
+    assert _src_ids(
+        search_ql(s, "/alp.a/ AND beta", **kw), to_src
+    ) == {0, 5}
+    # negative regex: beta docs minus alpha docs
+    assert _src_ids(
+        search_ql(s, "beta AND -/alp.a/", **kw), to_src
+    ) == {2}
+    # scores match the plain search on the expanded term
+    plain = [(d, round(sc, 9)) for d, sc, _m in s.search("alpha", k=10)]
+    rx = [(d, round(sc, 9))
+          for d, sc, _m in search_ql(s, "/alp.a/", **kw)]
+    assert rx == plain
+    # no vocabulary match -> no results (not an error)
+    assert search_ql(s, "/zzz+/ OR omega", **kw) == []
+
+
+def test_expand_regex_direct(planted):
+    from rse_spark.query.serve import _regex_literal_prefix
+
+    root, _corpus, _to_src = planted
+    s = DirectSearcher(root, analyzer="simple")
+    assert s.expand_regex("alp.a(bet)?") == ["alpha", "alphabet"]
+    # deterministic cap, sorted order
+    assert s.expand_regex("alp.a(bet)?", max_terms=1) == ["alpha"]
+    # substring search must be spelled explicitly
+    assert s.expand_regex(".*lph.*") == ["alpha", "alphabet"]
+
+    # the lazy (huge-vocab) dictionary gives identical expansions
+    lazy = DirectSearcher(root, analyzer="simple", max_vocab_in_memory=1)
+    assert lazy.expand_regex("alp.a(bet)?", max_terms=64) == [
+        "alpha", "alphabet"
+    ]
+    assert lazy.expand_regex(".*lph.*", max_terms=64) == [
+        "alpha", "alphabet"
+    ]
+
+    # literal-prefix extraction is conservative around quantifiers
+    assert _regex_literal_prefix("alpha") == "alpha"
+    assert _regex_literal_prefix("ab+c") == "ab"
+    assert _regex_literal_prefix("ab*c") == "a"
+    assert _regex_literal_prefix("ab?c") == "a"
+    assert _regex_literal_prefix("ab{0,2}c") == "a"
+    assert _regex_literal_prefix(".x") == ""
+    assert _regex_literal_prefix("(ha|jo)") == ""
+    assert _regex_literal_prefix(r"ha\.h") == "ha"
+
+
+# ---------------------------------------------------------------------------
+# Faceted navigation over the full qualifying set (search_ql_facets /
+# DirectSearcher.facet_counts / HTTP ?facets=).
+# ---------------------------------------------------------------------------
+
+
+def test_facet_counts_semantics(planted_meta):
+    from rse_spark.query.qlang import search_ql_facets
+
+    root, corpus_path, to_src = planted_meta
+    s = DirectSearcher(root, analyzer="simple")
+    kw = dict(corpus_path=corpus_path, key_col="src_doc_id")
+
+    hits, facets = search_ql_facets(s, "alpha", ["lang"], k=10, **kw)
+    assert _src_ids(hits, to_src) == {0, 1, 2}
+    assert facets == {"lang": [("python", 2), ("go", 1)]}
+
+    # facets aggregate the FULL qualifying set, not the returned page
+    page, facets1 = search_ql_facets(s, "alpha", ["lang"], k=1, **kw)
+    assert len(page) == 1
+    assert facets1 == {"lang": [("python", 2), ("go", 1)]}
+
+    # multiple fields in one pass
+    _hits, both = search_ql_facets(s, "beta", ["lang", "path"],
+                                   k=10, **kw)
+    assert both["lang"] == [("go", 1), ("python", 2)] or \
+        both["lang"] == [("python", 2), ("go", 1)]
+    assert sorted(n for _v, n in both["path"]) == [1, 1, 1]
+
+    # deterministic ordering: count desc, then value asc
+    assert both["lang"] == [("python", 2), ("go", 1)]
+
+    # empty qualifying set -> empty hits AND empty facet lists
+    hits0, facets0 = search_ql_facets(s, "alpha AND delta", ["lang"],
+                                      k=10, **kw)
+    assert hits0 == [] and facets0 == {"lang": []}
+
+    # unknown field errors loudly (HTTP maps to 400)
+    with pytest.raises(ValueError, match="unknown facet field"):
+        search_ql_facets(s, "alpha", ["repo"], k=10, **kw)
+
+    # facets compose with metadata filter atoms
+    _h, f2 = search_ql_facets(s, "path:src/* AND alpha", ["lang"],
+                              k=10, **kw)
+    assert f2 == {"lang": [("go", 1), ("python", 1)]}
+
+
+def test_facet_http(planted_meta):
+    from rse_spark.query.http import SearchServer
+
+    root, corpus_path, _to_src = planted_meta
+    srv = SearchServer(root, analyzer="simple",
+                       corpus_path=corpus_path,
+                       key_col="src_doc_id").start()
+    try:
+        with urllib.request.urlopen(
+            srv.address + "/search?ql=alpha&facets=lang,path&k=1",
+            timeout=30,
+        ) as r:
+            body = json.load(r)
+        assert len(body["results"]) == 1
+        fac = body["facets"]
+        assert fac["lang"] == [
+            {"value": "python", "n_docs": 2},
+            {"value": "go", "n_docs": 1},
+        ]
+        assert len(fac["path"]) == 3
+        # unknown facet field -> 400
+        try:
+            urllib.request.urlopen(
+                srv.address + "/search?ql=alpha&facets=repo", timeout=10
+            )
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.stop()

@@ -123,3 +123,30 @@ def test_facet_counts(spark, pdocs):
         for r in facet_counts(cands, pdocs, ["lang"]).collect()
     }
     assert got == {"en": 2, "de": 1}
+
+
+def test_expand_regex_declarative(spark):
+    """Declarative regex expansion (rlike, full-match anchored) agrees
+    with the serving tier's Python-re expansion on the same vocab."""
+    import re
+
+    from rse_spark.query.textmatch import expand_regex
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(200)
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .distinct()
+    )
+    pattern = "(s|t)[a-z]+"
+    terms = expand_regex(vocab, pattern)
+    assert terms == sorted(terms) and terms
+    rx = re.compile(pattern)
+    assert all(rx.fullmatch(t) for t in terms)
+    # full-match semantics: a term equal to a strict superstring of a
+    # match must not appear unless it itself full-matches
+    all_terms = [r["term"] for r in vocab.collect()]
+    expect = sorted(t for t in all_terms if rx.fullmatch(t))[:64]
+    assert terms == expect
+    assert len(expand_regex(vocab, ".*", max_terms=3)) == 3
