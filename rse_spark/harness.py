@@ -114,7 +114,8 @@ def q_candidates_or(spark, sf_dir):
 
 
 def _bm25(spark, sf_dir, mode: str, prefix: str | None = None,
-          lang: str | None = None, regex: str | None = None) -> DataFrame:
+          lang: str | None = None, regex: str | None = None,
+          fuzzy: tuple[str, int] | None = None) -> DataFrame:
     """Declarative single-DAG BM25 (no driver-side collects): stats join
     via broadcast cross-join of the 1-row corpus_stats. ``prefix``
     switches term selection from the fixed BM25_TERMS list to
@@ -151,6 +152,20 @@ def _bm25(spark, sf_dir, mode: str, prefix: str | None = None,
             tf.select("term").distinct()
             .filter(F.col("term").rlike(f"^(?:{regex})$"))
             .orderBy("term").limit(PREFIX_MAX_TERMS)
+        )
+        qtf = tf.join(F.broadcast(expanded), "term")
+    elif fuzzy is not None:
+        # fuzzy expansion: capped CLOSEST-FIRST (distance, term) so the
+        # rewrite limit keeps the best terms — the same order the
+        # serving tier (DirectSearcher.expand_fuzzy) and the DuckDB
+        # oracle use; all three are classic Levenshtein
+        fterm, fedits = fuzzy
+        expanded = (
+            tf.select("term").distinct()
+            .withColumn("_d", F.levenshtein(F.col("term"), F.lit(fterm)))
+            .filter(F.col("_d") <= fedits)
+            .orderBy("_d", "term").limit(PREFIX_MAX_TERMS)
+            .select("term")
         )
         qtf = tf.join(F.broadcast(expanded), "term")
     else:
@@ -279,6 +294,20 @@ def q_regex_bm25(spark, sf_dir):
     ``/pattern/`` atoms (query/qlang.py, DirectSearcher.expand_regex).
     Expansion is vocab-bounded and capped like prefixes."""
     return _bm25(spark, sf_dir, "or", regex=REGEX_Q)
+
+
+FUZZY_Q = ("sort", 2)  # matches sort (d=0) and part (d=2) in fixtures
+
+
+def q_fuzzy_bm25(spark, sf_dir):
+    """Fuzzy atom end-to-end, declarative tier: Levenshtein dictionary
+    expansion (``sort~2`` -> sort, part), capped closest-first, feeding
+    the standard BM25 scorer — the declarative twin of qlang's
+    ``term~N`` atoms (query/qlang.py, DirectSearcher.expand_fuzzy).
+    All three tiers use classic (no-transposition) edit distance:
+    Spark F.levenshtein, the serving tier's banded DP, and the DuckDB
+    levenshtein oracle."""
+    return _bm25(spark, sf_dir, "or", fuzzy=FUZZY_Q)
 
 
 def q_phrase_search(spark, sf_dir):
@@ -425,7 +454,8 @@ def q_bm25_batch(spark, sf_dir):
 
 
 def _bm25_sql(mode: str, prefix: str | None = None,
-              lang: str | None = None, regex: str | None = None) -> str:
+              lang: str | None = None, regex: str | None = None,
+              fuzzy: tuple[str, int] | None = None) -> str:
     if prefix is not None:
         where = (
             f"term IN (SELECT DISTINCT term FROM tf WHERE term LIKE "
@@ -436,6 +466,14 @@ def _bm25_sql(mode: str, prefix: str | None = None,
             f"term IN (SELECT DISTINCT term FROM tf WHERE "
             f"regexp_full_match(term, '{regex}') "
             f"ORDER BY term LIMIT {PREFIX_MAX_TERMS})"
+        )
+    elif fuzzy is not None:
+        ft, fd = fuzzy
+        where = (
+            f"term IN (SELECT term FROM (SELECT DISTINCT term FROM tf "
+            f"WHERE levenshtein(term, '{ft}') <= {fd} "
+            f"ORDER BY levenshtein(term, '{ft}'), term "
+            f"LIMIT {PREFIX_MAX_TERMS}))"
         )
     else:
         where = (
@@ -1438,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_search": q_proximity_search,
         "prefix_bm25": q_prefix_bm25,
         "regex_bm25": q_regex_bm25,
+        "fuzzy_bm25": q_fuzzy_bm25,
         "prefix_wand": q_prefix_wand,
         "facet_counts": q_facet_counts,
         "rep_ratio": q_rep_ratio,
@@ -2157,6 +2196,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "prefix_bm25": _bm25_sql("or", prefix=PREFIX),
         "regex_bm25": _bm25_sql("or", regex=REGEX_Q),
+        "fuzzy_bm25": _bm25_sql("or", fuzzy=FUZZY_Q),
         "prefix_wand": _bm25_sql("or", prefix=PREFIX),
         "facet_counts": f"""
             SELECT lang, source, count(*)::bigint AS n_docs

@@ -11,6 +11,7 @@ Lucene's SimpleQueryParser popularized, nesting-free by design:
     "merge sort"~2 AND stable         ->  in-order slop<=2 ∧ term
     pars* AND config                  ->  (any pars… term) ∧ config
     /ha.h(es)?/ AND table             ->  (any regex-matched term) ∧ term
+    tabel~1 AND join                  ->  (any term ≤1 edit away) ∧ term
     error AND -deprecated             ->  error ∧ ¬deprecated
     lang:python AND "binary search"   ->  metadata filter ∧ phrase
     path:src/* AND config            ->  metadata prefix ∧ term
@@ -52,6 +53,8 @@ META_FIELDS = ("lang", "repo", "path", "commit", "source")
 _META_RE = re.compile(
     r"^(" + "|".join(META_FIELDS) + r"):(.+)$"
 )
+# term~ / term~N — the body must be ~-free so 'a~b~' stays a term
+_FUZZY_RE = re.compile(r"^([^~\s]+)~(\d*)$")
 
 
 @dataclass
@@ -76,6 +79,10 @@ class Clause:
     # expanded like prefixes — full-term match, capped expansion
     regexes: list[str] = field(default_factory=list)
     neg_regexes: list[str] = field(default_factory=list)
+    # ``term~`` / ``term~N`` atoms (Lucene FuzzyQuery syntax, N<=2):
+    # (term, max_edits) pairs, dictionary-expanded like prefixes
+    fuzzies: list[tuple[str, int]] = field(default_factory=list)
+    neg_fuzzies: list[tuple[str, int]] = field(default_factory=list)
     # metadata filters ((field, value) pairs; value may end in '*' for
     # prefix match) — presence sets only, never scoring terms
     metas: list[tuple[str, str]] = field(default_factory=list)
@@ -87,7 +94,8 @@ class Clause:
             + len(self.neg_terms) + len(self.neg_prefixes)
             + len(self.neg_phrases) + len(self.metas)
             + len(self.neg_metas) + len(self.regexes)
-            + len(self.neg_regexes)
+            + len(self.neg_regexes) + len(self.fuzzies)
+            + len(self.neg_fuzzies)
         )
 
     def positive_atoms(self) -> int:
@@ -95,7 +103,7 @@ class Clause:
         clause of only filters is unbounded (and unrankable)."""
         return (
             len(self.terms) + len(self.prefixes) + len(self.phrases)
-            + len(self.regexes)
+            + len(self.regexes) + len(self.fuzzies)
         )
 
 
@@ -196,6 +204,18 @@ def parse_ql(q: str) -> list[Clause]:
             (cur.neg_regexes if neg else cur.regexes).append(pattern)
         elif tok.endswith("*") and len(tok) > 1:
             (cur.neg_prefixes if neg else cur.prefixes).append(tok[:-1])
+        elif (m := _FUZZY_RE.match(tok)) is not None:
+            # term~ / term~N — Lucene FuzzyQuery syntax; bare ~ means
+            # the Lucene default of 2 edits. Distances above 2 are a
+            # parse error (HTTP 400), same ceiling as Lucene.
+            edits = int(m.group(2)) if m.group(2) else 2
+            if edits > 2:
+                raise ValueError(
+                    f"fuzzy atom {tok!r}: max supported distance is 2"
+                )
+            (cur.neg_fuzzies if neg else cur.fuzzies).append(
+                (m.group(1), edits)
+            )
         else:
             (cur.neg_terms if neg else cur.terms).append(tok)
     clauses = [c for c in clauses if c.atoms()]
@@ -302,6 +322,18 @@ def match_ql(searcher, q: str,
             return empty, terms
         return np.unique(np.concatenate(arrs)), terms
 
+    def fuzzy_docs(t: str, edits: int) -> tuple[np.ndarray, list[str]]:
+        """Dictionary-expanded fuzzy atom — same shape as a prefix
+        atom; expansion is capped closest-first (distance, term)."""
+        terms = searcher.expand_fuzzy(
+            t, max_edits=edits, max_terms=max_prefix_terms
+        )
+        arrs = [tdocs(x) for x in terms]
+        arrs = [a for a in arrs if len(a)]
+        if not arrs:
+            return empty, terms
+        return np.unique(np.concatenate(arrs)), terms
+
     def phrase_docs(ph: str, slop: int) -> np.ndarray:
         if slop > 0:
             # slop semantics: up to ``slop`` extra tokens between
@@ -349,6 +381,10 @@ def match_ql(searcher, q: str,
             docs, terms = regex_docs(p)
             scoring_terms.extend(terms)
             clause_sets.append(docs)
+        for t, edits in c.fuzzies:
+            docs, terms = fuzzy_docs(t, edits)
+            scoring_terms.extend(terms)
+            clause_sets.append(docs)
         for ph, slop in zip(c.phrases, c.slops):
             scoring_terms.extend(query_terms(ph, searcher.analyzer))
             clause_sets.append(phrase_docs(ph, slop))
@@ -371,11 +407,14 @@ def match_ql(searcher, q: str,
         # the negatives contribute no scoring terms)
         if len(hit) and (
             c.neg_terms or c.neg_prefixes or c.neg_phrases
-            or c.neg_metas or c.neg_regexes
+            or c.neg_metas or c.neg_regexes or c.neg_fuzzies
         ):
             neg_parts = [token_docs(t) for t in c.neg_terms]
             neg_parts += [prefix_docs(p)[0] for p in c.neg_prefixes]
             neg_parts += [regex_docs(p)[0] for p in c.neg_regexes]
+            neg_parts += [
+                fuzzy_docs(t, e)[0] for t, e in c.neg_fuzzies
+            ]
             neg_parts += [
                 phrase_docs(ph, slop)
                 for ph, slop in zip(c.neg_phrases, c.neg_slops)

@@ -183,6 +183,63 @@ class _LazyTermDict:
             )
         return sorted(out)[:max_terms]
 
+    def expand_fuzzy(self, term: str, max_edits: int,
+                     max_terms: int) -> list[str]:
+        """Huge-vocab fuzzy expansion: the term column is read with a
+        parquet-level utf8 length band (only terms whose LENGTH is
+        within ``max_edits`` of the query's can be within that edit
+        distance) and the survivors run the banded DP. Candidate count
+        is bounded by the vocabulary, never the corpus."""
+        import pyarrow.compute as pc
+
+        tbl = pq.read_table(self._path, columns=["term"])
+        lo, hi = len(term) - max_edits, len(term) + max_edits
+        mask = pc.and_(
+            pc.greater_equal(pc.utf8_length(tbl["term"]), lo),
+            pc.less_equal(pc.utf8_length(tbl["term"]), hi),
+        )
+        cands = set(pc.filter(tbl["term"], mask).to_pylist())
+        scored = []
+        for t in cands:
+            d = _bounded_levenshtein(term, t, max_edits)
+            if d is not None:
+                scored.append((d, t))
+        return [t for _d, t in sorted(scored)[:max_terms]]
+
+
+def _bounded_levenshtein(a: str, b: str, max_d: int) -> int | None:
+    """Classic (no-transposition) Levenshtein distance, or None when
+    it exceeds ``max_d`` — banded DP (only the 2*max_d+1 diagonal is
+    computed) with an early exit when a whole row's minimum leaves the
+    band. Classic rather than Damerau so the three tiers agree: Spark
+    ``F.levenshtein`` and DuckDB ``levenshtein`` are both classic.
+    At real vocab scale a production engine compiles a Levenshtein
+    automaton and intersects it with the sorted term dictionary
+    (Lucene FuzzyQuery); the length band + early-exit DP keeps this
+    one vocabulary-bounded, which is the scale contract here — work
+    is O(|vocab| * max_d), never corpus-shaped."""
+    if abs(len(a) - len(b)) > max_d:
+        return None
+    if a == b:
+        return 0
+    if len(a) > len(b):  # keep the band test tight
+        a, b = b, a
+    prev = list(range(len(a) + 1))
+    for j in range(1, len(b) + 1):
+        bj = b[j - 1]
+        cur = [j]
+        row_min = j
+        for i in range(1, len(a) + 1):
+            cost = 0 if a[i - 1] == bj else 1
+            v = min(prev[i] + 1, cur[i - 1] + 1, prev[i - 1] + cost)
+            cur.append(v)
+            if v < row_min:
+                row_min = v
+        if row_min > max_d:
+            return None
+        prev = cur
+    return prev[-1] if prev[-1] <= max_d else None
+
 
 # characters that end the literal prefix of a regex (anything the
 # engine could interpret); a leading literal run lets both dictionary
@@ -681,6 +738,40 @@ class DirectSearcher:
             if lit else self.term_dict
         )
         return sorted(t for t in cand if rx.fullmatch(t))[:max_terms]
+
+    def expand_fuzzy(self, term: str, max_edits: int = 2,
+                     max_terms: int = 64) -> list[str]:
+        """All indexed terms within ``max_edits`` classic Levenshtein
+        edits of ``term`` — Lucene FuzzyQuery semantics with the same
+        supported-distance ceiling (2). Deterministic cap order:
+        (distance asc, term asc), so the closest rewrites survive the
+        rewrite limit, matching the declarative twin's
+        ``ORDER BY levenshtein(...), term LIMIT n``
+        (``textmatch.expand_fuzzy``, harness ``fuzzy_bm25`` oracle).
+        Candidates are length-banded before the banded DP runs; the
+        lazy dictionary applies the same band as an Arrow
+        ``utf8_length`` filter. Raises ValueError above 2 edits —
+        unbounded fuzziness is unrankable and uncappable."""
+        if not term:
+            return []
+        if max_edits < 0 or max_edits > 2:
+            raise ValueError(
+                f"fuzzy distance {max_edits} out of range (0..2)"
+            )
+        self._check_generation()
+        if max_edits == 0:
+            return [term] if term in self.term_dict else []
+        if isinstance(self.term_dict, _LazyTermDict):
+            return self.term_dict.expand_fuzzy(term, max_edits, max_terms)
+        scored = []
+        tl = len(term)
+        for t in self.term_dict:
+            if abs(len(t) - tl) > max_edits:
+                continue
+            d = _bounded_levenshtein(term, t, max_edits)
+            if d is not None:
+                scored.append((d, t))
+        return [t for _d, t in sorted(scored)[:max_terms]]
 
     def facet_counts(self, doc_ids, fields: list[str],
                      top: int = 10) -> dict[str, list]:

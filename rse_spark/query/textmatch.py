@@ -248,6 +248,30 @@ def expand_regex(term_dict: DataFrame, pattern: str,
     return [r["term"] for r in rows]
 
 
+def expand_fuzzy(term_dict: DataFrame, term: str, max_edits: int = 2,
+                 max_terms: int = 64) -> list[str]:
+    """Dictionary expansion for a fuzzy atom: all indexed terms within
+    ``max_edits`` classic Levenshtein edits of ``term`` (Lucene
+    FuzzyQuery semantics, same distance ceiling of 2), capped
+    closest-first — ``ORDER BY distance, term LIMIT n`` — so the cap
+    keeps the best rewrites, deterministic across tiers. Runs on the
+    term-stats table (|vocab| rows, never the corpus) with
+    ``F.levenshtein`` JVM-side; the serving twin is
+    ``DirectSearcher.expand_fuzzy`` (length-banded candidates + banded
+    DP), the oracle shape is DuckDB ``levenshtein`` — all three are
+    classic (no-transposition) edit distance."""
+    if max_edits < 0 or max_edits > 2:
+        raise ValueError(f"fuzzy distance {max_edits} out of range (0..2)")
+    rows = (
+        term_dict.select("term").distinct()
+        .withColumn("_d", F.levenshtein(F.col("term"), F.lit(term)))
+        .filter(F.col("_d") <= max_edits)
+        .orderBy("_d", "term").limit(max_terms)
+        .select("term").collect()
+    )
+    return [r["term"] for r in rows]
+
+
 def facet_counts(candidates: DataFrame, docs: DataFrame,
                  facet_cols: list[str],
                  id_col: str = "doc_id") -> DataFrame:

@@ -457,3 +457,94 @@ def test_facet_http(planted_meta):
             assert e.code == 400
     finally:
         srv.stop()
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy atoms (term~ / term~N) — Levenshtein dictionary expansion,
+# Lucene FuzzyQuery semantics (classic distance, ceiling 2).
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_atom_parsing():
+    cs = parse_ql("beta~1 AND alpha")
+    assert cs[0].fuzzies == [("beta", 1)] and cs[0].terms == ["alpha"]
+    # bare ~ = Lucene default of 2 edits
+    assert parse_ql("beta~")[0].fuzzies == [("beta", 2)]
+    assert parse_ql("beta~0")[0].fuzzies == [("beta", 0)]
+    cs = parse_ql("alpha AND -beta~1")
+    assert cs[0].neg_fuzzies == [("beta", 1)]
+    with pytest.raises(ValueError, match="max supported distance"):
+        parse_ql("beta~3")
+    # a ~ that isn't the fuzzy syntax stays a literal term
+    assert parse_ql("a~b")[0].terms == ["a~b"]
+    with pytest.raises(ValueError, match="negative/filter"):
+        parse_ql("-beta~1")
+
+
+def test_fuzzy_atom_semantics(planted):
+    root, corpus_path, to_src = planted
+    s = DirectSearcher(root, analyzer="simple")
+    kw = dict(corpus_path=corpus_path, key_col="src_doc_id")
+
+    # alha~1 -> alpha (one insertion)
+    assert _src_ids(search_ql(s, "alha~1", **kw), to_src) == {0, 1, 5}
+    # beta~1 -> beta, eta, zeta
+    assert _src_ids(search_ql(s, "beta~1", **kw), to_src) == {0, 2, 3, 5}
+    # exact-only at distance 0
+    assert _src_ids(search_ql(s, "beta~0", **kw), to_src) == {0, 2, 5}
+    # negation: alpha docs minus beta~1 docs
+    assert _src_ids(
+        search_ql(s, "alpha AND -beta~1", **kw), to_src
+    ) == {1}
+    # scores match the plain multi-term search on the expansion
+    plain = [(d, round(sc, 9))
+             for d, sc, _m in s.search_terms(["beta", "eta", "zeta"],
+                                             k=10, mode="or")]
+    fz = [(d, round(sc, 9)) for d, sc, _m in search_ql(s, "beta~1", **kw)]
+    assert fz == plain
+
+
+def test_expand_fuzzy_direct(planted):
+    from rse_spark.query.serve import _bounded_levenshtein
+
+    root, _corpus, _to_src = planted
+    s = DirectSearcher(root, analyzer="simple")
+    assert s.expand_fuzzy("beta", max_edits=1) == ["beta", "eta", "zeta"]
+    # closest-first cap: distance 0/1 survive before farther terms
+    assert s.expand_fuzzy("beta", max_edits=1, max_terms=2) == [
+        "beta", "eta"
+    ]
+    assert s.expand_fuzzy("beta", max_edits=0) == ["beta"]
+    assert s.expand_fuzzy("omega", max_edits=0) == []
+    with pytest.raises(ValueError, match="out of range"):
+        s.expand_fuzzy("beta", max_edits=3)
+
+    # huge-vocab (lazy) dictionary gives identical expansions
+    lazy = DirectSearcher(root, analyzer="simple", max_vocab_in_memory=1)
+    assert lazy.expand_fuzzy("beta", max_edits=1) == [
+        "beta", "eta", "zeta"
+    ]
+    assert lazy.expand_fuzzy("beta", max_edits=0) == ["beta"]
+
+    # the banded DP agrees with the textbook definition
+    assert _bounded_levenshtein("abc", "abc", 2) == 0
+    assert _bounded_levenshtein("ab", "ba", 2) == 2  # classic, no swap
+    assert _bounded_levenshtein("a", "", 1) == 1
+    assert _bounded_levenshtein("kitten", "sitting", 2) is None
+    assert _bounded_levenshtein("kitten", "sitten", 2) == 1
+    assert _bounded_levenshtein("short", "muchlongerterm", 2) is None
+
+
+def test_expand_fuzzy_declarative_parity(planted, spark):
+    """The JVM-side expansion (textmatch.expand_fuzzy) and the serving
+    tier agree term-for-term on the same vocabulary."""
+    from rse_spark.query.textmatch import expand_fuzzy
+
+    root, _corpus, _to_src = planted
+    s = DirectSearcher(root, analyzer="simple")
+    vocab = spark.read.parquet(f"{root}/term_stats").select("term")
+    for q, d in [("beta", 1), ("alha", 1), ("alpha", 2), ("zzz", 2)]:
+        assert expand_fuzzy(vocab, q, max_edits=d) == \
+            s.expand_fuzzy(q, max_edits=d)
+    with pytest.raises(ValueError, match="out of range"):
+        expand_fuzzy(vocab, "beta", max_edits=3)
