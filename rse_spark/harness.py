@@ -115,7 +115,8 @@ def q_candidates_or(spark, sf_dir):
 
 def _bm25(spark, sf_dir, mode: str, prefix: str | None = None,
           lang: str | None = None, regex: str | None = None,
-          fuzzy: tuple[str, int] | None = None) -> DataFrame:
+          fuzzy: tuple[str, int] | None = None,
+          boosts: dict[str, float] | None = None) -> DataFrame:
     """Declarative single-DAG BM25 (no driver-side collects): stats join
     via broadcast cross-join of the 1-row corpus_stats. ``prefix``
     switches term selection from the fixed BM25_TERMS list to
@@ -171,13 +172,26 @@ def _bm25(spark, sf_dir, mode: str, prefix: str | None = None,
     else:
         qtf = tf.filter(F.col("term").isin(BM25_TERMS))
     df = qtf.groupBy("term").agg(F.count("*").alias("df"))
+    # per-term boost multiplier (qlang ``atom^N`` twin): a literal
+    # (term, boost) map broadcast-joined in — the whole contribution
+    # scales, matching DirectSearcher.search_terms(boosts=...)
+    boost_col = F.lit(1.0)
+    if boosts:
+        boost_col = F.coalesce(
+            *[
+                F.when(F.col("term") == t, F.lit(float(w)))
+                for t, w in sorted(boosts.items())
+            ],
+            F.lit(1.0),
+        )
     scored = (
         qtf.join(F.broadcast(df), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "contrib",
-            F.log(
+            boost_col
+            * F.log(
                 (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
                 + 1.0
             )
@@ -297,6 +311,19 @@ def q_regex_bm25(spark, sf_dir):
 
 
 FUZZY_Q = ("sort", 2)  # matches sort (d=0) and part (d=2) in fixtures
+
+
+BOOST_Q = {"join": 3.0, "filter": 0.5}  # boosted subset of BM25_TERMS
+
+
+def q_boost_bm25(spark, sf_dir):
+    """Per-term score boosts (qlang ``atom^N``, Lucene query-syntax
+    boosts) in the declarative tier: each boosted term's whole BM25
+    contribution is scaled by its multiplier; unboosted terms keep
+    weight 1. The serving twin is ``DirectSearcher.search_terms``'s
+    ``boosts=`` path (query/serve.py), fed by qlang's per-atom
+    ``^N`` suffixes (query/qlang.py parse_ql)."""
+    return _bm25(spark, sf_dir, "or", boosts=BOOST_Q)
 
 
 def q_fuzzy_bm25(spark, sf_dir):
@@ -455,7 +482,8 @@ def q_bm25_batch(spark, sf_dir):
 
 def _bm25_sql(mode: str, prefix: str | None = None,
               lang: str | None = None, regex: str | None = None,
-              fuzzy: tuple[str, int] | None = None) -> str:
+              fuzzy: tuple[str, int] | None = None,
+              boosts: dict[str, float] | None = None) -> str:
     if prefix is not None:
         where = (
             f"term IN (SELECT DISTINCT term FROM tf WHERE term LIKE "
@@ -487,6 +515,13 @@ def _bm25_sql(mode: str, prefix: str | None = None,
         f"WHERE lang = '{lang}')"
         if lang is not None else ""
     )
+    boost_expr = "1.0"
+    if boosts:
+        cases = " ".join(
+            f"WHEN qtf.term = '{t}' THEN {float(w)!r}"
+            for t, w in sorted(boosts.items())
+        )
+        boost_expr = f"(CASE {cases} ELSE 1.0 END)"
     return f"""
 WITH toks AS ({_TOKS_SQL}),
 tf AS (SELECT doc_id, term, count(*)::bigint AS tf FROM toks GROUP BY doc_id, term),
@@ -496,7 +531,8 @@ qtf AS (SELECT * FROM tf WHERE {where}),
 dfx AS (SELECT term, count(*)::bigint AS df FROM qtf GROUP BY term),
 scored AS (
   SELECT qtf.doc_id,
-         sum( ln((stats.n_docs - dfx.df + 0.5)/(dfx.df + 0.5) + 1.0)
+         sum( {boost_expr}
+              * ln((stats.n_docs - dfx.df + 0.5)/(dfx.df + 0.5) + 1.0)
               * qtf.tf * {K1 + 1.0}
               / (qtf.tf + {K1}*(1.0 - {B} + {B}*dl.dl/stats.avgdl)) ) AS s,
          count(*)::int AS n_terms_matched
@@ -1477,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_bm25": q_prefix_bm25,
         "regex_bm25": q_regex_bm25,
         "fuzzy_bm25": q_fuzzy_bm25,
+        "boost_bm25": q_boost_bm25,
         "prefix_wand": q_prefix_wand,
         "facet_counts": q_facet_counts,
         "rep_ratio": q_rep_ratio,
@@ -2197,6 +2234,7 @@ def oracle_sql() -> dict[str, str]:
         "prefix_bm25": _bm25_sql("or", prefix=PREFIX),
         "regex_bm25": _bm25_sql("or", regex=REGEX_Q),
         "fuzzy_bm25": _bm25_sql("or", fuzzy=FUZZY_Q),
+        "boost_bm25": _bm25_sql("or", boosts=BOOST_Q),
         "prefix_wand": _bm25_sql("or", prefix=PREFIX),
         "facet_counts": f"""
             SELECT lang, source, count(*)::bigint AS n_docs

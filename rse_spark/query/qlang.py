@@ -15,7 +15,19 @@ Lucene's SimpleQueryParser popularized, nesting-free by design:
     error AND -deprecated             ->  error ∧ ¬deprecated
     lang:python AND "binary search"   ->  metadata filter ∧ phrase
     path:src/* AND config            ->  metadata prefix ∧ term
+    title^2 OR body                   ->  boosted term ∨ term
     spark join                        ->  spark ∨ join   (GSE default)
+
+Boost atoms (``atom^N``, Lucene query-syntax boosts): any positive
+scoring atom may carry a trailing ``^N`` (N a positive number, e.g.
+``merge^2`` ``pars*^1.5`` ``"merge sort"~2^3`` ``tabel~1^2``); the
+atom's analyzed/expanded terms contribute to BM25 with their weight
+multiplied by N. Qualification (the presence algebra) is unchanged —
+boosts only re-rank. A term mentioned by several atoms takes the
+maximum boost (atoms dedup to one scoring occurrence, so max keeps
+the strongest intent). Boosts on negative atoms or metadata filters
+are parse errors: neither contributes scoring terms, so a boost
+there is dead syntax, not a no-op worth accepting.
 
 Metadata atoms (``lang:``, ``repo:``, ``path:``, ``commit:``,
 ``source:``) FILTER a clause by the per-doc metadata table — the
@@ -55,6 +67,11 @@ _META_RE = re.compile(
 )
 # term~ / term~N — the body must be ~-free so 'a~b~' stays a term
 _FUZZY_RE = re.compile(r"^([^~\s]+)~(\d*)$")
+# atom^N boost suffix — N must be a positive number; the base must be
+# non-empty so '^2' alone stays a term. After a quoted span the base
+# MAY be empty ('"…"^2' has suffix '^2').
+_BOOST_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
+_QUOTE_BOOST_RE = re.compile(r"^(.*)\^(\d+(?:\.\d+)?)$")
 
 
 @dataclass
@@ -87,6 +104,14 @@ class Clause:
     # prefix match) — presence sets only, never scoring terms
     metas: list[tuple[str, str]] = field(default_factory=list)
     neg_metas: list[tuple[str, str]] = field(default_factory=list)
+    # per-atom score boosts (``atom^N``), aligned with their positive
+    # atom lists; 1.0 = unboosted. Negative atoms can't carry boosts
+    # (parse error — they contribute no scoring terms).
+    term_boosts: list[float] = field(default_factory=list)
+    prefix_boosts: list[float] = field(default_factory=list)
+    phrase_boosts: list[float] = field(default_factory=list)
+    regex_boosts: list[float] = field(default_factory=list)
+    fuzzy_boosts: list[float] = field(default_factory=list)
 
     def atoms(self) -> int:
         return (
@@ -157,12 +182,43 @@ def parse_ql(q: str) -> list[Clause]:
         neg = tok.startswith("-") and len(tok) > 1
         if neg:
             tok = tok[1:]
+        boost = 1.0
+        if not tok.startswith('"') \
+                and (m := _BOOST_RE.match(tok)) is not None:
+            boost = float(m.group(2))
+            tok = m.group(1)
+        if boost != 1.0:
+            if boost <= 0:
+                raise ValueError(
+                    f"boost must be positive: {tok}^{boost:g}"
+                )
+            if neg:
+                raise ValueError(
+                    f"boost on a negative atom -{tok}^{boost:g} has "
+                    f"no effect (negations contribute no scoring "
+                    f"terms)"
+                )
         if tok.startswith('"'):
             body, slop = tok[1:], 0
             close = body.find('"')
             if close >= 0:
                 suffix = body[close + 1:]
                 body = body[:close]
+                # suffix grammar after a quoted span: optional ~N
+                # slop, then optional ^B boost ('"merge sort"~2^3')
+                if (m := _QUOTE_BOOST_RE.match(suffix)) is not None:
+                    boost = float(m.group(2))
+                    suffix = m.group(1)
+                    if boost <= 0:
+                        raise ValueError(
+                            f'boost must be positive: "{body}"^{boost:g}'
+                        )
+                    if neg:
+                        raise ValueError(
+                            f'boost on a negative atom -"{body}" has '
+                            f"no effect (negations contribute no "
+                            f"scoring terms)"
+                        )
                 if suffix.startswith("~"):
                     try:
                         slop = max(0, int(suffix[1:]))
@@ -176,7 +232,8 @@ def parse_ql(q: str) -> list[Clause]:
                     # silently (round-5 ADVICE #3). Error, don't drop.
                     raise ValueError(
                         f"unrecognized suffix {suffix!r} after quoted "
-                        f"phrase (only '~N' slop is allowed)"
+                        f"phrase (only '~N' slop and '^B' boost are "
+                        f"allowed)"
                     )
             phrase = body.strip()
             if phrase:
@@ -186,7 +243,13 @@ def parse_ql(q: str) -> list[Clause]:
                 else:
                     cur.phrases.append(phrase)
                     cur.slops.append(slop)
+                    cur.phrase_boosts.append(boost)
         elif (m := _META_RE.match(tok)) is not None:
+            if boost != 1.0:
+                raise ValueError(
+                    f"boost on a metadata filter {tok}^{boost:g} has "
+                    f"no effect (filters contribute no scoring terms)"
+                )
             (cur.neg_metas if neg else cur.metas).append(
                 (m.group(1), m.group(2))
             )
@@ -201,9 +264,17 @@ def parse_ql(q: str) -> list[Clause]:
                 raise ValueError(
                     f"bad regex atom /{pattern}/: {e}"
                 ) from None
-            (cur.neg_regexes if neg else cur.regexes).append(pattern)
+            if neg:
+                cur.neg_regexes.append(pattern)
+            else:
+                cur.regexes.append(pattern)
+                cur.regex_boosts.append(boost)
         elif tok.endswith("*") and len(tok) > 1:
-            (cur.neg_prefixes if neg else cur.prefixes).append(tok[:-1])
+            if neg:
+                cur.neg_prefixes.append(tok[:-1])
+            else:
+                cur.prefixes.append(tok[:-1])
+                cur.prefix_boosts.append(boost)
         elif (m := _FUZZY_RE.match(tok)) is not None:
             # term~ / term~N — Lucene FuzzyQuery syntax; bare ~ means
             # the Lucene default of 2 edits. Distances above 2 are a
@@ -213,11 +284,17 @@ def parse_ql(q: str) -> list[Clause]:
                 raise ValueError(
                     f"fuzzy atom {tok!r}: max supported distance is 2"
                 )
-            (cur.neg_fuzzies if neg else cur.fuzzies).append(
-                (m.group(1), edits)
-            )
+            if neg:
+                cur.neg_fuzzies.append((m.group(1), edits))
+            else:
+                cur.fuzzies.append((m.group(1), edits))
+                cur.fuzzy_boosts.append(boost)
         else:
-            (cur.neg_terms if neg else cur.terms).append(tok)
+            if neg:
+                cur.neg_terms.append(tok)
+            else:
+                cur.terms.append(tok)
+                cur.term_boosts.append(boost)
     clauses = [c for c in clauses if c.atoms()]
     if not clauses:
         raise ValueError("empty query")
@@ -238,9 +315,11 @@ def match_ql(searcher, q: str,
              max_prefix_terms: int = 64,
              max_atoms: int = 16):
     """Presence evaluation for a mini-language query: returns
-    ``(qualified, scoring_terms)`` — the sorted doc-id array of every
-    document satisfying the clause algebra, plus the deduplicated
-    analyzed terms that should drive BM25 ranking. The shared core of
+    ``(qualified, boosts)`` — the sorted doc-id array of every
+    document satisfying the clause algebra, plus a dict mapping each
+    analyzed scoring term to its boost multiplier (1.0 when unboosted;
+    a term mentioned by several atoms takes the maximum). The shared
+    core of
     ``search_ql`` (which scores the set) and ``search_ql_facets``
     (which additionally aggregates metadata over the FULL set, not
     just the returned page).
@@ -366,27 +445,33 @@ def match_ql(searcher, q: str,
             )
         return arr
 
-    scoring_terms: list[str] = []
+    boosts: dict[str, float] = {}
+
+    def add_scoring(terms: list[str], b: float) -> None:
+        for t in terms:
+            if b > boosts.get(t, 0.0):
+                boosts[t] = b
+
     qualified_parts: list[np.ndarray] = []
     for c in clauses:
         clause_sets: list[np.ndarray] = []
-        for t in c.terms:
-            scoring_terms.extend(query_terms(t, searcher.analyzer))
+        for t, b in zip(c.terms, c.term_boosts):
+            add_scoring(query_terms(t, searcher.analyzer), b)
             clause_sets.append(token_docs(t))
-        for p in c.prefixes:
+        for p, b in zip(c.prefixes, c.prefix_boosts):
             docs, terms = prefix_docs(p)
-            scoring_terms.extend(terms)
+            add_scoring(terms, b)
             clause_sets.append(docs)
-        for p in c.regexes:
+        for p, b in zip(c.regexes, c.regex_boosts):
             docs, terms = regex_docs(p)
-            scoring_terms.extend(terms)
+            add_scoring(terms, b)
             clause_sets.append(docs)
-        for t, edits in c.fuzzies:
+        for (t, edits), b in zip(c.fuzzies, c.fuzzy_boosts):
             docs, terms = fuzzy_docs(t, edits)
-            scoring_terms.extend(terms)
+            add_scoring(terms, b)
             clause_sets.append(docs)
-        for ph, slop in zip(c.phrases, c.slops):
-            scoring_terms.extend(query_terms(ph, searcher.analyzer))
+        for ph, slop, b in zip(c.phrases, c.slops, c.phrase_boosts):
+            add_scoring(query_terms(ph, searcher.analyzer), b)
             clause_sets.append(phrase_docs(ph, slop))
         for f, v in c.metas:
             # filter-only: presence set in the intersection, no
@@ -437,7 +522,7 @@ def match_ql(searcher, q: str,
             if len(qualified_parts) > 1
             else np.sort(qualified_parts[0])
         )
-    return qualified, sorted(set(scoring_terms))
+    return qualified, boosts
 
 
 def search_ql(searcher, q: str, k: int = 10,
@@ -451,8 +536,9 @@ def search_ql(searcher, q: str, k: int = 10,
     presence evaluation via ``match_ql``, then ONE scoring pass
     restricted to the qualifying docs (``search_terms(within=...)``).
     Every qualifying doc matches at least one scoring term (its
-    clause's own terms), so nothing is dropped by the OR."""
-    qualified, scoring_terms = match_ql(
+    clause's own terms), so nothing is dropped by the OR. ``atom^N``
+    boosts multiply the contribution of that atom's terms."""
+    qualified, boosts = match_ql(
         searcher, q, corpus_path=corpus_path, content_col=content_col,
         id_col=id_col, key_col=key_col,
         max_prefix_terms=max_prefix_terms, max_atoms=max_atoms,
@@ -460,7 +546,8 @@ def search_ql(searcher, q: str, k: int = 10,
     if not len(qualified):
         return []
     return searcher.search_terms(
-        scoring_terms, k=k, mode="or", within=qualified
+        sorted(boosts), k=k, mode="or", within=qualified,
+        boosts=boosts,
     )
 
 
@@ -478,7 +565,7 @@ def search_ql_facets(searcher, q: str, facet_fields: list[str],
     side. One presence evaluation feeds both the scoring pass and the
     facet aggregation (``DirectSearcher.facet_counts``: a column-
     pruned metadata scan, no Spark job, no content read)."""
-    qualified, scoring_terms = match_ql(
+    qualified, boosts = match_ql(
         searcher, q, corpus_path=corpus_path, content_col=content_col,
         id_col=id_col, key_col=key_col,
         max_prefix_terms=max_prefix_terms, max_atoms=max_atoms,
@@ -487,6 +574,7 @@ def search_ql_facets(searcher, q: str, facet_fields: list[str],
     if not len(qualified):
         return [], facets
     hits = searcher.search_terms(
-        scoring_terms, k=k, mode="or", within=qualified
+        sorted(boosts), k=k, mode="or", within=qualified,
+        boosts=boosts,
     )
     return hits, facets

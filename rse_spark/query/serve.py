@@ -610,17 +610,26 @@ class DirectSearcher:
 
     def search_terms(self, terms: list[str], k: int = 10,
                      mode: str = "or", algo: str = "numpy",
-                     within=None):
+                     within=None,
+                     boosts: "dict[str, float] | None" = None):
         """Top-k over PRE-ANALYZED terms (no tokenizer pass) — the
         entry point for dictionary-expanded queries (prefix), where
         re-analyzing expanded vocabulary terms would re-stem them.
 
         ``within`` (sorted unique int64 ndarray) restricts scoring to
         those doc ids — the qlang path scores only qualifying docs in
-        its single scoring pass. Implies the numpy algo."""
-        qtf: dict[str, int] = {}
+        its single scoring pass. Implies the numpy algo.
+
+        ``boosts`` maps a term to a score multiplier (qlang's
+        ``atom^N``): it scales the term's whole BM25 contribution —
+        folded into the per-term weight, so both the numpy and the
+        WAND paths honor it with no extra work."""
+        qtf: dict[str, float] = {}
         for t in terms:
-            qtf[t] = qtf.get(t, 0) + 1
+            qtf[t] = qtf.get(t, 0.0) + 1.0
+        if boosts:
+            for t in qtf:
+                qtf[t] *= boosts.get(t, 1.0)
         return self._search_qtf(qtf, k, mode, algo, within=within)
 
     def term_docs(self, term: str) -> "object":
@@ -1258,7 +1267,7 @@ class DirectSearcher:
             out[int(d)] = prefix + " ".join(window) + suffix
         return out
 
-    def _search_qtf(self, qtf: dict[str, int], k: int, mode: str,
+    def _search_qtf(self, qtf: "dict[str, float]", k: int, mode: str,
                     algo: str, within=None):
         if not qtf:
             return []

@@ -548,3 +548,68 @@ def test_expand_fuzzy_declarative_parity(planted, spark):
             s.expand_fuzzy(q, max_edits=d)
     with pytest.raises(ValueError, match="out of range"):
         expand_fuzzy(vocab, "beta", max_edits=3)
+
+
+# ---------------------------------------------------------------------------
+# Boost atoms (atom^N) — Lucene query-syntax boosts: scoring-only,
+# qualification unchanged.
+# ---------------------------------------------------------------------------
+
+
+def test_boost_atom_parsing():
+    cs = parse_ql("merge^2 AND sort")
+    assert cs[0].terms == ["merge", "sort"]
+    assert cs[0].term_boosts == [2.0, 1.0]
+    assert parse_ql("pars*^1.5")[0].prefix_boosts == [1.5]
+    assert parse_ql('"merge sort"^3')[0].phrase_boosts == [3.0]
+    # slop then boost after a quoted span
+    cs = parse_ql('"merge sort"~2^3')
+    assert cs[0].slops == [2] and cs[0].phrase_boosts == [3.0]
+    cs = parse_ql("tabel~1^2")
+    assert cs[0].fuzzies == [("tabel", 1)]
+    assert cs[0].fuzzy_boosts == [2.0]
+    assert parse_ql("/ha.h/^2")[0].regex_boosts == [2.0]
+    # a regex whose pattern itself contains '^' is not a boost
+    assert parse_ql("/a^2x/")[0].regexes == ["a^2x"]
+    with pytest.raises(ValueError, match="negative atom"):
+        parse_ql("alpha AND -beta^2")
+    with pytest.raises(ValueError, match="metadata filter"):
+        parse_ql("alpha AND lang:python^2")
+    with pytest.raises(ValueError, match="positive"):
+        parse_ql("alpha^0")
+    # '^2' alone has an empty base: stays a term atom
+    assert parse_ql("^2")[0].terms == ["^2"]
+
+
+def test_boost_atom_semantics(planted):
+    root, corpus_path, to_src = planted
+    s = DirectSearcher(root, analyzer="simple")
+    kw = dict(corpus_path=corpus_path, key_col="src_doc_id")
+
+    # qualification is unchanged by a boost
+    assert _src_ids(search_ql(s, "alpha^2", **kw), to_src) == \
+        _src_ids(search_ql(s, "alpha", **kw), to_src)
+    # a single boosted term scales every score by exactly the boost
+    plain = search_ql(s, "alpha", **kw)
+    boosted = search_ql(s, "alpha^2.5", **kw)
+    assert [(d, m) for d, _s, m in boosted] == \
+        [(d, m) for d, _s, m in plain]
+    for (d1, s1, _m1), (d2, s2, _m2) in zip(plain, boosted):
+        assert s2 == pytest.approx(2.5 * s1)
+    # boosting re-ranks a two-term query: doc 1 (alpha delta) vs
+    # doc 2 (beta delta) — boosting beta must rank 2 above 1
+    hits = search_ql(s, "alpha OR beta^9", **kw)
+    order = [to_src[d] for d, _s, _m in hits]
+    assert order.index(2) < order.index(1)
+    hits = search_ql(s, "alpha^9 OR beta", **kw)
+    order = [to_src[d] for d, _s, _m in hits]
+    assert order.index(1) < order.index(2)
+    # max-merge when the same term appears boosted and unboosted
+    merged = search_ql(s, "alpha OR alpha^2.5", **kw)
+    for (d1, s1, _), (d2, s2, _) in zip(plain, merged):
+        assert d1 == d2 and s2 == pytest.approx(2.5 * s1)
+    # boosted expanded atoms (fuzzy) scale like their plain expansion
+    plain = search_ql(s, "beta~1", **kw)
+    boosted = search_ql(s, "beta~1^2", **kw)
+    for (d1, s1, _), (d2, s2, _) in zip(plain, boosted):
+        assert d1 == d2 and s2 == pytest.approx(2.0 * s1)
