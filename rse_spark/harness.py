@@ -116,7 +116,8 @@ def q_candidates_or(spark, sf_dir):
 def _bm25(spark, sf_dir, mode: str, prefix: str | None = None,
           lang: str | None = None, regex: str | None = None,
           fuzzy: tuple[str, int] | None = None,
-          boosts: dict[str, float] | None = None) -> DataFrame:
+          boosts: dict[str, float] | None = None,
+          collapse: str | None = None) -> DataFrame:
     """Declarative single-DAG BM25 (no driver-side collects): stats join
     via broadcast cross-join of the 1-row corpus_stats. ``prefix``
     switches term selection from the fixed BM25_TERMS list to
@@ -217,6 +218,29 @@ def _bm25(spark, sf_dir, mode: str, prefix: str | None = None,
             F.col("lang") == lang
         ).select("doc_id")
         agg = agg.join(keep, "doc_id", "left_semi")
+    if collapse is not None:
+        # result collapsing (Solr/ES ``collapse``): keep only each
+        # group's best-scored doc, then rank groups by that doc. ONE
+        # shuffle on the group key (the window partition); the group
+        # lookup join stays broadcastable/AQE-planned. Serving twin:
+        # qlang.search_ql_collapse (greedy walk of the ranked list).
+        grp = _docs(spark, sf_dir).select(
+            "doc_id", F.col(collapse).alias("grp")
+        )
+        w = Window.partitionBy("grp").orderBy(
+            F.desc("s"), F.asc("doc_id")
+        )
+        return (
+            agg.join(grp, "doc_id", "left")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .orderBy(F.desc("s"), F.asc("doc_id"))
+            .limit(10)
+            .select(
+                "doc_id", F.round("s", 6).alias("score"),
+                "n_terms_matched", F.col("grp").alias(collapse),
+            )
+        )
     return (
         agg.orderBy(F.desc("s"), F.asc("doc_id"))
         .limit(10)
@@ -324,6 +348,16 @@ def q_boost_bm25(spark, sf_dir):
     ``boosts=`` path (query/serve.py), fed by qlang's per-atom
     ``^N`` suffixes (query/qlang.py parse_ql)."""
     return _bm25(spark, sf_dir, "or", boosts=BOOST_Q)
+
+
+def q_collapse_bm25(spark, sf_dir):
+    """Result collapsing (Solr/Elasticsearch ``collapse``, Lucene
+    grouping) in the declarative tier: BM25 over the standard terms,
+    then at most ONE hit per ``lang`` — each group represented by its
+    best-scored doc, groups ranked by that doc. The serving twin is
+    ``qlang.search_ql_collapse`` (?ql=...&collapse=lang): one full
+    scoring pass, one column-pruned metadata scan, greedy walk."""
+    return _bm25(spark, sf_dir, "or", collapse="lang")
 
 
 def q_fuzzy_bm25(spark, sf_dir):
@@ -483,7 +517,8 @@ def q_bm25_batch(spark, sf_dir):
 def _bm25_sql(mode: str, prefix: str | None = None,
               lang: str | None = None, regex: str | None = None,
               fuzzy: tuple[str, int] | None = None,
-              boosts: dict[str, float] | None = None) -> str:
+              boosts: dict[str, float] | None = None,
+              collapse: str | None = None) -> str:
     if prefix is not None:
         where = (
             f"term IN (SELECT DISTINCT term FROM tf WHERE term LIKE "
@@ -522,6 +557,23 @@ def _bm25_sql(mode: str, prefix: str | None = None,
             for t, w in sorted(boosts.items())
         )
         boost_expr = f"(CASE {cases} ELSE 1.0 END)"
+    if collapse is not None:
+        tail = f"""
+SELECT doc_id, round(s, 6) AS score, n_terms_matched, {collapse}
+FROM (
+  SELECT scored.*, documents.{collapse},
+         row_number() OVER (
+           PARTITION BY documents.{collapse}
+           ORDER BY s DESC, doc_id ASC
+         ) AS rn
+  FROM scored LEFT JOIN documents USING(doc_id)
+) WHERE rn = 1 ORDER BY s DESC, doc_id ASC LIMIT 10"""
+    else:
+        tail = (
+            f"SELECT doc_id, round(s, 6) AS score, n_terms_matched\n"
+            f"FROM scored {meta_where} "
+            f"ORDER BY s DESC, doc_id ASC LIMIT 10"
+        )
     return f"""
 WITH toks AS ({_TOKS_SQL}),
 tf AS (SELECT doc_id, term, count(*)::bigint AS tf FROM toks GROUP BY doc_id, term),
@@ -539,8 +591,7 @@ scored AS (
   FROM qtf JOIN dfx USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
   GROUP BY qtf.doc_id {having}
 )
-SELECT doc_id, round(s, 6) AS score, n_terms_matched
-FROM scored {meta_where} ORDER BY s DESC, doc_id ASC LIMIT 10
+{tail}
 """
 
 
@@ -1514,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_bm25": q_regex_bm25,
         "fuzzy_bm25": q_fuzzy_bm25,
         "boost_bm25": q_boost_bm25,
+        "collapse_bm25": q_collapse_bm25,
         "prefix_wand": q_prefix_wand,
         "facet_counts": q_facet_counts,
         "rep_ratio": q_rep_ratio,
@@ -2235,6 +2287,7 @@ def oracle_sql() -> dict[str, str]:
         "regex_bm25": _bm25_sql("or", regex=REGEX_Q),
         "fuzzy_bm25": _bm25_sql("or", fuzzy=FUZZY_Q),
         "boost_bm25": _bm25_sql("or", boosts=BOOST_Q),
+        "collapse_bm25": _bm25_sql("or", collapse="lang"),
         "prefix_wand": _bm25_sql("or", prefix=PREFIX),
         "facet_counts": f"""
             SELECT lang, source, count(*)::bigint AS n_docs

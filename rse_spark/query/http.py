@@ -121,6 +121,7 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
             if ql.strip():
                 from rse_spark.query.qlang import (
                     search_ql,
+                    search_ql_collapse,
                     search_ql_facets,
                 )
 
@@ -132,9 +133,30 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                     f for f in (qs.get("facets") or [""])[0]
                     .replace(",", " ").split() if f
                 ]
+                collapse = (qs.get("collapse") or [""])[0].strip()
+                if collapse and facet_fields:
+                    self._json(400, {
+                        "error": "collapse and facets are separate "
+                                 "views; request one at a time"
+                    })
+                    return
                 extra = None
                 try:
-                    if facet_fields:
+                    if collapse:
+                        try:
+                            per_group = int(
+                                (qs.get("per_group") or ["1"])[0]
+                            )
+                        except ValueError:
+                            per_group = 0  # -> ValueError below
+                        hits = search_ql_collapse(
+                            searcher, ql, collapse, k=k,
+                            per_group=per_group,
+                            corpus_path=corpus_path,
+                            content_col=content_col, id_col=id_col,
+                            key_col=key_col,
+                        )
+                    elif facet_fields:
                         hits, facets = search_ql_facets(
                             searcher, ql, facet_fields, k=k,
                             corpus_path=corpus_path,
@@ -275,15 +297,19 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                 "n_results": len(hits),
                 "results": [
                     {
-                        "doc_id": int(d),
-                        "score": round(float(s), 6),
-                        "n_terms_matched": int(m),
+                        "doc_id": int(h[0]),
+                        "score": round(float(h[1]), 6),
+                        "n_terms_matched": int(h[2]),
+                        # collapse hits carry the group value 4th
                         **(
-                            {"snippet": snips[int(d)]}
-                            if int(d) in snips else {}
+                            {"group": h[3]} if len(h) > 3 else {}
+                        ),
+                        **(
+                            {"snippet": snips[int(h[0])]}
+                            if int(h[0]) in snips else {}
                         ),
                     }
-                    for d, s, m in hits
+                    for h in hits
                 ],
             }
             if extra:

@@ -578,3 +578,56 @@ def search_ql_facets(searcher, q: str, facet_fields: list[str],
         boosts=boosts,
     )
     return hits, facets
+
+
+def search_ql_collapse(searcher, q: str, collapse: str, k: int = 10,
+                       per_group: int = 1,
+                       corpus_path: str | None = None,
+                       content_col: str = "text", id_col: str = "doc_id",
+                       key_col: str | None = None,
+                       max_prefix_terms: int = 64,
+                       max_atoms: int = 16):
+    """``search_ql`` with result collapsing (Solr/Elasticsearch
+    ``collapse``, Lucene grouping): at most ``per_group`` hits per
+    distinct value of metadata field ``collapse``, ranked by the
+    group's best hit — the "one result per repo" diversity view every
+    code-search UI ships. Returns ``[(doc_id, score, n_terms_matched,
+    group_value)]``.
+
+    Evaluation: one presence pass (``match_ql``), one scoring pass
+    over the full qualifying set (collapsing needs the global ranking,
+    not a page), one column-pruned metadata scan for the group values
+    (``DirectSearcher.field_values`` — same cost shape the facet path
+    already pays), then a greedy walk of the ranked list keeping the
+    first ``per_group`` hits per group. Docs missing from the metadata
+    table collapse into one ``None`` group rather than being dropped.
+    The declarative twin is ``harness.q_collapse_bm25`` (window
+    ``row_number`` per group over the scored set)."""
+    if per_group < 1:
+        raise ValueError(f"per_group must be >= 1 (got {per_group})")
+    qualified, boosts = match_ql(
+        searcher, q, corpus_path=corpus_path, content_col=content_col,
+        id_col=id_col, key_col=key_col,
+        max_prefix_terms=max_prefix_terms, max_atoms=max_atoms,
+    )
+    if not len(qualified):
+        return []
+    # full ranking over the qualifying set: the scoring pass already
+    # touches every qualifying doc, k only truncates — collapsing
+    # truncates AFTER grouping instead
+    hits = searcher.search_terms(
+        sorted(boosts), k=len(qualified), mode="or", within=qualified,
+        boosts=boosts,
+    )
+    vals = searcher.field_values([d for d, _s, _m in hits], collapse)
+    out = []
+    seen: dict = {}
+    for d, sc, m in hits:  # sorted (-score, doc_id)
+        g = vals.get(d)
+        c = seen.get(g, 0)
+        if c < per_group:
+            seen[g] = c + 1
+            out.append((d, sc, m, g))
+            if len(out) == k:
+                break
+    return out

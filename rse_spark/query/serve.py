@@ -850,6 +850,50 @@ class DirectSearcher:
             for f in fields
         }
 
+    def field_values(self, doc_ids, field: str) -> dict:
+        """``{doc_id: value}`` for one metadata field over a doc-id
+        set — the lookup behind result collapsing (``collapse=``):
+        one column-pruned streaming scan of the metadata table
+        (``doc_id`` + the field), vectorized ``np.isin`` membership
+        per batch, no Spark job, no content read. Same cost shape as
+        ``facet_counts`` (bounded by metadata rows x two columns).
+        Raises ValueError for a field the table doesn't carry."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        self._check_generation()
+        ids = np.unique(np.asarray(doc_ids, dtype=np.int64))
+        path = os.path.join(self.root, "docs_meta")
+        if not os.path.isdir(path):
+            path = os.path.join(self.root, "enriched")
+        dset = pads.dataset(path, format="parquet", partitioning="hive")
+        names = set(dset.schema.names)
+        if field not in names:
+            have = sorted(
+                n for n in names
+                if n not in ("tf_terms", "tf_counts", "tf_positions",
+                             "doc_id")
+            )
+            raise ValueError(
+                f"unknown field {field!r} (have {have})"
+            )
+        out: dict = {}
+        if not len(ids):
+            return out
+        for batch in dset.to_batches(columns=["doc_id", field]):
+            if batch.num_rows == 0:
+                continue
+            bids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = np.isin(bids, ids, assume_unique=False)
+            if not mask.any():
+                continue
+            sel = pc.filter(batch.column(field), pa.array(mask))
+            for did, v in zip(bids[mask], sel.to_pylist()):
+                out[int(did)] = v
+        return out
+
     def phrase_search(self, phrase: str, corpus_path: str, k: int = 10,
                       content_col: str = "text", id_col: str = "doc_id",
                       key_col: str | None = None):

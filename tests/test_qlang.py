@@ -613,3 +613,100 @@ def test_boost_atom_semantics(planted):
     boosted = search_ql(s, "beta~1^2", **kw)
     for (d1, s1, _), (d2, s2, _) in zip(plain, boosted):
         assert d1 == d2 and s2 == pytest.approx(2.0 * s1)
+
+
+# ---------------------------------------------------------------------------
+# Result collapsing (collapse=field) — Solr/ES collapse semantics: at
+# most per_group hits per field value, groups ranked by best hit.
+# ---------------------------------------------------------------------------
+
+
+def test_search_ql_collapse(planted_meta):
+    from rse_spark.query.qlang import search_ql_collapse
+
+    root, corpus_path, to_src = planted_meta
+    s = DirectSearcher(root, analyzer="simple")
+    kw = dict(corpus_path=corpus_path, key_col="src_doc_id")
+
+    # "alpha" matches src docs 0,1,2 (python, go, python); collapsing
+    # by lang keeps the best python and the best go doc only
+    hits = search_ql_collapse(s, "alpha", "lang", **kw)
+    assert len(hits) == 2
+    assert {g for _d, _s, _m, g in hits} == {"python", "go"}
+    # each group's representative is its best-scored doc: the full
+    # ranking's first doc of that lang
+    full = search_ql(s, "alpha", **kw)
+    best = {}
+    langs = s.field_values([d for d, _s, _m in full], "lang")
+    for d, sc, _m in full:
+        best.setdefault(langs[d], (d, sc))
+    for d, sc, _m, g in hits:
+        assert best[g] == (d, sc)
+    # groups are ranked by their best hit's score
+    scores = [h[1] for h in hits]
+    assert scores == sorted(scores, reverse=True)
+
+    # per_group=2 keeps both python docs
+    hits2 = search_ql_collapse(s, "alpha", "lang", per_group=2, **kw)
+    assert sum(1 for h in hits2 if h[3] == "python") == 2
+    # k truncates after collapsing
+    assert len(search_ql_collapse(s, "alpha", "lang", k=1, **kw)) == 1
+
+    # collapsing composes with the clause algebra
+    hits3 = search_ql_collapse(s, "alpha AND -lang:go", "lang", **kw)
+    assert {g for *_rest, g in hits3} == {"python"}
+
+    with pytest.raises(ValueError, match="unknown field"):
+        search_ql_collapse(s, "alpha", "nope", **kw)
+    with pytest.raises(ValueError, match="per_group"):
+        search_ql_collapse(s, "alpha", "lang", per_group=0, **kw)
+    assert search_ql_collapse(s, "zzz", "lang", **kw) == []
+
+
+def test_field_values(planted_meta):
+    root, _corpus, to_src = planted_meta
+    s = DirectSearcher(root, analyzer="simple")
+    inv = {v: k for k, v in to_src.items()}
+    ids = [inv[0], inv[3]]
+    vals = s.field_values(ids, "lang")
+    assert vals == {inv[0]: "python", inv[3]: "go"}
+    assert s.field_values([], "lang") == {}
+    # absent ids are simply missing from the map
+    assert 10_000 not in s.field_values([10_000], "lang")
+    with pytest.raises(ValueError, match="unknown field"):
+        s.field_values(ids, "nope")
+
+
+def test_collapse_http(planted_meta):
+    root, corpus_path, _to_src = planted_meta
+    from rse_spark.query.http import SearchServer
+
+    srv = SearchServer(root, analyzer="simple",
+                       corpus_path=corpus_path,
+                       key_col="src_doc_id").start()
+    try:
+        base = srv.address
+        with urllib.request.urlopen(
+            f"{base}/search?ql=alpha&collapse=lang", timeout=30
+        ) as r:
+            page = json.loads(r.read())
+        assert page["n_results"] == 2
+        assert {x["group"] for x in page["results"]} == {"python", "go"}
+        # collapse + facets together is a 400
+        try:
+            urllib.request.urlopen(
+                f"{base}/search?ql=alpha&collapse=lang&facets=lang"
+            )
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        # bad per_group is a 400
+        try:
+            urllib.request.urlopen(
+                f"{base}/search?ql=alpha&collapse=lang&per_group=x"
+            )
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.stop()
