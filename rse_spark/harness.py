@@ -117,7 +117,8 @@ def _bm25(spark, sf_dir, mode: str, prefix: str | None = None,
           lang: str | None = None, regex: str | None = None,
           fuzzy: tuple[str, int] | None = None,
           boosts: dict[str, float] | None = None,
-          collapse: str | None = None) -> DataFrame:
+          collapse: str | None = None,
+          mlt_doc: int | None = None) -> DataFrame:
     """Declarative single-DAG BM25 (no driver-side collects): stats join
     via broadcast cross-join of the 1-row corpus_stats. ``prefix``
     switches term selection from the fixed BM25_TERMS list to
@@ -170,6 +171,29 @@ def _bm25(spark, sf_dir, mode: str, prefix: str | None = None,
             .select("term")
         )
         qtf = tf.join(F.broadcast(expanded), "term")
+    elif mlt_doc is not None:
+        # MoreLikeThis term selection: the source doc's strongest
+        # max_terms terms by tf x idf (same idf the scorer uses),
+        # ties broken by term — identical order to the serving tier
+        # (DirectSearcher.more_like_this) and the DuckDB oracle. df
+        # here is corpus-wide (computed before the qtf restriction).
+        dfall = tf.groupBy("term").agg(F.count("*").alias("df"))
+        sel = (
+            tf.filter(F.col("doc_id") == mlt_doc)
+            .join(dfall, "term")
+            .crossJoin(F.broadcast(stats.select("n_docs")))
+            .withColumn(
+                "w",
+                F.col("tf") * F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5) + 1.0
+                ),
+            )
+            .orderBy(F.desc("w"), F.asc("term"))
+            .limit(MLT_MAX_TERMS)
+            .select("term")
+        )
+        qtf = tf.join(F.broadcast(sel), "term")
     else:
         qtf = tf.filter(F.col("term").isin(BM25_TERMS))
     df = qtf.groupBy("term").agg(F.count("*").alias("df"))
@@ -218,6 +242,9 @@ def _bm25(spark, sf_dir, mode: str, prefix: str | None = None,
             F.col("lang") == lang
         ).select("doc_id")
         agg = agg.join(keep, "doc_id", "left_semi")
+    if mlt_doc is not None:
+        # MoreLikeThis never returns its own source document
+        agg = agg.filter(F.col("doc_id") != mlt_doc)
     if collapse is not None:
         # result collapsing (Solr/ES ``collapse``): keep only each
         # group's best-scored doc, then rank groups by that doc. ONE
@@ -348,6 +375,21 @@ def q_boost_bm25(spark, sf_dir):
     ``boosts=`` path (query/serve.py), fed by qlang's per-atom
     ``^N`` suffixes (query/qlang.py parse_ql)."""
     return _bm25(spark, sf_dir, "or", boosts=BOOST_Q)
+
+
+MLT_DOC = 7  # MoreLikeThis probe document
+MLT_MAX_TERMS = 10  # Lucene MLT maxQueryTerms-style rewrite cap
+
+
+def q_mlt_bm25(spark, sf_dir):
+    """More-Like-This (Lucene MoreLikeThis) in the declarative tier:
+    select the source doc's ``MLT_MAX_TERMS`` strongest terms by
+    tf x idf (corpus-wide df, ties by term), BM25-rank the corpus
+    over them, and drop the source doc. The serving twin is
+    ``DirectSearcher.more_like_this`` (?mlt=doc_id): row-group-pruned
+    term-vector fetch + the same selection order + one scoring
+    pass."""
+    return _bm25(spark, sf_dir, "or", mlt_doc=MLT_DOC)
 
 
 def q_collapse_bm25(spark, sf_dir):
@@ -518,7 +560,8 @@ def _bm25_sql(mode: str, prefix: str | None = None,
               lang: str | None = None, regex: str | None = None,
               fuzzy: tuple[str, int] | None = None,
               boosts: dict[str, float] | None = None,
-              collapse: str | None = None) -> str:
+              collapse: str | None = None,
+              mlt_doc: int | None = None) -> str:
     if prefix is not None:
         where = (
             f"term IN (SELECT DISTINCT term FROM tf WHERE term LIKE "
@@ -538,6 +581,23 @@ def _bm25_sql(mode: str, prefix: str | None = None,
             f"ORDER BY levenshtein(term, '{ft}'), term "
             f"LIMIT {PREFIX_MAX_TERMS}))"
         )
+    elif mlt_doc is not None:
+        # MoreLikeThis term selection: the source doc's strongest
+        # MLT_MAX_TERMS terms by tf x idf (corpus-wide df, same idf
+        # as the scorer), ties by term — mirrors harness._bm25's
+        # mlt branch exactly
+        where = f"""term IN (
+          SELECT term FROM (
+            SELECT tf.term,
+                   tf.tf * ln((stats.n_docs - dfa.df + 0.5)
+                              / (dfa.df + 0.5) + 1.0) AS w
+            FROM tf
+            JOIN (SELECT term, count(*)::bigint AS df
+                  FROM tf GROUP BY term) dfa USING(term)
+            CROSS JOIN stats
+            WHERE tf.doc_id = {mlt_doc}
+            ORDER BY w DESC, term ASC LIMIT {MLT_MAX_TERMS}
+          ))"""
     else:
         where = (
             "term IN (" + ", ".join(f"'{t}'" for t in BM25_TERMS) + ")"
@@ -545,11 +605,16 @@ def _bm25_sql(mode: str, prefix: str | None = None,
     having = (
         f"HAVING count(*) = {len(BM25_TERMS)}" if mode == "and" else ""
     )
-    meta_where = (
-        f"WHERE doc_id IN (SELECT doc_id FROM documents "
-        f"WHERE lang = '{lang}')"
-        if lang is not None else ""
-    )
+    if lang is not None:
+        meta_where = (
+            f"WHERE doc_id IN (SELECT doc_id FROM documents "
+            f"WHERE lang = '{lang}')"
+        )
+    elif mlt_doc is not None:
+        # MoreLikeThis never returns its own source document
+        meta_where = f"WHERE doc_id != {mlt_doc}"
+    else:
+        meta_where = ""
     boost_expr = "1.0"
     if boosts:
         cases = " ".join(
@@ -1566,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_bm25": q_fuzzy_bm25,
         "boost_bm25": q_boost_bm25,
         "collapse_bm25": q_collapse_bm25,
+        "mlt_bm25": q_mlt_bm25,
         "prefix_wand": q_prefix_wand,
         "facet_counts": q_facet_counts,
         "rep_ratio": q_rep_ratio,
@@ -2288,6 +2354,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_bm25": _bm25_sql("or", fuzzy=FUZZY_Q),
         "boost_bm25": _bm25_sql("or", boosts=BOOST_Q),
         "collapse_bm25": _bm25_sql("or", collapse="lang"),
+        "mlt_bm25": _bm25_sql("or", mlt_doc=MLT_DOC),
         "prefix_wand": _bm25_sql("or", prefix=PREFIX),
         "facet_counts": f"""
             SELECT lang, source, count(*)::bigint AS n_docs

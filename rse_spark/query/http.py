@@ -91,14 +91,15 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
             prefix = (qs.get("prefix") or [""])[0]
             ql = (qs.get("ql") or [""])[0]
             near = (qs.get("near") or [""])[0]
-            given = [p for p in (q, phrase, prefix, ql, near)
+            mlt = (qs.get("mlt") or [""])[0]
+            given = [p for p in (q, phrase, prefix, ql, near, mlt)
                      if p.strip()]
             if len(given) != 1:
                 # GSE: empty query -> http.Error 400 (main.go:210-214);
                 # exactly one selector must be present
                 self._json(400, {
                     "error": "exactly one of q, phrase, prefix, ql, "
-                             "near required"
+                             "near, mlt required"
                 })
                 return
             try:
@@ -211,6 +212,26 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                         for d, n in hits
                     ],
                 })
+                return
+            if mlt.strip():
+                # ?mlt=<doc_id> — Lucene MoreLikeThis: docs similar
+                # to the given one, ranked by BM25 over its strongest
+                # tf-idf terms (the selection is returned so the page
+                # is explainable)
+                try:
+                    src = int(mlt)
+                except ValueError:
+                    self._json(400, {"error": "mlt needs a doc_id"})
+                    return
+                try:
+                    hits, terms = searcher.more_like_this(src, k=k)
+                except ValueError as e:
+                    self._json(400, {"error": str(e)})
+                    return
+                self._page(f"mlt:{src}", k, "mlt", hits,
+                           extra={"mlt_terms": terms},
+                           snippet_q=" ".join(terms) if want_snippets
+                           else None)
                 return
             if phrase.strip():
                 use_pos = (qs.get("pos") or ["0"])[0] not in (

@@ -894,6 +894,60 @@ class DirectSearcher:
                 out[int(did)] = v
         return out
 
+    def more_like_this(self, doc_id: int, k: int = 10,
+                       max_terms: int = 10, min_tf: int = 1):
+        """Lucene MoreLikeThis: rank documents similar to ``doc_id``
+        by selecting its ``max_terms`` strongest terms (tf x idf,
+        ties broken by term — the same idf the scorer uses) and
+        running the standard BM25 OR search over them, excluding the
+        source doc. Returns ``(hits, selected_terms)`` with hits
+        shaped like ``search()``.
+
+        The term vector comes from the index's own enriched table
+        (tf_terms/tf_counts arrays), fetched with a row-group-pruned
+        read — one doc's row, never a corpus scan; selection work is
+        bounded by the doc's distinct-term count. ``min_tf`` drops
+        terms the doc mentions fewer times (Lucene's minTermFreq).
+        The declarative twin is ``harness.q_mlt_bm25`` with a DuckDB
+        oracle. Raises ValueError for an unknown doc or an index
+        without stored term vectors (flat enriched format)."""
+        import pyarrow as pa
+
+        self._check_generation()
+        enriched = os.path.join(self.root, "enriched")
+        try:
+            tbl, _stats = read_ids_pruned(
+                enriched, [int(doc_id)],
+                ["doc_id", "tf_terms", "tf_counts"], "doc_id",
+            )
+        except (KeyError, pa.ArrowInvalid) as e:
+            raise ValueError(
+                "more_like_this needs stored term vectors (array-"
+                "format enriched table with tf_terms/tf_counts); "
+                f"this index does not carry them: {e}"
+            ) from None
+        if tbl.num_rows == 0:
+            raise ValueError(f"unknown doc_id {doc_id}")
+        terms = tbl["tf_terms"][0].as_py()
+        counts = tbl["tf_counts"][0].as_py()
+        scored: list[tuple[float, str]] = []
+        for t, tf in zip(terms, counts):
+            if tf < min_tf:
+                continue
+            info = self.term_dict.get(t)
+            if not info:
+                continue
+            scored.append((-tf * idf_fn(info[0], self.n_docs), t))
+        scored.sort()
+        sel = [t for _w, t in scored[:max_terms]]
+        if not sel:
+            return [], []
+        hits = self.search_terms(sel, k=k + 1, mode="or")
+        return (
+            [(d, s, m) for d, s, m in hits if d != doc_id][:k],
+            sel,
+        )
+
     def phrase_search(self, phrase: str, corpus_path: str, k: int = 10,
                       content_col: str = "text", id_col: str = "doc_id",
                       key_col: str | None = None):

@@ -358,3 +358,36 @@ def test_bucket_loads_do_not_serialize(http_index):
             % (b_free, b_held)
         )
         t.join()
+
+
+def test_http_more_like_this(http_index):
+    """?mlt=<doc_id> answers with the serving tier's more_like_this
+    page (selected terms included for explainability, source doc
+    never in the results); bad ids are 400s, and mlt is exclusive
+    with the other selectors."""
+    from rse_spark.query.http import SearchServer
+
+    srv = SearchServer(http_index, analyzer="simple").start()
+    try:
+        with urllib.request.urlopen(
+            f"{srv.address}/search?mlt=3&k=5", timeout=10
+        ) as resp:
+            assert resp.status == 200
+            body = json.load(resp)
+        assert body["mode"] == "mlt"
+        assert body["mlt_terms"]
+        assert all(r["doc_id"] != 3 for r in body["results"])
+        hits, terms = srv.searcher.more_like_this(3, k=5)
+        assert body["mlt_terms"] == terms
+        assert [r["doc_id"] for r in body["results"]] == [
+            d for d, _s, _m in hits
+        ]
+
+        for bad in ("mlt=abc", "mlt=999999999", "mlt=3&q=spark"):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(
+                    f"{srv.address}/search?{bad}", timeout=10
+                )
+            assert ei.value.code == 400
+    finally:
+        srv.stop()

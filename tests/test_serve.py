@@ -141,3 +141,58 @@ def test_direct_searcher_wand_on_stream_grown_index(spark, tmp_path_factory):
             ], (q, mode)
             for (d1, s1, _), (d2, s2, _) in zip(wand, exact):
                 assert abs(s1 - s2) < 1e-9
+
+
+def test_more_like_this_selection_and_hits(root):
+    """more_like_this picks the source doc's top tf x idf terms —
+    checked against an independent pure-python recount over the
+    enriched table — and returns the standard multi-term OR search
+    over that selection with the source doc excluded."""
+    import math
+    import os
+
+    import pyarrow.dataset as pads
+
+    searcher = DirectSearcher(root, analyzer="code")
+    src = 5
+    hits, sel = searcher.more_like_this(src, k=10)
+
+    tbl = pads.dataset(os.path.join(root, "enriched")).to_table(
+        columns=["doc_id", "tf_terms", "tf_counts"]
+    )
+    docs = {
+        int(d): dict(zip(ts, cs))
+        for d, ts, cs in zip(
+            tbl["doc_id"].to_pylist(),
+            tbl["tf_terms"].to_pylist(),
+            tbl["tf_counts"].to_pylist(),
+        )
+    }
+    n_docs = len(docs)
+    df: dict[str, int] = {}
+    for tfs in docs.values():
+        for t in tfs:
+            df[t] = df.get(t, 0) + 1
+    weights = sorted(
+        (
+            -tf * math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0),
+            t,
+        )
+        for t, tf in docs[src].items()
+    )
+    expected_sel = [t for _w, t in weights[:10]]
+    assert sel == expected_sel
+
+    assert len(hits) == 10
+    assert all(d != src for d, _s, _m in hits)
+    want = [
+        h for h in searcher.search_terms(sel, k=11, mode="or")
+        if h[0] != src
+    ][:10]
+    assert hits == want
+
+
+def test_more_like_this_unknown_doc(root):
+    searcher = DirectSearcher(root, analyzer="code")
+    with pytest.raises(ValueError, match="unknown doc_id"):
+        searcher.more_like_this(10**9)
