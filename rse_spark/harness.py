@@ -380,6 +380,54 @@ def q_boost_bm25(spark, sf_dir):
 MLT_DOC = 7  # MoreLikeThis probe document
 MLT_MAX_TERMS = 10  # Lucene MLT maxQueryTerms-style rewrite cap
 
+SUGGEST_WORDS = ["srot", "lne", "kay"]  # did-you-mean probes
+SUGGEST_MAX_EDITS = 2
+SUGGEST_N = 5
+
+
+def q_spell_suggest(spark, sf_dir):
+    """Did-you-mean / spell suggestion (Lucene DirectSpellChecker
+    shape): for each probe word, the indexed terms within
+    ``SUGGEST_MAX_EDITS`` Levenshtein edits ranked by (distance asc,
+    df desc, term asc) — closest first, most-attested first. The
+    candidate set is the DISTINCT-TERM dictionary (|vocab| rows, df
+    from the tf table), length-banded BEFORE the Levenshtein DP runs
+    and broadcast-joined against the tiny probe list — never a scan
+    of the corpus, and the only shuffle is the final per-word window
+    over a handful of surviving candidates. The serving twin is
+    ``DirectSearcher.suggest`` (same ranking, replica-side)."""
+    toks = _toks(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfx = tf.groupBy("term").agg(F.count("*").alias("df"))
+    words = spark.createDataFrame(
+        [(w,) for w in SUGGEST_WORDS], ["word"]
+    )
+    cand = (
+        dfx.crossJoin(F.broadcast(words))
+        # length band first: cheap JVM filter prunes the vocab before
+        # the O(len^2) edit-distance DP
+        .filter(
+            F.abs(F.length("term") - F.length("word"))
+            <= SUGGEST_MAX_EDITS
+        )
+        .withColumn("dist", F.levenshtein("term", "word"))
+        .filter(F.col("dist").between(1, SUGGEST_MAX_EDITS))
+    )
+    w = Window.partitionBy("word").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term")
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= SUGGEST_N)
+        .select(
+            "word",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("term").alias("suggestion"),
+            F.col("dist").cast("int").alias("dist"),
+            "df",
+        )
+    )
+
 
 def q_mlt_bm25(spark, sf_dir):
     """More-Like-This (Lucene MoreLikeThis) in the declarative tier:
@@ -1632,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boost_bm25": q_boost_bm25,
         "collapse_bm25": q_collapse_bm25,
         "mlt_bm25": q_mlt_bm25,
+        "spell_suggest": q_spell_suggest,
         "prefix_wand": q_prefix_wand,
         "facet_counts": q_facet_counts,
         "rep_ratio": q_rep_ratio,
@@ -2355,6 +2404,30 @@ def oracle_sql() -> dict[str, str]:
         "boost_bm25": _bm25_sql("or", boosts=BOOST_Q),
         "collapse_bm25": _bm25_sql("or", collapse="lang"),
         "mlt_bm25": _bm25_sql("or", mlt_doc=MLT_DOC),
+        "spell_suggest": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            tf AS (SELECT doc_id, term FROM toks GROUP BY doc_id, term),
+            dfx AS (SELECT term, count(*)::bigint AS df FROM tf
+                    GROUP BY term),
+            words(word) AS (VALUES
+              {", ".join(f"('{w}')" for w in SUGGEST_WORDS)}),
+            cand AS (
+              SELECT word, term AS suggestion,
+                     levenshtein(term, word)::int AS dist, df
+              FROM dfx CROSS JOIN words
+              WHERE abs(length(term) - length(word))
+                      <= {SUGGEST_MAX_EDITS}
+                AND levenshtein(term, word)
+                      BETWEEN 1 AND {SUGGEST_MAX_EDITS}
+            )
+            SELECT word, rnk, suggestion, dist, df FROM (
+              SELECT cand.*, row_number() OVER (
+                       PARTITION BY word
+                       ORDER BY dist ASC, df DESC, suggestion ASC
+                     )::int AS rnk
+              FROM cand
+            ) WHERE rnk <= {SUGGEST_N}
+        """,
         "prefix_wand": _bm25_sql("or", prefix=PREFIX),
         "facet_counts": f"""
             SELECT lang, source, count(*)::bigint AS n_docs

@@ -82,6 +82,35 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                     "index_generation": searcher.generation,
                 })
                 return
+            if u.path == "/suggest":
+                # did-you-mean: per analyzed token, its index df and
+                # the closest attested terms (distance asc, df desc)
+                from rse_spark.query.engine import query_terms
+
+                qs = parse_qs(u.query)
+                q = (qs.get("q") or [""])[0]
+                toks = query_terms(q, searcher.analyzer)
+                if not toks:
+                    self._json(400, {"error": "q required"})
+                    return
+                try:
+                    n = int((qs.get("n") or ["5"])[0])
+                except ValueError:
+                    self._json(400, {"error": "n must be an int"})
+                    return
+                out = []
+                for t in sorted(toks):
+                    info = searcher.term_dict.get(t)
+                    out.append({
+                        "term": t,
+                        "df": int(info[0]) if info else 0,
+                        "suggestions": [
+                            {"term": s, "distance": d, "df": df}
+                            for s, d, df in searcher.suggest(t, n=n)
+                        ],
+                    })
+                self._json(200, {"query": q, "terms": out})
+                return
             if u.path != "/search":
                 self._json(404, {"error": "not found"})
                 return
@@ -248,6 +277,17 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                            else None)
                 return
             hits = searcher.search(q, k=k, mode=mode)
+            if (qs.get("explain") or ["0"])[0] not in ("0", "", "false"):
+                # ?explain=1 — Lucene explain parity: each hit carries
+                # its full per-term BM25 breakdown (one posting probe
+                # per (term, hit) against already-cached buckets)
+                self._page(q, k, mode, hits,
+                           extra={"explanations": [
+                               searcher.explain(q, d)
+                               for d, _s, _m in hits
+                           ]},
+                           snippet_q=q if want_snippets else None)
+                return
             self._page(q, k, mode, hits,
                        snippet_q=q if want_snippets else None)
 

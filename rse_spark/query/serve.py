@@ -948,6 +948,105 @@ class DirectSearcher:
             sel,
         )
 
+    def explain(self, qtext: str, doc_id: int) -> dict:
+        """Lucene ``IndexSearcher.explain`` parity: the full per-term
+        BM25 breakdown of one document's score for a query — for each
+        analyzed term its query tf, df, idf, the doc's tf and length,
+        the length norm, and the resulting contribution, plus the
+        corpus constants (n_docs, avgdl, k1, b) the formula closes
+        over. ``sum(contribution)`` over the matched terms IS the
+        score ``search()`` assigns the doc (the pytest asserts this
+        to 1e-9), so a served ranking is auditable term by term.
+
+        Work is one posting-list decode per query term (the same
+        bucket-cached rows the scorer reads) plus a searchsorted
+        probe for the doc — never a corpus scan."""
+        import numpy as np
+
+        from rse_spark.index.codec import B, K1, decode_postings
+
+        self._check_generation()
+        qtf = query_terms(qtext, self.analyzer)
+        terms = []
+        total = 0.0
+        matched = 0
+        for t in sorted(qtf):
+            info = self.term_dict.get(t)
+            detail = {
+                "term": t, "query_tf": int(qtf[t]),
+                "df": int(info[0]) if info else 0,
+                "idf": idf_fn(info[0], self.n_docs) if info else 0.0,
+                "tf": 0, "doc_len": None, "norm": None,
+                "contribution": 0.0, "matched": False,
+            }
+            if info:
+                for row in self._bucket_rows(info[1], t):
+                    ids, tfs, dls = decode_postings(bytes(row["payload"]))
+                    pos = int(np.searchsorted(ids, doc_id))
+                    if pos < len(ids) and ids[pos] == doc_id:
+                        tf = float(tfs[pos])
+                        dl = float(dls[pos])
+                        norm = 1.0 - B + B * dl / self.avgdl
+                        contrib = (
+                            qtf[t] * detail["idf"] * tf * (K1 + 1.0)
+                            / (tf + K1 * norm)
+                        )
+                        detail.update(
+                            tf=int(tf), doc_len=int(dl), norm=norm,
+                            contribution=contrib, matched=True,
+                        )
+                        total += contrib
+                        matched += 1
+                        break
+            terms.append(detail)
+        return {
+            "doc_id": int(doc_id), "score": total,
+            "n_terms_matched": matched, "n_docs": int(self.n_docs),
+            "avgdl": float(self.avgdl), "k1": K1, "b": B,
+            "terms": terms,
+        }
+
+    def suggest(self, word: str, max_edits: int = 2, n: int = 5):
+        """Did-you-mean (Lucene DirectSpellChecker shape): indexed
+        terms within ``max_edits`` classic Levenshtein edits of
+        ``word``, ranked by (distance asc, df desc, term asc) —
+        closest first, popular first — excluding the word itself.
+        Returns ``[(suggestion, distance, df), ...]``.
+
+        Unlike :meth:`expand_fuzzy` (a query REWRITE, capped
+        closest-(distance, term) like Lucene's rewrite limit), a
+        speller must surface the most ATTESTED near-miss, so df joins
+        the sort key. Candidates are length-banded before the bounded
+        DP; the lazy (huge-vocab) dictionary reuses its banded
+        filtered-read expansion with a wide interim cap. The
+        declarative twin is ``harness.q_spell_suggest`` (vocab x words
+        broadcast join, same ranking) with a DuckDB oracle."""
+        if not word:
+            return []
+        if max_edits < 1 or max_edits > 2:
+            raise ValueError(
+                f"suggest distance {max_edits} out of range (1..2)"
+            )
+        self._check_generation()
+        if isinstance(self.term_dict, _LazyTermDict):
+            cands = self.term_dict.expand_fuzzy(word, max_edits, 4096)
+        else:
+            wl = len(word)
+            cands = (
+                t for t in self.term_dict
+                if abs(len(t) - wl) <= max_edits
+            )
+        scored: list[tuple[int, int, str]] = []
+        for t in cands:
+            if t == word:
+                continue
+            d = _bounded_levenshtein(word, t, max_edits)
+            if d is None:
+                continue
+            scored.append((d, -int(self.term_dict.get(t)[0]), t))
+        scored.sort()
+        return [(t, d, -ndf) for d, ndf, t in scored[:n]]
+
     def phrase_search(self, phrase: str, corpus_path: str, k: int = 10,
                       content_col: str = "text", id_col: str = "doc_id",
                       key_col: str | None = None):

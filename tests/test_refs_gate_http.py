@@ -391,3 +391,44 @@ def test_http_more_like_this(http_index):
             assert ei.value.code == 400
     finally:
         srv.stop()
+
+
+def test_http_explain_and_suggest(http_index):
+    """?explain=1 attaches the per-term BM25 breakdown to each hit
+    (contributions summing to the hit score); /suggest serves
+    did-you-mean pages and 400s an empty query."""
+    from rse_spark.query.http import SearchServer
+
+    srv = SearchServer(http_index, analyzer="simple").start()
+    try:
+        with urllib.request.urlopen(
+            f"{srv.address}/search?q=spark+join&k=3&explain=1",
+            timeout=10,
+        ) as resp:
+            body = json.load(resp)
+        assert len(body["explanations"]) == len(body["results"]) == 3
+        for r, ex in zip(body["results"], body["explanations"]):
+            assert ex["doc_id"] == r["doc_id"]
+            total = sum(t["contribution"] for t in ex["terms"])
+            assert abs(total - r["score"]) < 1e-5  # score rounded 6dp
+            assert ex["n_terms_matched"] == r["n_terms_matched"]
+
+        with urllib.request.urlopen(
+            f"{srv.address}/suggest?q=sprak", timeout=10
+        ) as resp:
+            body = json.load(resp)
+        (row,) = body["terms"]
+        assert row["term"] == "sprak" and row["df"] == 0
+        subs = row["suggestions"]
+        assert subs == [
+            {"term": s, "distance": d, "df": df}
+            for s, d, df in srv.searcher.suggest("sprak")
+        ]
+        assert any(s["term"] == "spark" for s in subs)
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{srv.address}/suggest?q=",
+                                   timeout=10)
+        assert ei.value.code == 400
+    finally:
+        srv.stop()

@@ -196,3 +196,77 @@ def test_more_like_this_unknown_doc(root):
     searcher = DirectSearcher(root, analyzer="code")
     with pytest.raises(ValueError, match="unknown doc_id"):
         searcher.more_like_this(10**9)
+
+
+def test_explain_matches_search_scores(root):
+    """explain()'s per-term contributions sum to exactly the score
+    search() assigns the doc, and its matched-term count equals the
+    hit's n_terms_matched."""
+    searcher = DirectSearcher(root, analyzer="code")
+    q = "parse index merge"
+    hits = searcher.search(q, k=10)
+    assert hits
+    for d, s, m in hits:
+        ex = searcher.explain(q, d)
+        assert ex["doc_id"] == d
+        assert abs(ex["score"] - s) < 1e-9
+        assert ex["n_terms_matched"] == m
+        total = sum(t["contribution"] for t in ex["terms"])
+        assert abs(total - s) < 1e-9
+        for t in ex["terms"]:
+            if t["matched"]:
+                assert t["tf"] >= 1 and t["doc_len"] >= 1
+                assert t["contribution"] > 0
+            else:
+                assert t["contribution"] == 0.0
+
+    # a doc matching nothing explains to zero
+    ex0 = searcher.explain("zzzmissingterm", hits[0][0])
+    assert ex0["score"] == 0.0 and ex0["n_terms_matched"] == 0
+
+
+def test_suggest_ranking(root):
+    """suggest() returns near-miss vocab terms ranked (distance asc,
+    df desc, term asc), never the word itself — checked against a
+    pure-python recount over the enriched table."""
+    import math  # noqa: F401 — parallel with the MLT test imports
+    import os
+
+    import pyarrow.dataset as pads
+
+    searcher = DirectSearcher(root, analyzer="code")
+    tbl = pads.dataset(os.path.join(root, "enriched")).to_table(
+        columns=["tf_terms"]
+    )
+    df: dict[str, int] = {}
+    for ts in tbl["tf_terms"].to_pylist():
+        for t in ts:
+            df[t] = df.get(t, 0) + 1
+    # probe: a real vocab term with its 2nd character dropped
+    base = sorted(t for t in df if len(t) >= 5 and t.isalpha())[0]
+    probe = base[0] + base[2:]
+
+    got = searcher.suggest(probe, n=5)
+    assert got, (probe, base)
+
+    def dist(a, b):
+        # classic Levenshtein, small inputs
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    expected = sorted(
+        (dist(probe, t), -n, t)
+        for t, n in df.items()
+        if t != probe and dist(probe, t) <= 2
+    )[:5]
+    assert got == [(t, d, -nd) for d, nd, t in expected]
+    assert all(s != probe for s, _d, _df in got)
+
+    with pytest.raises(ValueError):
+        searcher.suggest("word", max_edits=3)
