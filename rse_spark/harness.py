@@ -384,6 +384,72 @@ SUGGEST_WORDS = ["srot", "lne", "kay"]  # did-you-mean probes
 SUGGEST_MAX_EDITS = 2
 SUGGEST_N = 5
 
+# synonym groups: each inner list scores as ONE pseudo-term
+SYN_GROUPS = [["join", "merge"], ["table"], ["fast", "quick"]]
+
+
+def q_synonym_bm25(spark, sf_dir):
+    """Lucene ``SynonymQuery`` semantics: each synonym group scores as
+    ONE pseudo-term — per doc its tf is the SUM of the member tfs and
+    its df is the MAX member df (blended idf), so "join|merge" can't
+    out-score a plain term just by having two surface forms. Top-10 by
+    summed group contributions, ties by doc_id; ``n_groups_matched``
+    counts groups (not member terms) present in the doc.
+
+    Shape mirrors ``_bm25``: the tiny term->group map and the per-group
+    blended df broadcast; the only large shuffles are the tf/dl
+    aggregations every BM25 variant shares. The serving twin is
+    ``DirectSearcher.search_synonym_groups`` (same blend, replica-side,
+    one vectorized pass)."""
+    toks = _toks(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    gmap = spark.createDataFrame(
+        [(t, gi) for gi, g in enumerate(SYN_GROUPS) for t in g],
+        ["term", "grp"],
+    )
+    qtf = tf.join(F.broadcast(gmap), "term")
+    # member df is corpus-wide (all rows of that term survive the
+    # group-map join); the group's blended df is the max member df
+    gdf = (
+        qtf.groupBy("grp", "term").agg(F.count("*").alias("_df"))
+        .groupBy("grp").agg(F.max("_df").alias("df"))
+    )
+    gtf = qtf.groupBy("doc_id", "grp").agg(F.sum("tf").alias("tf"))
+    scored = (
+        gtf.join(F.broadcast(gdf), "grp")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0
+            )
+            * F.col("tf") * (K1 + 1.0)
+            / (
+                F.col("tf")
+                + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("contrib").alias("s"),
+            F.count("*").cast("int").alias("n_groups_matched"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("s"), F.asc("doc_id")).limit(10)
+        .select(
+            "doc_id",
+            F.round("s", 6).alias("score"),
+            "n_groups_matched",
+        )
+    )
+
 
 def q_spell_suggest(spark, sf_dir):
     """Did-you-mean / spell suggestion (Lucene DirectSpellChecker
@@ -1680,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boost_bm25": q_boost_bm25,
         "collapse_bm25": q_collapse_bm25,
         "mlt_bm25": q_mlt_bm25,
+        "synonym_bm25": q_synonym_bm25,
         "spell_suggest": q_spell_suggest,
         "prefix_wand": q_prefix_wand,
         "facet_counts": q_facet_counts,
@@ -2404,6 +2471,43 @@ def oracle_sql() -> dict[str, str]:
         "boost_bm25": _bm25_sql("or", boosts=BOOST_Q),
         "collapse_bm25": _bm25_sql("or", collapse="lang"),
         "mlt_bm25": _bm25_sql("or", mlt_doc=MLT_DOC),
+        "synonym_bm25": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            tf AS (SELECT doc_id, term, count(*)::bigint AS tf
+                   FROM toks GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*)::bigint AS dl
+                   FROM toks GROUP BY doc_id),
+            stats AS (SELECT count(*)::bigint AS n_docs, avg(dl) AS avgdl
+                      FROM dl),
+            gmap(term, grp) AS (VALUES {", ".join(
+                f"('{t}', {gi})"
+                for gi, g in enumerate(SYN_GROUPS) for t in g
+            )}),
+            qtf AS (SELECT tf.doc_id, tf.term, tf.tf, gmap.grp
+                    FROM tf JOIN gmap USING(term)),
+            gdf AS (
+              SELECT grp, max(_df)::bigint AS df FROM (
+                SELECT grp, term, count(*)::bigint AS _df
+                FROM qtf GROUP BY grp, term
+              ) GROUP BY grp
+            ),
+            gtf AS (SELECT doc_id, grp, sum(tf)::bigint AS tf
+                    FROM qtf GROUP BY doc_id, grp),
+            scored AS (
+              SELECT gtf.doc_id,
+                     sum( ln((stats.n_docs - gdf.df + 0.5)
+                             / (gdf.df + 0.5) + 1.0)
+                          * gtf.tf * {K1 + 1.0}
+                          / (gtf.tf + {K1}*(1.0 - {B}
+                             + {B}*dl.dl/stats.avgdl)) ) AS s,
+                     count(*)::int AS n_groups_matched
+              FROM gtf JOIN gdf USING(grp) JOIN dl USING(doc_id)
+              CROSS JOIN stats
+              GROUP BY gtf.doc_id
+            )
+            SELECT doc_id, round(s, 6) AS score, n_groups_matched
+            FROM scored ORDER BY s DESC, doc_id ASC LIMIT 10
+        """,
         "spell_suggest": f"""
             WITH toks AS ({_TOKS_SQL}),
             tf AS (SELECT doc_id, term FROM toks GROUP BY doc_id, term),

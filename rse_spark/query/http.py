@@ -121,14 +121,15 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
             ql = (qs.get("ql") or [""])[0]
             near = (qs.get("near") or [""])[0]
             mlt = (qs.get("mlt") or [""])[0]
-            given = [p for p in (q, phrase, prefix, ql, near, mlt)
+            syn = (qs.get("syn") or [""])[0]
+            given = [p for p in (q, phrase, prefix, ql, near, mlt, syn)
                      if p.strip()]
             if len(given) != 1:
                 # GSE: empty query -> http.Error 400 (main.go:210-214);
                 # exactly one selector must be present
                 self._json(400, {
                     "error": "exactly one of q, phrase, prefix, ql, "
-                             "near, mlt required"
+                             "near, mlt, syn required"
                 })
                 return
             try:
@@ -241,6 +242,36 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                         for d, n in hits
                     ],
                 })
+                return
+            if syn.strip():
+                # ?syn=join|merge,table — Lucene SynonymQuery: comma-
+                # separated groups, |-separated surface forms; each
+                # group scores as one blended pseudo-term. Members are
+                # analyzed, so stemming variants land on index terms.
+                from rse_spark.query.engine import query_terms
+
+                groups = []
+                for gtxt in syn.split(","):
+                    terms = sorted({
+                        t
+                        for part in gtxt.split("|")
+                        for t in query_terms(part, searcher.analyzer)
+                    })
+                    if terms:
+                        groups.append(terms)
+                if not groups:
+                    self._json(400, {
+                        "error": "syn has no indexable terms"
+                    })
+                    return
+                hits = searcher.search_synonym_groups(
+                    groups, k=k, mode=mode
+                )
+                self._page(syn, k, mode, hits,
+                           extra={"groups": groups},
+                           snippet_q=" ".join(
+                               t for g in groups for t in g
+                           ) if want_snippets else None)
                 return
             if mlt.strip():
                 # ?mlt=<doc_id> — Lucene MoreLikeThis: docs similar

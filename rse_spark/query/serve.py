@@ -948,6 +948,90 @@ class DirectSearcher:
             sel,
         )
 
+    def search_synonym_groups(self, groups: "list[list[str]]",
+                              k: int = 10, mode: str = "or"):
+        """Lucene ``SynonymQuery``: each group of PRE-ANALYZED terms
+        scores as ONE pseudo-term — per doc its tf is the SUM of the
+        member tfs, its df the MAX member df (blended idf) — so a
+        concept with several surface forms can't out-score a plain
+        term by being counted twice. Returns
+        ``[(doc_id, score, n_groups_matched)]``; ``mode='and'``
+        requires every group present (a group with no indexed member
+        then matches nothing, like a required term absent from the
+        index). Declarative twin: ``harness.q_synonym_bm25`` (DuckDB
+        oracle); the pytest asserts parity against an independent
+        recount.
+
+        One vectorized pass, same cost shape as the numpy scorer:
+        member lists concatenate per group, a bincount blends tfs,
+        a second bincount sums group contributions."""
+        import numpy as np
+
+        from rse_spark.index.codec import B, K1, decode_postings
+
+        self._check_generation()
+        doc_chunks, score_chunks = [], []
+        for g in groups:
+            infos = [
+                (t, self.term_dict.get(t)) for t in sorted(set(g))
+            ]
+            infos = [(t, i) for t, i in infos if i]
+            if not infos:
+                continue
+            idf = idf_fn(max(i[0] for _t, i in infos), self.n_docs)
+            g_docs, g_tfs, g_dls = [], [], []
+            for t, info in infos:
+                for row in self._bucket_rows(info[1], t):
+                    ids, tfs, dls = decode_postings(
+                        bytes(row["payload"])
+                    )
+                    g_docs.append(ids)
+                    g_tfs.append(tfs)
+                    g_dls.append(dls)
+            if not g_docs:
+                continue
+            docs = np.concatenate(g_docs)
+            tfs = np.concatenate(g_tfs).astype(np.float64)
+            dls = np.concatenate(g_dls).astype(np.float64)
+            uniq, inv = np.unique(docs, return_inverse=True)
+            tf_sum = np.bincount(inv, weights=tfs)
+            # every posting of a doc carries the same doc_len; any
+            # member's value stands for the blended pseudo-term's
+            dl_doc = np.zeros(len(uniq))
+            dl_doc[inv] = dls
+            contrib = idf * tf_sum * (K1 + 1.0) / (
+                tf_sum + K1 * (1.0 - B + B * dl_doc / self.avgdl)
+            )
+            doc_chunks.append(uniq)
+            score_chunks.append(contrib)
+        if not doc_chunks:
+            return []
+        docs = np.concatenate(doc_chunks)
+        scores = np.concatenate(score_chunks)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        agg = np.bincount(inv, weights=scores)
+        matched = np.bincount(inv).astype(np.int64)
+        if mode == "and":
+            keep = matched == len(groups)
+            uniq, agg, matched = uniq[keep], agg[keep], matched[keep]
+            if not len(uniq):
+                return []
+        if len(uniq) > k:
+            # all docs scoring >= the k-th best (ties included, so the
+            # doc_id tie-break below stays exact — same pattern as
+            # _search_numpy)
+            kth = np.partition(agg, len(agg) - k)[len(agg) - k]
+            cand = np.nonzero(agg >= kth)[0]
+        else:
+            cand = np.arange(len(uniq))
+        order = sorted(
+            cand.tolist(), key=lambda i: (-agg[i], uniq[i])
+        )[:k]
+        return [
+            (int(uniq[i]), float(agg[i]), int(matched[i]))
+            for i in order
+        ]
+
     def explain(self, qtext: str, doc_id: int) -> dict:
         """Lucene ``IndexSearcher.explain`` parity: the full per-term
         BM25 breakdown of one document's score for a query — for each

@@ -432,3 +432,33 @@ def test_http_explain_and_suggest(http_index):
         assert ei.value.code == 400
     finally:
         srv.stop()
+
+
+def test_http_synonym_query(http_index):
+    """?syn=a|b,c serves SynonymQuery pages: blended groups echoed
+    back, results identical to the serving-tier call."""
+    from rse_spark.query.http import SearchServer
+
+    srv = SearchServer(http_index, analyzer="simple").start()
+    try:
+        with urllib.request.urlopen(
+            f"{srv.address}/search?syn=join%7Cmerge,table&k=5",
+            timeout=10,
+        ) as resp:
+            body = json.load(resp)
+        assert body["groups"] == [["join", "merge"], ["table"]]
+        hits = srv.searcher.search_synonym_groups(
+            [["join", "merge"], ["table"]], k=5
+        )
+        assert [(r["doc_id"], r["n_terms_matched"])
+                for r in body["results"]] == [
+            (d, m) for d, _s, m in hits
+        ]
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                f"{srv.address}/search?syn=%7C,", timeout=10
+            )
+        assert ei.value.code == 400
+    finally:
+        srv.stop()

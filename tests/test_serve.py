@@ -270,3 +270,79 @@ def test_suggest_ranking(root):
 
     with pytest.raises(ValueError):
         searcher.suggest("word", max_edits=3)
+
+
+def test_synonym_groups_blended_scoring(root):
+    """search_synonym_groups applies SynonymQuery blending — per doc
+    tf summed across the group, df = max member df — verified against
+    an independent pure-python recount over the enriched table; and a
+    singleton-group query equals the plain term search."""
+    import math
+    import os
+
+    import pyarrow.dataset as pads
+
+    searcher = DirectSearcher(root, analyzer="code")
+    tbl = pads.dataset(os.path.join(root, "enriched")).to_table(
+        columns=["doc_id", "tf_terms", "tf_counts", "doc_len"]
+    )
+    docs = {
+        int(d): (dict(zip(ts, cs)), int(dl))
+        for d, ts, cs, dl in zip(
+            tbl["doc_id"].to_pylist(), tbl["tf_terms"].to_pylist(),
+            tbl["tf_counts"].to_pylist(), tbl["doc_len"].to_pylist(),
+        )
+    }
+    n_docs = len(docs)
+    avgdl = sum(dl for _t, dl in docs.values()) / n_docs
+    vocab_df: dict[str, int] = {}
+    for tfs, _dl in docs.values():
+        for t in tfs:
+            vocab_df[t] = vocab_df.get(t, 0) + 1
+    # two attested terms + one absent form one group; a third term
+    # alone forms another
+    attested = sorted(t for t, n in vocab_df.items() if n >= 5)
+    groups = [[attested[0], attested[1], "zzzmissing"], [attested[2]]]
+
+    got = searcher.search_synonym_groups(groups, k=10)
+
+    K1, B = 1.2, 0.75
+    scored = []
+    for d, (tfs, dl) in docs.items():
+        s, m = 0.0, 0
+        for g in groups:
+            tf = sum(tfs.get(t, 0) for t in g)
+            if tf == 0:
+                continue
+            df = max(vocab_df.get(t, 0) for t in g)
+            idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+            s += idf * tf * (K1 + 1) / (
+                tf + K1 * (1 - B + B * dl / avgdl)
+            )
+            m += 1
+        if m:
+            scored.append((-s, d, m))
+    scored.sort()
+    want = [(d, -ns, m) for ns, d, m in scored[:10]]
+    assert [(d, m) for d, _s, m in got] == [(d, m) for d, _s, m in want]
+    for (d1, s1, _), (d2, s2, _) in zip(got, want):
+        assert abs(s1 - s2) < 1e-9
+
+    # singleton groups degrade to the plain multi-term search
+    single = searcher.search_synonym_groups(
+        [[attested[0]], [attested[2]]], k=10
+    )
+    plain = searcher.search_terms([attested[0], attested[2]], k=10)
+    assert [(d, m) for d, _s, m in single] == [
+        (d, m) for d, _s, m in plain
+    ]
+    for (d1, s1, _), (d2, s2, _) in zip(single, plain):
+        assert abs(s1 - s2) < 1e-9
+
+    # and-mode: every group must be present
+    both = searcher.search_synonym_groups(groups, k=50, mode="and")
+    assert both and all(m == 2 for _d, _s, m in both)
+    # an unmatchable required group empties the result
+    assert searcher.search_synonym_groups(
+        [groups[0], ["zzzonlymissing"]], k=10, mode="and"
+    ) == []
