@@ -181,6 +181,43 @@ def main() -> None:
         pplat.sort()
         phrase_pos_p50 = pplat[len(pplat) // 2] if pplat else 0.0
 
+        # ---- round-6 serving surfaces: MoreLikeThis (term-vector
+        # fetch + selection + one scoring pass), SynonymQuery (blended
+        # groups), did-you-mean (length-banded vocab DP). Each should
+        # track single-search latency, not multiples of it.
+        mlat: list[float] = []
+        for doc in (1, 7, 42, 99, 123, 500, 777, 1024):
+            t0 = time.time()
+            try:
+                searcher.more_like_this(doc, k=10)
+            except ValueError:
+                continue  # doc id beyond this sf's corpus
+            mlat.append(time.time() - t0)
+        mlat.sort()
+        mlt_p50 = mlat[len(mlat) // 2] if mlat else 0.0
+
+        slat: list[float] = []
+        for q in qset.itertuples():
+            toks = q.query_text.split()
+            if len(toks) < 2:
+                continue
+            groups = [toks[:2], toks[2:3] or toks[:1]]
+            t0 = time.time()
+            searcher.search_synonym_groups(groups, k=10)
+            slat.append(time.time() - t0)
+        slat.sort()
+        syn_p50 = slat[len(slat) // 2] if slat else 0.0
+
+        glat: list[float] = []
+        for q in qset.itertuples():
+            w = q.query_text.split()[0]
+            probe = (w[0] + w[2:]) if len(w) > 3 else w + "x"
+            t0 = time.time()
+            searcher.suggest(probe, n=5)
+            glat.append(time.time() - t0)
+        glat.sort()
+        suggest_p50 = glat[len(glat) // 2] if glat else 0.0
+
         # ---- batch phrase execution: a SET of phrases resolved from
         # the positional sidecar in ONE Spark job (the cluster-serving
         # shape; per-phrase jobs pay Spark's ~1s fixed cost each)
@@ -291,6 +328,9 @@ def main() -> None:
                 "serve_cold_p95_ms": round(1000 * c95, 2),
                 "serve_prefix_p50_ms": round(1000 * p50_prefix, 2),
                 "serve_ql_p50_ms": round(1000 * ql_p50, 2),
+                "serve_mlt_p50_ms": round(1000 * mlt_p50, 2),
+                "serve_syn_p50_ms": round(1000 * syn_p50, 2),
+                "serve_suggest_p50_ms": round(1000 * suggest_p50, 2),
                 "serve_phrase_pos_p50_ms": round(
                     1000 * phrase_pos_p50, 2
                 ),

@@ -319,6 +319,10 @@ class DirectSearcher:
         # memoized metadata presence sets for qlang filter atoms
         # (lang:python etc.); cleared on writer commits
         self._meta_docs_cache: dict[tuple[str, str], object] = {}
+        # per-file doc-id [min, max] of the enriched table (segments
+        # partition the id space, so a point lookup touches ONE file);
+        # built on first more_like_this, dropped on writer commits
+        self._enriched_ranges_cache: "list | None" = None
         import threading
 
         # the HTTP endpoint serves one searcher from many threads.
@@ -403,6 +407,7 @@ class DirectSearcher:
             self._pos_keys.clear()
             self._pos_keys_bytes = 0
             self._meta_docs_cache.clear()
+            self._enriched_ranges_cache = None
             self._gen_sig = pre
 
     @property
@@ -894,6 +899,52 @@ class DirectSearcher:
                 out[int(did)] = v
         return out
 
+    def _enriched_files_for(self, doc_id: int) -> "list[str]":
+        """Enriched-table files whose doc-id [min, max] (parquet footer
+        stats, read ONCE per index generation) cover ``doc_id``.
+        Segments partition the id space, so this is normally exactly
+        one file — a point lookup opens 1 footer instead of all of
+        them (the whole-directory scan dominated more_like_this
+        latency: 48 footer opens ≈ 19 ms at sf0.01)."""
+        ranges = self._enriched_ranges_cache
+        if ranges is None:
+            path = os.path.join(self.root, "enriched")
+            files = sorted(
+                glob.glob(os.path.join(path, "**", "*.parquet"),
+                          recursive=True)
+            )
+            if not files:
+                raise FileNotFoundError(
+                    f"no parquet files under {path!r}"
+                )
+            ranges = []
+            for f in files:
+                md = pq.ParquetFile(f).metadata
+                names = [
+                    md.schema.column(i).name
+                    for i in range(md.num_columns)
+                ]
+                try:
+                    ci = names.index("doc_id")
+                except ValueError:
+                    continue
+                lo = hi = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        lo, hi = None, None
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                # a file without usable stats must always be probed
+                ranges.append((f, lo, hi))
+            with self._meta_lock:
+                self._enriched_ranges_cache = ranges
+        return [
+            f for f, lo, hi in ranges
+            if lo is None or lo <= doc_id <= hi
+        ]
+
     def more_like_this(self, doc_id: int, k: int = 10,
                        max_terms: int = 10, min_tf: int = 1):
         """Lucene MoreLikeThis: rank documents similar to ``doc_id``
@@ -916,10 +967,16 @@ class DirectSearcher:
         self._check_generation()
         enriched = os.path.join(self.root, "enriched")
         try:
-            tbl, _stats = read_ids_pruned(
-                enriched, [int(doc_id)],
-                ["doc_id", "tf_terms", "tf_counts"], "doc_id",
-            )
+            tbl = None
+            for path in self._enriched_files_for(int(doc_id)):
+                tbl, _stats = read_ids_pruned(
+                    path, [int(doc_id)],
+                    ["doc_id", "tf_terms", "tf_counts"], "doc_id",
+                )
+                if tbl.num_rows:
+                    break
+            if tbl is None:  # id outside every file's range
+                tbl = pa.table({"doc_id": pa.array([], pa.int64())})
         except (KeyError, pa.ArrowInvalid) as e:
             raise ValueError(
                 "more_like_this needs stored term vectors (array-"
