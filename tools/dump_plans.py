@@ -177,6 +177,43 @@ def main() -> None:
         + cap_explain(harness.q_meta_bm25(spark, sf_dir)),
     ))
 
+    # 15. SynonymQuery — group-blended scoring: the tiny term->group
+    # map and the per-group blended df must broadcast; the only big
+    # shuffles are the tf/dl aggregations every BM25 variant shares
+    sections.append((
+        "synonym_bm25 (SynonymQuery group blending)",
+        "Expect: BroadcastHashJoin of the token stream against the "
+        "term->group VALUES relation and against the per-group "
+        "blended-df aggregate (both a handful of rows); "
+        "partial+final hash aggregates for group tf; "
+        "TakeOrderedAndProject(10). No extra corpus scans beyond "
+        "the shared tf/dl passes.\n\n"
+        + cap_explain(harness.q_synonym_bm25(spark, sf_dir)),
+    ))
+
+    # 16. spell suggestion — vocab x probes: length band BEFORE the
+    # Levenshtein, probes broadcast, final window over a tiny set
+    sections.append((
+        "spell_suggest (did-you-mean over the term dictionary)",
+        "Expect: the distinct-term aggregate (|vocab| rows) "
+        "BroadcastHashJoin'd with the 3-row probe table, the length "
+        "band as a cheap filter ahead of the levenshtein() "
+        "projection, and a per-word window over the few surviving "
+        "candidates — never a corpus-sized shuffle.\n\n"
+        + cap_explain(harness.q_spell_suggest(spark, sf_dir)),
+    ))
+
+    # 17. MoreLikeThis — the 10-term selection is a tiny broadcast
+    # back into the standard BM25 chain
+    sections.append((
+        "mlt_bm25 (MoreLikeThis term selection + BM25)",
+        "Expect: the source doc's rows filtered out of the tf "
+        "aggregate, joined with the corpus-wide df aggregate, "
+        "top-10 by tf x idf via TakeOrderedAndProject, then "
+        "broadcast back into the same scoring plan bm25_topk uses.\n\n"
+        + cap_explain(harness.q_mlt_bm25(spark, sf_dir)),
+    ))
+
     out = ["# PLANS — physical plans of the key paths\n"]
     out.append(
         "Generated by tools/dump_plans.py (`df.explain('formatted')`).\n"
