@@ -387,6 +387,66 @@ SUGGEST_N = 5
 # synonym groups: each inner list scores as ONE pseudo-term
 SYN_GROUPS = [["join", "merge"], ["table"], ["fast", "quick"]]
 
+SIG_QUERY_TERM = "spark"  # significant-terms foreground selector
+SIG_TOP = 15
+
+
+def q_sig_terms(spark, sf_dir):
+    """Significant terms (Elasticsearch ``significant_terms``, JLH
+    heuristic): terms overrepresented in the docs matching a query
+    relative to the whole corpus — ``(fg_rate - bg_rate) *
+    fg_rate/bg_rate`` where fg_rate is the term's doc frequency inside
+    the matched set and bg_rate corpus-wide. The query term itself is
+    excluded (it trivially tops the list). Top ``SIG_TOP`` by (score
+    desc, term asc).
+
+    Scale shape: both frequency tables are VOCAB-bounded aggregates
+    (never doc x doc); the foreground restriction is a semi-join on
+    the matched doc-id set; the final ranking sorts |vocab| rows via
+    TakeOrderedAndProject. The serving twin is
+    ``DirectSearcher.significant_terms`` (sampled foreground,
+    replica-side)."""
+    tf = _tf(spark, sf_dir)
+    fg_docs = tf.filter(
+        F.col("term") == SIG_QUERY_TERM
+    ).select("doc_id")
+    bg = tf.groupBy("term").agg(F.count("*").alias("bg_df"))
+    fg = (
+        tf.join(fg_docs, "doc_id", "left_semi")
+        .groupBy("term").agg(F.count("*").alias("fg_df"))
+    )
+    # single DAG, no driver-side counts: both corpus-size scalars ride
+    # along as broadcast 1-row cross joins (same pattern as _bm25)
+    stats = (
+        tf.select("doc_id").distinct()
+        .agg(F.count("*").cast("double").alias("n_docs"))
+        .crossJoin(
+            fg_docs.agg(F.count("*").cast("double").alias("n_fg"))
+        )
+    )
+    return (
+        fg.join(bg, "term")
+        .filter(F.col("term") != SIG_QUERY_TERM)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_s",
+            (
+                F.col("fg_df") / F.col("n_fg")
+                - F.col("bg_df") / F.col("n_docs")
+            )
+            * (F.col("fg_df") / F.col("n_fg"))
+            / (F.col("bg_df") / F.col("n_docs")),
+        )
+        .orderBy(F.desc("_s"), F.asc("term"))
+        .limit(SIG_TOP)
+        .select(
+            "term",
+            F.col("fg_df").cast("bigint").alias("fg_df"),
+            F.col("bg_df").cast("bigint").alias("bg_df"),
+            F.round("_s", 6).alias("score"),
+        )
+    )
+
 
 def q_synonym_bm25(spark, sf_dir):
     """Lucene ``SynonymQuery`` semantics: each synonym group scores as
@@ -1748,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_bm25": q_mlt_bm25,
         "synonym_bm25": q_synonym_bm25,
         "spell_suggest": q_spell_suggest,
+        "sig_terms": q_sig_terms,
         "prefix_wand": q_prefix_wand,
         "facet_counts": q_facet_counts,
         "rep_ratio": q_rep_ratio,
@@ -2507,6 +2568,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, round(s, 6) AS score, n_groups_matched
             FROM scored ORDER BY s DESC, doc_id ASC LIMIT 10
+        """,
+        "sig_terms": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            tf AS (SELECT doc_id, term, count(*)::bigint AS tf
+                   FROM toks GROUP BY doc_id, term),
+            fg_docs AS (SELECT doc_id FROM tf
+                        WHERE term = '{SIG_QUERY_TERM}'),
+            bg AS (SELECT term, count(*)::bigint AS bg_df
+                   FROM tf GROUP BY term),
+            fg AS (SELECT term, count(*)::bigint AS fg_df FROM tf
+                   WHERE doc_id IN (SELECT doc_id FROM fg_docs)
+                   GROUP BY term),
+            stats AS (
+              SELECT (SELECT count(DISTINCT doc_id) FROM tf)::double
+                       AS n_docs,
+                     (SELECT count(*) FROM fg_docs)::double AS n_fg
+            )
+            SELECT term, fg_df, bg_df, round(s, 6) AS score FROM (
+              SELECT fg.term, fg.fg_df, bg.bg_df,
+                     (fg.fg_df/stats.n_fg - bg.bg_df/stats.n_docs)
+                       * (fg.fg_df/stats.n_fg)
+                       / (bg.bg_df/stats.n_docs) AS s
+              FROM fg JOIN bg USING(term) CROSS JOIN stats
+              WHERE term != '{SIG_QUERY_TERM}'
+            ) ORDER BY s DESC, term ASC LIMIT {SIG_TOP}
         """,
         "spell_suggest": f"""
             WITH toks AS ({_TOKS_SQL}),

@@ -111,6 +111,36 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                     })
                 self._json(200, {"query": q, "terms": out})
                 return
+            if u.path == "/sigterms":
+                # significant terms of the query's match set (ES
+                # significant_terms, JLH) — an analytics page, not a
+                # ranking page
+                qs = parse_qs(u.query)
+                q = (qs.get("q") or [""])[0]
+                if not q.strip():
+                    self._json(400, {"error": "q required"})
+                    return
+                try:
+                    top = int((qs.get("top") or ["15"])[0])
+                except ValueError:
+                    self._json(400, {"error": "top must be an int"})
+                    return
+                try:
+                    rows = searcher.significant_terms(q, top=top)
+                except ValueError as e:
+                    self._json(400, {"error": str(e)})
+                    return
+                self._json(200, {
+                    "query": q,
+                    "terms": [
+                        {
+                            "term": t, "fg_df": f, "bg_df": bg,
+                            "score": round(s, 6),
+                        }
+                        for t, f, bg, s in rows
+                    ],
+                })
+                return
             if u.path != "/search":
                 self._json(404, {"error": "not found"})
                 return

@@ -1089,6 +1089,60 @@ class DirectSearcher:
             for i in order
         ]
 
+    def significant_terms(self, qtext: str, top: int = 15,
+                          max_docs: int = 10_000):
+        """Elasticsearch ``significant_terms`` (JLH heuristic): terms
+        overrepresented in the docs matching ``qtext`` relative to the
+        corpus — ``(fg_rate - bg_rate) * fg_rate/bg_rate``, the query's
+        own terms excluded. Returns ``[(term, fg_df, bg_df, score)]``,
+        top by (score desc, term asc).
+
+        Foreground = OR-presence over the analyzed query terms
+        (posting doc-id arrays, no scoring); its term statistics come
+        from the STORED term vectors of the matched docs — a
+        row-group-pruned enriched read bounded by ``max_docs``
+        (deterministic lowest-id sample, the replica-side analogue of
+        ES's per-shard sampling; fg rates are computed over the
+        sample). Background df is the term dictionary — no second
+        corpus pass. The declarative twin ``harness.q_sig_terms``
+        (DuckDB-oracled) computes the unsampled corpus-wide answer."""
+        import numpy as np
+
+        self._check_generation()
+        qtf = query_terms(qtext, self.analyzer)
+        if not qtf:
+            return []
+        arrs = [self.term_docs(t) for t in qtf]
+        arrs = [a for a in arrs if len(a)]
+        if not arrs:
+            return []
+        fg_ids = np.unique(np.concatenate(arrs))[:max_docs]
+        n_fg = len(fg_ids)
+        enriched = os.path.join(self.root, "enriched")
+        tbl, _stats = read_ids_pruned(
+            enriched, [int(d) for d in fg_ids],
+            ["doc_id", "tf_terms"], "doc_id",
+        )
+        fg_df: dict[str, int] = {}
+        for ts in tbl["tf_terms"].to_pylist():
+            for t in ts:
+                fg_df[t] = fg_df.get(t, 0) + 1
+        scored = []
+        for t, f in fg_df.items():
+            if t in qtf:
+                continue
+            info = self.term_dict.get(t)
+            if not info:
+                continue
+            fg_rate = f / n_fg
+            bg_rate = info[0] / self.n_docs
+            s = (fg_rate - bg_rate) * fg_rate / bg_rate
+            scored.append((-s, t, f, int(info[0])))
+        scored.sort()
+        return [
+            (t, f, bg, -ns) for ns, t, f, bg in scored[:top]
+        ]
+
     def explain(self, qtext: str, doc_id: int) -> dict:
         """Lucene ``IndexSearcher.explain`` parity: the full per-term
         BM25 breakdown of one document's score for a query — for each

@@ -462,3 +462,29 @@ def test_http_synonym_query(http_index):
         assert ei.value.code == 400
     finally:
         srv.stop()
+
+
+def test_http_sigterms(http_index):
+    """/sigterms serves the significant-terms analytics page; empty
+    query is a 400."""
+    from rse_spark.query.http import SearchServer
+
+    srv = SearchServer(http_index, analyzer="simple").start()
+    try:
+        with urllib.request.urlopen(
+            f"{srv.address}/sigterms?q=spark&top=5", timeout=10
+        ) as resp:
+            body = json.load(resp)
+        rows = srv.searcher.significant_terms("spark", top=5)
+        assert body["terms"] == [
+            {"term": t, "fg_df": f, "bg_df": b, "score": round(s, 6)}
+            for t, f, b, s in rows
+        ]
+        assert len(body["terms"]) == 5
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{srv.address}/sigterms?q=",
+                                   timeout=10)
+        assert ei.value.code == 400
+    finally:
+        srv.stop()

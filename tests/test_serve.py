@@ -346,3 +346,60 @@ def test_synonym_groups_blended_scoring(root):
     assert searcher.search_synonym_groups(
         [groups[0], ["zzzonlymissing"]], k=10, mode="and"
     ) == []
+
+
+def test_significant_terms_jlh(root):
+    """significant_terms scores (fg_rate - bg_rate) * fg_rate/bg_rate
+    over the query's match set, excluding the query terms — verified
+    against a pure-python recount over the enriched table."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    searcher = DirectSearcher(root, analyzer="code")
+    from rse_spark.query.engine import query_terms
+
+    q = "parse"
+    qterms = set(query_terms(q, searcher.analyzer))
+    got = searcher.significant_terms(q, top=10)
+    assert got
+
+    tbl = pads.dataset(os.path.join(root, "enriched")).to_table(
+        columns=["doc_id", "tf_terms"]
+    )
+    docs = {
+        int(d): set(ts)
+        for d, ts in zip(tbl["doc_id"].to_pylist(),
+                         tbl["tf_terms"].to_pylist())
+    }
+    n_docs = len(docs)
+    bg: dict[str, int] = {}
+    for ts in docs.values():
+        for t in ts:
+            bg[t] = bg.get(t, 0) + 1
+    fg_docs = [d for d, ts in docs.items() if qterms & ts]
+    n_fg = len(fg_docs)
+    fg: dict[str, int] = {}
+    for d in fg_docs:
+        for t in docs[d]:
+            fg[t] = fg.get(t, 0) + 1
+    scored = sorted(
+        (
+            -((f / n_fg - bg[t] / n_docs) * (f / n_fg)
+              / (bg[t] / n_docs)),
+            t, f, bg[t],
+        )
+        for t, f in fg.items() if t not in qterms
+    )
+    want = [(t, f, b, -ns) for ns, t, f, b in scored[:10]]
+    assert [(t, f, b) for t, f, b, _s in got] == [
+        (t, f, b) for t, f, b, _s in want
+    ]
+    for (_t1, _f1, _b1, s1), (_t2, _f2, _b2, s2) in zip(got, want):
+        assert abs(s1 - s2) < 1e-9
+
+    # sampling cap: a 1-doc foreground still answers deterministically
+    capped = searcher.significant_terms(q, top=5, max_docs=1)
+    assert len(capped) <= 5 and all(f <= 1 for _t, f, _b, _s in capped)
+
+    assert searcher.significant_terms("zzzmissingterm") == []
