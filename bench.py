@@ -196,21 +196,31 @@ def main() -> None:
         mlat.sort()
         mlt_p50 = mlat[len(mlat) // 2] if mlat else 0.0
 
+        # synonym groups and suggest probes must be ANALYZED terms —
+        # search_synonym_groups takes pre-analyzed input and the vocab
+        # is stemmed, so raw query words would miss the dictionary and
+        # measure nothing
+        from rse_spark.query.engine import query_terms as _qt
+
         slat: list[float] = []
         for q in qset.itertuples():
-            toks = q.query_text.split()
+            toks = sorted(_qt(q.query_text, "code"))
             if len(toks) < 2:
                 continue
             groups = [toks[:2], toks[2:3] or toks[:1]]
             t0 = time.time()
-            searcher.search_synonym_groups(groups, k=10)
+            hits = searcher.search_synonym_groups(groups, k=10)
             slat.append(time.time() - t0)
+            assert hits, groups  # empty would mean we measured a miss
         slat.sort()
         syn_p50 = slat[len(slat) // 2] if slat else 0.0
 
         glat: list[float] = []
         for q in qset.itertuples():
-            w = q.query_text.split()[0]
+            toks = sorted(_qt(q.query_text, "code"))
+            if not toks:
+                continue
+            w = toks[0]
             probe = (w[0] + w[2:]) if len(w) > 3 else w + "x"
             t0 = time.time()
             searcher.suggest(probe, n=5)
