@@ -118,7 +118,8 @@ def _bm25(spark, sf_dir, mode: str, prefix: str | None = None,
           fuzzy: tuple[str, int] | None = None,
           boosts: dict[str, float] | None = None,
           collapse: str | None = None,
-          mlt_doc: int | None = None) -> DataFrame:
+          mlt_doc: int | None = None,
+          dlen_range: tuple[int, int] | None = None) -> DataFrame:
     """Declarative single-DAG BM25 (no driver-side collects): stats join
     via broadcast cross-join of the 1-row corpus_stats. ``prefix``
     switches term selection from the fixed BM25_TERMS list to
@@ -245,6 +246,15 @@ def _bm25(spark, sf_dir, mode: str, prefix: str | None = None,
     if mlt_doc is not None:
         # MoreLikeThis never returns its own source document
         agg = agg.filter(F.col("doc_id") != mlt_doc)
+    if dlen_range is not None:
+        # numeric range filter (qlang ``dlen:lo..hi``): restricts the
+        # RESULT set via a semi-join on doc length; scoring stats stay
+        # corpus-wide (same contract as the lang filter)
+        lo, hi = dlen_range
+        keep = dl.filter(
+            F.col("dl").between(lo, hi)
+        ).select("doc_id")
+        agg = agg.join(keep, "doc_id", "left_semi")
     if collapse is not None:
         # result collapsing (Solr/ES ``collapse``): keep only each
         # group's best-scored doc, then rank groups by that doc. ONE
@@ -566,6 +576,20 @@ def q_mlt_bm25(spark, sf_dir):
     return _bm25(spark, sf_dir, "or", mlt_doc=MLT_DOC)
 
 
+DLEN_RANGE = (30, 60)  # numeric-range filter probe (quartile band)
+
+
+def q_range_bm25(spark, sf_dir):
+    """Numeric range filter on BM25 results (qlang ``dlen:lo..hi``,
+    Lucene/ES numeric range queries): docs outside the doc-length band
+    are excluded by a semi-join while scoring statistics stay
+    corpus-wide — the same filters-restrict-qualification-not-scoring
+    contract as the lang filter. Serving twin:
+    ``DirectSearcher.meta_range_docs`` intersected into the qlang
+    clause algebra."""
+    return _bm25(spark, sf_dir, "or", dlen_range=DLEN_RANGE)
+
+
 def q_collapse_bm25(spark, sf_dir):
     """Result collapsing (Solr/Elasticsearch ``collapse``, Lucene
     grouping) in the declarative tier: BM25 over the standard terms,
@@ -735,7 +759,8 @@ def _bm25_sql(mode: str, prefix: str | None = None,
               fuzzy: tuple[str, int] | None = None,
               boosts: dict[str, float] | None = None,
               collapse: str | None = None,
-              mlt_doc: int | None = None) -> str:
+              mlt_doc: int | None = None,
+              dlen_range: tuple[int, int] | None = None) -> str:
     if prefix is not None:
         where = (
             f"term IN (SELECT DISTINCT term FROM tf WHERE term LIKE "
@@ -787,6 +812,11 @@ def _bm25_sql(mode: str, prefix: str | None = None,
     elif mlt_doc is not None:
         # MoreLikeThis never returns its own source document
         meta_where = f"WHERE doc_id != {mlt_doc}"
+    elif dlen_range is not None:
+        meta_where = (
+            f"WHERE doc_id IN (SELECT doc_id FROM dl WHERE dl "
+            f"BETWEEN {dlen_range[0]} AND {dlen_range[1]})"
+        )
     else:
         meta_where = ""
     boost_expr = "1.0"
@@ -1806,6 +1836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boost_bm25": q_boost_bm25,
         "collapse_bm25": q_collapse_bm25,
         "mlt_bm25": q_mlt_bm25,
+        "range_bm25": q_range_bm25,
         "synonym_bm25": q_synonym_bm25,
         "spell_suggest": q_spell_suggest,
         "sig_terms": q_sig_terms,
@@ -2532,6 +2563,7 @@ def oracle_sql() -> dict[str, str]:
         "boost_bm25": _bm25_sql("or", boosts=BOOST_Q),
         "collapse_bm25": _bm25_sql("or", collapse="lang"),
         "mlt_bm25": _bm25_sql("or", mlt_doc=MLT_DOC),
+        "range_bm25": _bm25_sql("or", dlen_range=DLEN_RANGE),
         "synonym_bm25": f"""
             WITH toks AS ({_TOKS_SQL}),
             tf AS (SELECT doc_id, term, count(*)::bigint AS tf

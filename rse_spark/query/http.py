@@ -111,6 +111,35 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                     })
                 self._json(200, {"query": q, "terms": out})
                 return
+            if u.path == "/docvec":
+                # Lucene TermVectors: one doc's stored term vector
+                qs = parse_qs(u.query)
+                try:
+                    did = int((qs.get("id") or [""])[0])
+                except ValueError:
+                    self._json(400, {"error": "id needs a doc_id"})
+                    return
+                try:
+                    self._json(200, searcher.term_vector(did))
+                except ValueError as e:
+                    self._json(400, {"error": str(e)})
+                return
+            if u.path == "/count":
+                # ES _count: total hits, no scoring, no page
+                qs = parse_qs(u.query)
+                q = (qs.get("q") or [""])[0]
+                if not q.strip():
+                    self._json(400, {"error": "q required"})
+                    return
+                mode = (qs.get("mode") or ["or"])[0]
+                if mode not in ("or", "and"):
+                    self._json(400, {"error": "mode must be or|and"})
+                    return
+                self._json(200, {
+                    "query": q, "mode": mode,
+                    "count": searcher.count(q, mode=mode),
+                })
+                return
             if u.path == "/sigterms":
                 # significant terms of the query's match set (ES
                 # significant_terms, JLH) — an analytics page, not a

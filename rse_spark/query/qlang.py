@@ -15,6 +15,7 @@ Lucene's SimpleQueryParser popularized, nesting-free by design:
     error AND -deprecated             ->  error ∧ ¬deprecated
     lang:python AND "binary search"   ->  metadata filter ∧ phrase
     path:src/* AND config            ->  metadata prefix ∧ term
+    config AND dlen:100..200          ->  term ∧ numeric length band
     title^2 OR body                   ->  boosted term ∨ term
     spark join                        ->  spark ∨ join   (GSE default)
 
@@ -36,6 +37,13 @@ contribute a presence doc-id set to the clause intersection and no
 scoring terms; a value ending in ``*`` is a prefix match
 (``path:src/*``). A clause of only filters is rejected (unbounded:
 "every python doc" is a table scan, not a ranked query).
+
+Range atoms (``dlen:lo..hi``, either bound optional) filter on
+NUMERIC metadata — doc length today — with the comparison pushed to
+the metadata parquet read (``meta_range_docs``); same
+filters-restrict-qualification-never-scoring contract, same
+filter-only rejection. The declarative/oracled twin is
+``harness.q_range_bm25``.
 
 Semantics: the query is a disjunction of clauses; ``AND`` chains the
 adjacent atoms into one clause; bare atoms are their own clause.
@@ -64,6 +72,12 @@ from rse_spark.query.engine import query_terms
 META_FIELDS = ("lang", "repo", "path", "commit", "source")
 _META_RE = re.compile(
     r"^(" + "|".join(META_FIELDS) + r"):(.+)$"
+)
+# numeric range atoms: dlen:lo..hi (either bound may be open, not
+# both) — 'dlen' aliases the enriched table's doc_len column
+RANGE_FIELDS = {"dlen": "doc_len", "doc_len": "doc_len"}
+_RANGE_RE = re.compile(
+    r"^(" + "|".join(RANGE_FIELDS) + r"):(\d*)\.\.(\d*)$"
 )
 # term~ / term~N — the body must be ~-free so 'a~b~' stays a term
 _FUZZY_RE = re.compile(r"^([^~\s]+)~(\d*)$")
@@ -104,6 +118,12 @@ class Clause:
     # prefix match) — presence sets only, never scoring terms
     metas: list[tuple[str, str]] = field(default_factory=list)
     neg_metas: list[tuple[str, str]] = field(default_factory=list)
+    # numeric range filters ((physical_field, lo, hi), open ends None)
+    # — presence sets only, like metas
+    ranges: list[tuple[str, "int | None", "int | None"]] = field(
+        default_factory=list)
+    neg_ranges: list[tuple[str, "int | None", "int | None"]] = field(
+        default_factory=list)
     # per-atom score boosts (``atom^N``), aligned with their positive
     # atom lists; 1.0 = unboosted. Negative atoms can't carry boosts
     # (parse error — they contribute no scoring terms).
@@ -120,7 +140,8 @@ class Clause:
             + len(self.neg_phrases) + len(self.metas)
             + len(self.neg_metas) + len(self.regexes)
             + len(self.neg_regexes) + len(self.fuzzies)
-            + len(self.neg_fuzzies)
+            + len(self.neg_fuzzies) + len(self.ranges)
+            + len(self.neg_ranges)
         )
 
     def positive_atoms(self) -> int:
@@ -244,6 +265,25 @@ def parse_ql(q: str) -> list[Clause]:
                     cur.phrases.append(phrase)
                     cur.slops.append(slop)
                     cur.phrase_boosts.append(boost)
+        elif (m := _RANGE_RE.match(tok)) is not None:
+            if boost != 1.0:
+                raise ValueError(
+                    f"boost on a range filter {tok}^{boost:g} has "
+                    f"no effect (filters contribute no scoring terms)"
+                )
+            lo = int(m.group(2)) if m.group(2) else None
+            hi = int(m.group(3)) if m.group(3) else None
+            if lo is None and hi is None:
+                raise ValueError(
+                    f"range atom {tok!r} needs at least one bound"
+                )
+            if lo is not None and hi is not None and lo > hi:
+                raise ValueError(
+                    f"range atom {tok!r}: empty range (lo > hi)"
+                )
+            (cur.neg_ranges if neg else cur.ranges).append(
+                (RANGE_FIELDS[m.group(1)], lo, hi)
+            )
         elif (m := _META_RE.match(tok)) is not None:
             if boost != 1.0:
                 raise ValueError(
@@ -445,6 +485,15 @@ def match_ql(searcher, q: str,
             )
         return arr
 
+    def range_set(f: str, lo, hi) -> np.ndarray:
+        key = (f, f"{lo}..{hi}")
+        arr = meta_cache.get(key)
+        if arr is None:
+            arr = meta_cache[key] = np.asarray(
+                searcher.meta_range_docs(f, lo, hi), dtype=np.int64
+            )
+        return arr
+
     boosts: dict[str, float] = {}
 
     def add_scoring(terms: list[str], b: float) -> None:
@@ -477,6 +526,8 @@ def match_ql(searcher, q: str,
             # filter-only: presence set in the intersection, no
             # scoring contribution
             clause_sets.append(meta_set(f, v))
+        for f, lo, hi in c.ranges:
+            clause_sets.append(range_set(f, lo, hi))
         if not clause_sets:
             continue
         # smallest set first: intersections shrink fastest
@@ -493,6 +544,7 @@ def match_ql(searcher, q: str,
         if len(hit) and (
             c.neg_terms or c.neg_prefixes or c.neg_phrases
             or c.neg_metas or c.neg_regexes or c.neg_fuzzies
+            or c.neg_ranges
         ):
             neg_parts = [token_docs(t) for t in c.neg_terms]
             neg_parts += [prefix_docs(p)[0] for p in c.neg_prefixes]
@@ -505,6 +557,9 @@ def match_ql(searcher, q: str,
                 for ph, slop in zip(c.neg_phrases, c.neg_slops)
             ]
             neg_parts += [meta_set(f, v) for f, v in c.neg_metas]
+            neg_parts += [
+                range_set(f, lo, hi) for f, lo, hi in c.neg_ranges
+            ]
             neg_parts = [a for a in neg_parts if len(a)]
             if neg_parts:
                 hit = np.setdiff1d(

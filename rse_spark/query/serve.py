@@ -715,6 +715,60 @@ class DirectSearcher:
             self._meta_docs_cache[key] = arr
         return arr
 
+    def meta_range_docs(self, field: str, lo: "int | None",
+                        hi: "int | None") -> "object":
+        """Sorted doc-id presence set for a NUMERIC metadata range —
+        docs whose ``field`` is within ``[lo, hi]`` (either bound may
+        be None for an open end, not both). The primitive behind
+        qlang range atoms (``dlen:100..200``): a pyarrow dataset read
+        with the comparison predicates pushed down, columns pruned to
+        doc_id — same shape, caching, and generation contract as
+        :meth:`meta_docs`. Raises ValueError for a missing field, a
+        non-numeric field, or a fully open range."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+
+        if lo is None and hi is None:
+            raise ValueError(
+                f"range on {field!r} needs at least one bound"
+            )
+        self._check_generation()
+        key = (field, f"{lo}..{hi}")
+        with self._meta_lock:
+            cached = self._meta_docs_cache.get(key)
+        if cached is not None:
+            return cached
+        path = os.path.join(self.root, "docs_meta")
+        if not os.path.isdir(path):
+            path = os.path.join(self.root, "enriched")
+        dset = pads.dataset(path, format="parquet", partitioning="hive")
+        try:
+            ftype = dset.schema.field(field).type
+        except KeyError:
+            raise ValueError(
+                f"unknown metadata field {field!r}"
+            ) from None
+        if not (pa.types.is_integer(ftype) or pa.types.is_floating(
+                ftype)):
+            raise ValueError(
+                f"metadata field {field!r} is {ftype}, not numeric — "
+                f"range filters need a numeric field"
+            )
+        expr = None
+        if lo is not None:
+            expr = pads.field(field) >= lo
+        if hi is not None:
+            e2 = pads.field(field) <= hi
+            expr = e2 if expr is None else (expr & e2)
+        tbl = dset.to_table(columns=["doc_id"], filter=expr)
+        arr = np.unique(tbl["doc_id"].to_numpy())
+        with self._meta_lock:
+            if len(self._meta_docs_cache) >= self._META_DOCS_CACHE_MAX:
+                self._meta_docs_cache.clear()
+            self._meta_docs_cache[key] = arr
+        return arr
+
     def expand_prefix(self, prefix: str, max_terms: int = 64) -> list[str]:
         """All indexed terms starting with ``prefix`` — a pure lookup
         on the in-memory term dictionary (|vocab| entries), capped like
@@ -1088,6 +1142,72 @@ class DirectSearcher:
             (int(uniq[i]), float(agg[i]), int(matched[i]))
             for i in order
         ]
+
+    def term_vector(self, doc_id: int) -> dict:
+        """Lucene TermVectors API: one document's stored term vector —
+        ``{"doc_id", "doc_len", "terms": [(term, tf), ...]}`` with
+        terms in lexical order. Served from the enriched table via the
+        same per-generation file-range pruning more_like_this uses
+        (one footer open, one row-group read). Raises ValueError for
+        an unknown doc or an index without stored vectors."""
+        import pyarrow as pa
+
+        self._check_generation()
+        try:
+            tbl = None
+            for path in self._enriched_files_for(int(doc_id)):
+                tbl, _stats = read_ids_pruned(
+                    path, [int(doc_id)],
+                    ["doc_id", "tf_terms", "tf_counts", "doc_len"],
+                    "doc_id",
+                )
+                if tbl.num_rows:
+                    break
+            if tbl is None:
+                tbl = pa.table({"doc_id": pa.array([], pa.int64())})
+        except (KeyError, pa.ArrowInvalid) as e:
+            raise ValueError(
+                "term_vector needs stored term vectors (array-format "
+                f"enriched table); this index does not carry them: {e}"
+            ) from None
+        if tbl.num_rows == 0:
+            raise ValueError(f"unknown doc_id {doc_id}")
+        pairs = sorted(zip(
+            tbl["tf_terms"][0].as_py(), tbl["tf_counts"][0].as_py()
+        ))
+        return {
+            "doc_id": int(doc_id),
+            "doc_len": int(tbl["doc_len"][0].as_py()),
+            "terms": [(t, int(c)) for t, c in pairs],
+        }
+
+    def count(self, qtext: str, mode: str = "or") -> int:
+        """Total-hits count without scoring (ES ``_count`` /
+        ``track_total_hits``): pure presence algebra over the decoded
+        doc-id arrays — no BM25 math, no top-k, no tuple
+        materialization. ``mode='and'`` intersects instead of
+        unioning."""
+        import numpy as np
+
+        self._check_generation()
+        terms = sorted(query_terms(qtext, self.analyzer))
+        if not terms:
+            return 0
+        arrs = [self.term_docs(t) for t in terms]
+        if mode == "and":
+            if any(not len(a) for a in arrs):
+                return 0
+            arrs.sort(key=len)
+            acc = arrs[0]
+            for a in arrs[1:]:
+                if not len(acc):
+                    return 0
+                acc = np.intersect1d(acc, a, assume_unique=True)
+            return int(len(acc))
+        arrs = [a for a in arrs if len(a)]
+        if not arrs:
+            return 0
+        return int(len(np.unique(np.concatenate(arrs))))
 
     def significant_terms(self, qtext: str, top: int = 15,
                           max_docs: int = 10_000):

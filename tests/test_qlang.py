@@ -710,3 +710,70 @@ def test_collapse_http(planted_meta):
             assert e.code == 400
     finally:
         srv.stop()
+
+
+def test_range_atom_parsing():
+    cs = parse_ql("alpha AND dlen:2..3")
+    assert cs[0].ranges == [("doc_len", 2, 3)]
+    assert parse_ql("alpha AND dlen:3..")[0].ranges == [("doc_len", 3, None)]
+    assert parse_ql("alpha AND dlen:..2")[0].ranges == [("doc_len", None, 2)]
+    assert parse_ql("alpha AND -dlen:3..")[0].neg_ranges == [
+        ("doc_len", 3, None)
+    ]
+    with pytest.raises(ValueError, match="at least one bound"):
+        parse_ql("alpha AND dlen:..")
+    with pytest.raises(ValueError, match="empty range"):
+        parse_ql("alpha AND dlen:5..2")
+    with pytest.raises(ValueError, match="only negative/filter"):
+        parse_ql("dlen:2..3")
+    with pytest.raises(ValueError, match="boost on a range"):
+        parse_ql("alpha AND dlen:1..2^2")
+    # anything not in the range-field set stays a term atom
+    assert parse_ql("alpha AND size:2..3")[0].ranges == []
+
+
+def test_range_atom_semantics(planted):
+    """dlen:lo..hi restricts qualification by doc length without
+    touching scores; negation excludes the band."""
+    root, _corpus_path, to_src = planted
+    s = DirectSearcher(root, analyzer="simple")
+
+    # alpha docs: src 0 (len 3), 1 (len 2), 5 (len 3)
+    hits = search_ql(s, "alpha AND dlen:3..")
+    assert sorted(to_src[d] for d, _s, _m in hits) == [0, 5]
+    hits = search_ql(s, "alpha AND -dlen:3..")
+    assert [to_src[d] for d, _s, _m in hits] == [1]
+    assert search_ql(s, "alpha AND dlen:9..") == []
+
+    # the filter never changes a surviving doc's score
+    base = {d: sc for d, sc, _m in search_ql(s, "alpha", k=10)}
+    for d, sc, _m in search_ql(s, "alpha AND dlen:3..", k=10):
+        assert abs(sc - base[d]) < 1e-12
+
+    with pytest.raises(ValueError, match="not numeric"):
+        s.meta_range_docs("content_sha256", 1, 2)
+    with pytest.raises(ValueError, match="unknown metadata field"):
+        s.meta_range_docs("nope", 1, 2)
+
+
+def test_range_atom_http(planted):
+    root, _corpus_path, _to_src = planted
+    from rse_spark.query.http import SearchServer
+
+    srv = SearchServer(root, analyzer="simple").start()
+    try:
+        with urllib.request.urlopen(
+            f"{srv.address}/search?ql=alpha+AND+dlen:3..&k=10", timeout=10
+        ) as resp:
+            body = json.load(resp)
+        hits = search_ql(srv.searcher, "alpha AND dlen:3..", k=10)
+        assert [r["doc_id"] for r in body["results"]] == [
+            d for d, _s, _m in hits
+        ]
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                f"{srv.address}/search?ql=alpha+AND+dlen:..", timeout=10
+            )
+        assert ei.value.code == 400
+    finally:
+        srv.stop()

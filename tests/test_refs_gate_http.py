@@ -488,3 +488,35 @@ def test_http_sigterms(http_index):
         assert ei.value.code == 400
     finally:
         srv.stop()
+
+
+def test_http_docvec_and_count(http_index):
+    """/docvec serves one doc's stored term vector; /count serves
+    scoring-free total hits that agree with a full search page."""
+    from rse_spark.query.http import SearchServer
+
+    srv = SearchServer(http_index, analyzer="simple").start()
+    try:
+        with urllib.request.urlopen(
+            f"{srv.address}/docvec?id=3", timeout=10
+        ) as resp:
+            body = json.load(resp)
+        tv = srv.searcher.term_vector(3)
+        assert body["doc_id"] == 3
+        assert body["doc_len"] == tv["doc_len"]
+        assert [tuple(x) for x in body["terms"]] == tv["terms"]
+
+        with urllib.request.urlopen(
+            f"{srv.address}/count?q=spark+join", timeout=10
+        ) as resp:
+            body = json.load(resp)
+        assert body["count"] == srv.searcher.count("spark join")
+        assert body["count"] > 0
+
+        for bad in ("/docvec?id=abc", "/docvec?id=999999999",
+                    "/count?q=", "/count?q=x&mode=nope"):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(srv.address + bad, timeout=10)
+            assert ei.value.code == 400
+    finally:
+        srv.stop()

@@ -403,3 +403,44 @@ def test_significant_terms_jlh(root):
     assert len(capped) <= 5 and all(f <= 1 for _t, f, _b, _s in capped)
 
     assert searcher.significant_terms("zzzmissingterm") == []
+
+
+def test_term_vector_and_count(root):
+    """term_vector returns the stored (term, tf) vector verbatim
+    (checked against the enriched table) and count() equals the
+    length of the full presence set in both modes."""
+    import os
+
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    searcher = DirectSearcher(root, analyzer="code")
+    tbl = pads.dataset(os.path.join(root, "enriched")).to_table(
+        columns=["doc_id", "tf_terms", "tf_counts", "doc_len"]
+    )
+    i = 3
+    did = int(tbl["doc_id"][i].as_py())
+    tv = searcher.term_vector(did)
+    assert tv["doc_id"] == did
+    assert tv["doc_len"] == tbl["doc_len"][i].as_py()
+    assert tv["terms"] == sorted(
+        zip(tbl["tf_terms"][i].as_py(), tbl["tf_counts"][i].as_py())
+    )
+    with pytest.raises(ValueError, match="unknown doc_id"):
+        searcher.term_vector(10**9)
+
+    q = "parse index merge"
+    from rse_spark.query.engine import query_terms
+
+    terms = sorted(query_terms(q, searcher.analyzer))
+    arrs = [searcher.term_docs(t) for t in terms]
+    union = np.unique(np.concatenate([a for a in arrs if len(a)]))
+    inter = arrs[0]
+    for a in arrs[1:]:
+        inter = np.intersect1d(inter, a)
+    assert searcher.count(q) == len(union)
+    assert searcher.count(q, mode="and") == len(inter)
+    # counts agree with an unbounded scored search
+    assert searcher.count(q) == len(searcher.search(q, k=10**9))
+    assert searcher.count("zzzmissingterm") == 0
+    assert searcher.count("zzzmissingterm parse", mode="and") == 0
