@@ -686,6 +686,21 @@ def q_proximity_search(spark, sf_dir):
     )
 
 
+def q_proximity_unordered(spark, sf_dir):
+    """Unordered proximity (Lucene SpanNearQuery inOrder=false): docs
+    where 'merge' and 'join' occur within 5 tokens in EITHER order,
+    with the qualifying pair count — the same positional join with the
+    range predicate on the absolute gap. Serving twin:
+    serve.near_search_positions(ordered=False) (symmetric searchsorted
+    window over the sidecar)."""
+    from rse_spark.query.textmatch import proximity_match
+
+    return proximity_match(
+        _docs(spark, sf_dir), PROX_FIRST, PROX_SECOND, PROX_DIST,
+        ordered=False,
+    )
+
+
 def q_prefix_bm25(spark, sf_dir):
     """Prefix query (s*): dictionary expansion feeding the standard
     BM25 scorer, declarative path."""
@@ -1830,6 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_pos_search": q_phrase_pos_search,
         "phrase_batch": q_phrase_batch,
         "proximity_search": q_proximity_search,
+        "proximity_unordered": q_proximity_unordered,
         "prefix_bm25": q_prefix_bm25,
         "regex_bm25": q_regex_bm25,
         "fuzzy_bm25": q_fuzzy_bm25,
@@ -2555,6 +2571,22 @@ def oracle_sql() -> dict[str, str]:
                   WHERE tok = '{PROX_SECOND}') b
               ON a.doc_id = b.doc_id
              AND b.pos - a.pos BETWEEN 1 AND {PROX_DIST}
+            GROUP BY a.doc_id
+        """,
+        "proximity_unordered": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(sp) AS tok,
+                     unnest(range(1, len(sp) + 1)) AS pos
+              FROM (SELECT doc_id, string_split(text, ' ') AS sp
+                    FROM documents)
+            )
+            SELECT a.doc_id, count(*)::bigint AS n_pairs
+            FROM (SELECT doc_id, pos FROM toks
+                  WHERE tok = '{PROX_FIRST}') a
+            JOIN (SELECT doc_id, pos FROM toks
+                  WHERE tok = '{PROX_SECOND}') b
+              ON a.doc_id = b.doc_id
+             AND abs(b.pos - a.pos) BETWEEN 1 AND {PROX_DIST}
             GROUP BY a.doc_id
         """,
         "prefix_bm25": _bm25_sql("or", prefix=PREFIX),

@@ -286,15 +286,21 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                                  "and dist >= 1"
                     })
                     return
+                # &ordered=0 -> SpanNearQuery inOrder=false
+                in_order = (qs.get("ordered") or ["1"])[0] not in (
+                    "0", "false",
+                )
                 try:
                     hits = searcher.near_search_positions(
-                        parts[0], parts[1], dist, k=k
+                        parts[0], parts[1], dist, k=k,
+                        ordered=in_order,
                     )
                 except ValueError as e:
                     self._json(400, {"error": str(e)})
                     return
                 self._json(200, {
                     "near": parts, "dist": dist, "k": k,
+                    "ordered": in_order,
                     "n_results": len(hits),
                     "results": [
                         {"doc_id": int(d), "n_pairs": int(n)}

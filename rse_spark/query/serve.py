@@ -1468,15 +1468,20 @@ class DirectSearcher:
         return [(int(uniq[i]), int(counts[i])) for i in order]
 
     def near_search_positions(self, first: str, second: str,
-                              max_dist: int, k: int = 10):
-        """Ordered proximity top-k from the positional sidecar:
+                              max_dist: int, k: int = 10,
+                              ordered: bool = True):
+        """Proximity top-k from the positional sidecar:
         [(doc_id, n_pairs)] where ``first`` precedes ``second`` within
-        ``max_dist`` tokens (Lucene NEAR). Pair counting is fully
-        vectorized per candidate: searchsorted window counts over the
-        two position arrays. Raw query words are analyzed first; a
-        word that splits into several tokens is rejected (proximity
-        over multi-token units is a phrase query composition, not a
-        pair query)."""
+        ``max_dist`` tokens (Lucene NEAR); ``ordered=False`` is
+        SpanNearQuery inOrder=false — the pair qualifies whichever
+        word comes first (|gap| <= max_dist), counted once per
+        ``first`` occurrence. Pair counting is fully vectorized per
+        candidate: searchsorted window counts over the two position
+        arrays (the symmetric window cannot cross a doc boundary for
+        the same _POS_SLACK headroom reason the forward one cannot).
+        Raw query words are analyzed first; a word that splits into
+        several tokens is rejected (proximity over multi-token units
+        is a phrase query composition, not a pair query)."""
         from rse_spark.index.positions import _POS_SLACK
         from rse_spark.tokenizer import tokenize
 
@@ -1491,7 +1496,8 @@ class DirectSearcher:
             raise ValueError(
                 "proximity operands must each analyze to one token"
             )
-        hits = self._positions_pairs(t1[0], t2[0], max_dist)
+        hits = self._positions_pairs(t1[0], t2[0], max_dist,
+                                     ordered=ordered)
         hits.sort(key=lambda r: (-r[1], r[0]))
         return hits[:k]
 
@@ -1534,23 +1540,41 @@ class DirectSearcher:
             return np.empty(0, dtype=np.int64)
         return np.unique(cur >> np.int64(self._pos_bits))
 
-    def _positions_pairs(self, t1: str, t2: str, max_dist: int):
-        """Fully vectorized ordered-pair counting on packed
-        (doc << 32 | pos) keys: for every occurrence of t1 the number
-        of t2 occurrences in its (pos, pos+max_dist] window is a pair
-        of searchsorted calls; window ends never cross the doc
-        boundary because build_positions reserves _POS_SLACK headroom
-        above the longest document and max_dist is capped below it."""
+    def _positions_pairs(self, t1: str, t2: str, max_dist: int,
+                         ordered: bool = True):
+        """Fully vectorized pair counting on packed
+        (doc << pos_bits | pos) keys: for every occurrence of t1 the
+        number of t2 occurrences in its (pos, pos+max_dist] window
+        (ordered) or [pos-max_dist, pos+max_dist] window (unordered)
+        is a pair of searchsorted calls; window ends never cross the
+        doc boundary because build_positions reserves _POS_SLACK
+        positions of headroom above the longest document and max_dist
+        is capped below it — the backward window lands in the
+        PREVIOUS doc's reserved headroom, where no real position can
+        live, so it is equally safe."""
         import numpy as np
 
         k1 = self._term_position_keys(t1)
         k2 = self._term_position_keys(t2)
         if not len(k1) or not len(k2):
             return []
-        cnt = (
-            np.searchsorted(k2, k1 + max_dist, side="right")
-            - np.searchsorted(k2, k1, side="right")
-        )
+        if ordered:
+            cnt = (
+                np.searchsorted(k2, k1 + max_dist, side="right")
+                - np.searchsorted(k2, k1, side="right")
+            )
+        else:
+            cnt = (
+                np.searchsorted(k2, k1 + max_dist, side="right")
+                - np.searchsorted(k2, k1 - max_dist, side="left")
+            )
+            if t1 == t2:
+                # same-term proximity: the symmetric window contains
+                # the occurrence itself (gap 0) — drop it, leaving
+                # each unordered pair counted from both sides, the
+                # same double-count the declarative positional join
+                # produces
+                cnt -= 1
         keep = cnt > 0
         if not keep.any():
             return []

@@ -181,7 +181,8 @@ def phrase_batch_counts(toks: DataFrame, qdf: DataFrame,
 def proximity_match(docs: DataFrame, first: str, second: str,
                     max_dist: int, content_col: str = "text",
                     id_col: str = "doc_id",
-                    candidates: DataFrame | None = None) -> DataFrame:
+                    candidates: DataFrame | None = None,
+                    ordered: bool = True) -> DataFrame:
     """(id, n_pairs) — ordered proximity: occurrences of ``first``
     followed by ``second`` within ``max_dist`` tokens (1 = adjacent,
     i.e. the 2-word phrase). n_pairs counts qualifying (pos_first,
@@ -190,7 +191,11 @@ def proximity_match(docs: DataFrame, first: str, second: str,
     range condition on the position gap — work ~ the two words'
     posting sizes (the serving twin is
     DirectSearcher.near_search_positions over the positional
-    sidecar)."""
+    sidecar).
+
+    ``ordered=False`` is Lucene SpanNearQuery's inOrder=false: the
+    pair qualifies whichever word comes first (|gap| <= max_dist) —
+    the same join with the range predicate on the absolute gap."""
     if max_dist < 1:
         raise ValueError("max_dist must be >= 1")
     if candidates is not None:
@@ -207,12 +212,14 @@ def proximity_match(docs: DataFrame, first: str, second: str,
     b = toks.filter(F.col("tok") == F.lit(second)).select(
         id_col, F.col("pos").alias("_pb")
     )
+    gap = (
+        (F.col("_pb") - F.col("_pa"))
+        if ordered
+        else F.abs(F.col("_pb") - F.col("_pa"))
+    )
     return (
         a.join(b, id_col)
-        .filter(
-            (F.col("_pb") - F.col("_pa") >= 1)
-            & (F.col("_pb") - F.col("_pa") <= max_dist)
-        )
+        .filter((gap >= 1) & (gap <= max_dist))
         .groupBy(id_col)
         .agg(F.count("*").cast("long").alias("n_pairs"))
     )

@@ -743,3 +743,82 @@ def test_phrase_batch_index_matches_declarative(spark, pos_index_folded):
         assert serve_hits == {
             d: n for (p, d), n in via_idx.items() if p == pid
         }, ph
+
+
+def test_near_unordered_counts(spark, tmp_path):
+    """Unordered proximity (SpanNear inOrder=false): planted counts,
+    symmetry, same-term double-count parity, and the serve ==
+    declarative equivalence."""
+    from rse_spark.index.storage import build_resumable
+    from rse_spark.query.textmatch import proximity_match
+
+    root = str(tmp_path / "idx")
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "a x x b",        # |gap| 3
+            "a b x a x b",    # pairs within 3: (0,1),(3,1),(3,5)
+            "b x a",          # reverse order, |gap| 2
+            "a x a",          # same-term pair, |gap| 2
+        ],
+    })
+    corpus = spark.createDataFrame(pdf)
+    build_resumable(spark, corpus, root, analyzer="simple",
+                    content_col="text", docs_per_segment=64)
+    build_positions(spark, corpus, root, analyzer="simple",
+                    content_col="text")
+    s = DirectSearcher(root, analyzer="simple")
+
+    # ordered misses doc 2; unordered finds it
+    assert s.near_search_positions("a", "b", 3) == [(1, 2), (0, 1)]
+    got = s.near_search_positions("a", "b", 3, ordered=False)
+    assert got == [(1, 3), (0, 1), (2, 1)]
+    # symmetric in the operands
+    assert s.near_search_positions("b", "a", 3, ordered=False) == got
+    # same-term proximity: each unordered pair counted from both
+    # sides (declarative join parity), self-pairs dropped
+    assert s.near_search_positions("a", "a", 3, ordered=False) == [
+        (1, 2), (3, 2),
+    ]
+
+    # serve == declarative on every planted doc
+    for w1, w2 in (("a", "b"), ("a", "a")):
+        via_spark = sorted(
+            ((r["doc_id"], r["n_pairs"])
+             for r in proximity_match(corpus, w1, w2, 3,
+                                      content_col="text",
+                                      ordered=False).collect()),
+            key=lambda r: (-r[1], r[0]),
+        )
+        assert s.near_search_positions(
+            w1, w2, 3, k=100, ordered=False
+        ) == via_spark
+
+
+def test_http_near_unordered(spark, pos_index):
+    """?near=w1,w2&ordered=0 runs SpanNear inOrder=false and echoes
+    the flag; default stays ordered."""
+    import json
+    import urllib.request
+
+    from rse_spark.query.http import SearchServer
+
+    srv = SearchServer(pos_index, analyzer="simple").start()
+    try:
+        with urllib.request.urlopen(
+            f"{srv.address}/search?near=join,merge&dist=4&ordered=0",
+            timeout=30,
+        ) as r:
+            body = json.load(r)
+        assert body["ordered"] is False
+        hits = srv.searcher.near_search_positions(
+            "join", "merge", 4, k=10, ordered=False
+        )
+        assert [(h["doc_id"], h["n_pairs"]) for h in body["results"]] \
+            == [(d, n) for d, n in hits]
+        with urllib.request.urlopen(
+            f"{srv.address}/search?near=join,merge&dist=4", timeout=30
+        ) as r:
+            assert json.load(r)["ordered"] is True
+    finally:
+        srv.stop()

@@ -520,3 +520,4 @@ def test_http_docvec_and_count(http_index):
             assert ei.value.code == 400
     finally:
         srv.stop()
+
