@@ -564,6 +564,23 @@ class DirectSearcher:
                     self._term_rows[key] = rows
         return rows
 
+    def _prefetch_buckets(self, buckets) -> None:
+        """Load the given buckets' files concurrently if not cached.
+        A multi-term query whose terms hash to N distinct cold buckets
+        otherwise pays N serial first-touches; parquet IO + Arrow
+        decode release the GIL, so a thread pool overlaps them — the
+        same trick _load_bucket already plays across one bucket's
+        files, lifted across buckets. MoreLikeThis (10 rare terms) and
+        prefix queries (up to 64 expansions) feel this most."""
+        todo = [b for b in set(buckets) if self._touch(b) is None]
+        if len(todo) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(8, len(todo))
+            ) as ex:
+                list(ex.map(self._load_bucket, todo))
+
     def warm(self, qtexts: list[str]) -> int:
         """Pre-load the buckets (and term rows) a query stream will
         touch, so first-request latency is excluded from steady-state
@@ -953,13 +970,15 @@ class DirectSearcher:
                 out[int(did)] = v
         return out
 
-    def _enriched_files_for(self, doc_id: int) -> "list[str]":
-        """Enriched-table files whose doc-id [min, max] (parquet footer
-        stats, read ONCE per index generation) cover ``doc_id``.
-        Segments partition the id space, so this is normally exactly
-        one file — a point lookup opens 1 footer instead of all of
-        them (the whole-directory scan dominated more_like_this
-        latency: 48 footer opens ≈ 19 ms at sf0.01)."""
+    def _enriched_ranges(self) -> "list[tuple[str, list]]":
+        """Per-ROW-GROUP doc-id [min, max] of every enriched-table
+        file (parquet footer stats, read ONCE per index generation):
+        ``[(path, [(rg_index, lo, hi), ...]), ...]``. A row group
+        without usable stats gets ``(rg, None, None)`` = always a
+        candidate. Lets a point lookup open exactly the covering row
+        groups instead of scanning the directory (48 footer opens
+        ≈ 19 ms at sf0.01) or probing whole files whose coarse ranges
+        overlap (~7 file reads per lookup at sf0.1)."""
         ranges = self._enriched_ranges_cache
         if ranges is None:
             path = os.path.join(self.root, "enriched")
@@ -982,22 +1001,41 @@ class DirectSearcher:
                     ci = names.index("doc_id")
                 except ValueError:
                     continue
-                lo = hi = None
+                rgs = []
                 for rg in range(md.num_row_groups):
                     st = md.row_group(rg).column(ci).statistics
                     if st is None or not st.has_min_max:
-                        lo, hi = None, None
-                        break
-                    lo = st.min if lo is None else min(lo, st.min)
-                    hi = st.max if hi is None else max(hi, st.max)
-                # a file without usable stats must always be probed
-                ranges.append((f, lo, hi))
+                        rgs.append((rg, None, None))
+                    else:
+                        rgs.append((rg, st.min, st.max))
+                ranges.append((f, rgs))
             with self._meta_lock:
                 self._enriched_ranges_cache = ranges
-        return [
-            f for f, lo, hi in ranges
-            if lo is None or lo <= doc_id <= hi
-        ]
+        return ranges
+
+    def _read_enriched_row(self, doc_id: int, columns: "list[str]"):
+        """One doc's enriched row via the row-group range cache: open
+        only files with a covering row group, read only those groups,
+        filter exactly. Returns a (possibly empty) Arrow table."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        tbl = None
+        for f, rgs in self._enriched_ranges():
+            hit = [
+                rg for rg, lo, hi in rgs
+                if lo is None or lo <= doc_id <= hi
+            ]
+            if not hit:
+                continue
+            t = pq.ParquetFile(f).read_row_groups(hit, columns=columns)
+            t = t.filter(pc.equal(t["doc_id"], doc_id))
+            if t.num_rows:
+                return t
+            tbl = t if tbl is None else tbl
+        if tbl is None:
+            tbl = pa.table({"doc_id": pa.array([], pa.int64())})
+        return tbl
 
     def more_like_this(self, doc_id: int, k: int = 10,
                        max_terms: int = 10, min_tf: int = 1):
@@ -1019,18 +1057,10 @@ class DirectSearcher:
         import pyarrow as pa
 
         self._check_generation()
-        enriched = os.path.join(self.root, "enriched")
         try:
-            tbl = None
-            for path in self._enriched_files_for(int(doc_id)):
-                tbl, _stats = read_ids_pruned(
-                    path, [int(doc_id)],
-                    ["doc_id", "tf_terms", "tf_counts"], "doc_id",
-                )
-                if tbl.num_rows:
-                    break
-            if tbl is None:  # id outside every file's range
-                tbl = pa.table({"doc_id": pa.array([], pa.int64())})
+            tbl = self._read_enriched_row(
+                int(doc_id), ["doc_id", "tf_terms", "tf_counts"]
+            )
         except (KeyError, pa.ArrowInvalid) as e:
             raise ValueError(
                 "more_like_this needs stored term vectors (array-"
@@ -1081,6 +1111,12 @@ class DirectSearcher:
         from rse_spark.index.codec import B, K1, decode_postings
 
         self._check_generation()
+        self._prefetch_buckets(
+            info[1]
+            for g in groups
+            for info in (self.term_dict.get(t) for t in set(g))
+            if info
+        )
         doc_chunks, score_chunks = [], []
         for g in groups:
             infos = [
@@ -1154,17 +1190,10 @@ class DirectSearcher:
 
         self._check_generation()
         try:
-            tbl = None
-            for path in self._enriched_files_for(int(doc_id)):
-                tbl, _stats = read_ids_pruned(
-                    path, [int(doc_id)],
-                    ["doc_id", "tf_terms", "tf_counts", "doc_len"],
-                    "doc_id",
-                )
-                if tbl.num_rows:
-                    break
-            if tbl is None:
-                tbl = pa.table({"doc_id": pa.array([], pa.int64())})
+            tbl = self._read_enriched_row(
+                int(doc_id),
+                ["doc_id", "tf_terms", "tf_counts", "doc_len"],
+            )
         except (KeyError, pa.ArrowInvalid) as e:
             raise ValueError(
                 "term_vector needs stored term vectors (array-format "
@@ -1813,6 +1842,11 @@ class DirectSearcher:
             t: qtf[t] * idf_fn(self.term_dict.get(t, (0, 0))[0], self.n_docs)
             for t in terms
         }
+        self._prefetch_buckets(
+            info[1]
+            for info in (self.term_dict.get(t) for t in terms)
+            if info
+        )
         if algo == "numpy" or within is not None:
             return self._search_numpy(terms, weights, k, mode,
                                       within=within)
