@@ -228,6 +228,22 @@ def main() -> None:
         glat.sort()
         suggest_p50 = glat[len(glat) // 2] if glat else 0.0
 
+        # ---- window rescoring (ES rescore): BM25 top-50 window +
+        # positional phrase counts + re-rank; should cost ~one search
+        # plus the phrase terms' position-list decodes
+        rlat: list[float] = []
+        for q in qset.itertuples():
+            words = q.query_text.split()
+            if len(words) < 2:
+                continue
+            t0 = time.time()
+            searcher.search_rescored(
+                q.query_text, " ".join(words[:2]), k=10, window=50
+            )
+            rlat.append(time.time() - t0)
+        rlat.sort()
+        rescore_p50 = rlat[len(rlat) // 2] if rlat else 0.0
+
         # ---- batch phrase execution: a SET of phrases resolved from
         # the positional sidecar in ONE Spark job (the cluster-serving
         # shape; per-phrase jobs pay Spark's ~1s fixed cost each)
@@ -341,6 +357,7 @@ def main() -> None:
                 "serve_mlt_p50_ms": round(1000 * mlt_p50, 2),
                 "serve_syn_p50_ms": round(1000 * syn_p50, 2),
                 "serve_suggest_p50_ms": round(1000 * suggest_p50, 2),
+                "serve_rescore_p50_ms": round(1000 * rescore_p50, 2),
                 "serve_phrase_pos_p50_ms": round(
                     1000 * phrase_pos_p50, 2
                 ),

@@ -400,6 +400,83 @@ SYN_GROUPS = [["join", "merge"], ["table"], ["fast", "quick"]]
 SIG_QUERY_TERM = "spark"  # significant-terms foreground selector
 SIG_TOP = 15
 
+RESCORE_PHRASE = "spark join"  # rescore bonus: exact-phrase count
+RESCORE_WINDOW = 50
+RESCORE_W = 2.0
+
+
+def q_rescore_bm25(spark, sf_dir):
+    """Rescoring (Elasticsearch ``rescore``, Lucene QueryRescorer):
+    BM25 ranks the corpus, then only the top ``RESCORE_WINDOW`` docs
+    pay for the expensive second query — here an exact-phrase count —
+    and are re-ranked by ``score + RESCORE_W * n_occurrences``
+    (score_mode=total). With a non-negative bonus every window doc's
+    new score stays >= every non-window doc's, so the final top-10 is
+    provably inside the window.
+
+    Scale shape: the window selection is a TakeOrderedAndProject (no
+    global sort), and the positional phrase join runs semi-joined to
+    the 50 window ids — the rescore query's cost is bounded by the
+    window, which is the entire point of the operator. Serving twin:
+    ``DirectSearcher.search_rescored`` (phrase counts from the
+    positional sidecar)."""
+    from rse_spark.query.textmatch import phrase_match_positions
+
+    toks = _toks(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qtf = tf.filter(F.col("term").isin(BM25_TERMS))
+    dfx = qtf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        qtf.join(F.broadcast(dfx), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0
+            )
+            * F.col("tf") * (K1 + 1.0)
+            / (
+                F.col("tf")
+                + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("contrib").alias("s"),
+            F.count("*").cast("int").alias("n_terms_matched"),
+        )
+    )
+    window = scored.orderBy(
+        F.desc("s"), F.asc("doc_id")
+    ).limit(RESCORE_WINDOW)
+    ph = phrase_match_positions(
+        _docs(spark, sf_dir), RESCORE_PHRASE,
+        candidates=window.select("doc_id"),
+    )
+    return (
+        window.join(ph, "doc_id", "left")
+        .withColumn(
+            "n_occurrences",
+            F.coalesce(F.col("n_occurrences"), F.lit(0)).cast("bigint"),
+        )
+        .withColumn(
+            "s2", F.col("s") + RESCORE_W * F.col("n_occurrences")
+        )
+        .orderBy(F.desc("s2"), F.asc("doc_id")).limit(10)
+        .select(
+            "doc_id",
+            F.round("s2", 6).alias("score"),
+            "n_terms_matched",
+            "n_occurrences",
+        )
+    )
+
 
 def q_sig_terms(spark, sf_dir):
     """Significant terms (Elasticsearch ``significant_terms``, JLH
@@ -1856,6 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_bm25": q_synonym_bm25,
         "spell_suggest": q_spell_suggest,
         "sig_terms": q_sig_terms,
+        "rescore_bm25": q_rescore_bm25,
         "prefix_wand": q_prefix_wand,
         "facet_counts": q_facet_counts,
         "rep_ratio": q_rep_ratio,
@@ -2557,6 +2635,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": _phrase_sql(),
         "phrase_pos_search": _phrase_pos_sql(),
         "phrase_batch": _phrase_batch_sql(),
+        "rescore_bm25": _rescore_sql(),
         "proximity_search": f"""
             WITH toks AS (
               SELECT doc_id, unnest(sp) AS tok,
@@ -2833,6 +2912,64 @@ def _phrase_batch_sql() -> str:
         SELECT phrase_id, doc_id, count(*)::bigint AS n_occurrences
         FROM occ WHERE nm = plen GROUP BY 1, 2
     """
+
+
+def _rescore_sql() -> str:
+    """DuckDB twin of q_rescore_bm25: the BM25 CTE stack of _bm25_sql
+    feeding a LIMIT-``RESCORE_WINDOW`` window, left-joined to the
+    positional-join phrase counter of _phrase_pos_sql restricted to
+    the window, re-ranked by s + RESCORE_W * n_occurrences."""
+    words = RESCORE_PHRASE.split()
+    joins = "\n".join(
+        f"JOIN (SELECT doc_id, pos - {j} AS pos FROM ptoks "
+        f"WHERE tok = '{w}') w{j} USING (doc_id, pos)"
+        for j, w in enumerate(words[1:], 1)
+    )
+    terms_in = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH toks AS ({_TOKS_SQL}),
+tf AS (SELECT doc_id, term, count(*)::bigint AS tf FROM toks
+       GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::bigint AS dl FROM toks
+       GROUP BY doc_id),
+stats AS (SELECT count(*)::bigint AS n_docs, avg(dl) AS avgdl FROM dl),
+qtf AS (SELECT * FROM tf WHERE term IN ({terms_in})),
+dfx AS (SELECT term, count(*)::bigint AS df FROM qtf GROUP BY term),
+scored AS (
+  SELECT qtf.doc_id,
+         sum( ln((stats.n_docs - dfx.df + 0.5)/(dfx.df + 0.5) + 1.0)
+              * qtf.tf * {K1 + 1.0}
+              / (qtf.tf + {K1}*(1.0 - {B} + {B}*dl.dl/stats.avgdl)) )
+           AS s,
+         count(*)::int AS n_terms_matched
+  FROM qtf JOIN dfx USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+  GROUP BY qtf.doc_id
+),
+win AS (SELECT * FROM scored
+        ORDER BY s DESC, doc_id ASC LIMIT {RESCORE_WINDOW}),
+ptoks AS (
+  SELECT doc_id, unnest(sp) AS tok,
+         unnest(range(1, len(sp) + 1)) AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS sp
+        FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM win))
+),
+ph AS (
+  SELECT doc_id, count(*)::bigint AS n_occurrences
+  FROM (SELECT doc_id, pos FROM ptoks
+        WHERE tok = '{words[0]}') w0
+  {joins}
+  GROUP BY doc_id
+)
+SELECT doc_id,
+       round(s + {RESCORE_W} * coalesce(n_occurrences, 0), 6) AS score,
+       n_terms_matched,
+       coalesce(n_occurrences, 0)::bigint AS n_occurrences
+FROM win LEFT JOIN ph USING(doc_id)
+ORDER BY s + {RESCORE_W} * coalesce(n_occurrences, 0) DESC,
+         doc_id ASC
+LIMIT 10
+"""
 
 
 def _ann_oracle_sqls() -> dict[str, str]:

@@ -372,6 +372,46 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                            snippet_q=" ".join(terms) if want_snippets
                            else None)
                 return
+            rescore = (qs.get("rescore") or [""])[0]
+            if rescore.strip():
+                # ?q=...&rescore=<phrase>[&rescore_w=W&window=N] —
+                # Elasticsearch rescore: only the top-`window` BM25
+                # hits pay for the exact-phrase count, then re-rank by
+                # score + W * n_occurrences (score_mode=total)
+                try:
+                    window = int((qs.get("window") or ["50"])[0])
+                    weight = float(
+                        (qs.get("rescore_w") or ["2.0"])[0]
+                    )
+                except ValueError:
+                    self._json(400, {
+                        "error": "window must be an int and "
+                                 "rescore_w a float"
+                    })
+                    return
+                try:
+                    hits4 = searcher.search_rescored(
+                        q, rescore.strip(), k=k, window=window,
+                        weight=weight, mode=mode,
+                    )
+                except ValueError as e:
+                    self._json(400, {"error": str(e)})
+                    return
+                self._json(200, {
+                    "q": q, "rescore": rescore.strip(), "k": k,
+                    "window": window, "rescore_w": weight,
+                    "n_results": len(hits4),
+                    "results": [
+                        {
+                            "doc_id": int(d),
+                            "score": round(float(s), 6),
+                            "n_terms_matched": int(m),
+                            "n_occurrences": int(n),
+                        }
+                        for d, s, m, n in hits4
+                    ],
+                })
+                return
             hits = searcher.search(q, k=k, mode=mode)
             if (qs.get("explain") or ["0"])[0] not in ("0", "", "false"):
                 # ?explain=1 — Lucene explain parity: each hit carries

@@ -1477,24 +1477,98 @@ class DirectSearcher:
         # positional-query bound), independent of candidate count —
         # the per-doc loop this replaces was 600-3300ms on
         # common-token phrases at sf0.1; this is ~10-40ms.
-        keys: dict[str, "np.ndarray"] = {}
-        for t in sorted(set(terms)):
-            keys[t] = self._term_position_keys(t)
-            if not len(keys[t]):
-                return []
-        cur = keys[terms[0]]
-        for j, t in enumerate(terms[1:], 1):
-            if not len(cur):
-                return []
-            cur = cur[np.isin(cur + j, keys[t], assume_unique=True)]
-        if not len(cur):
-            return []
-        docs = cur >> np.int64(self._pos_bits)
-        uniq, counts = np.unique(docs, return_counts=True)
+        uniq, counts = self._phrase_occurrence_counts(terms)
         order = sorted(
             range(len(uniq)), key=lambda i: (-counts[i], uniq[i])
         )[:k]
         return [(int(uniq[i]), int(counts[i])) for i in order]
+
+    def _phrase_occurrence_counts(self, terms: "list[str]",
+                                  within=None):
+        """(doc_ids, counts) numpy pair of per-document exact-phrase
+        occurrence counts for pre-analyzed ``terms``, vectorized over
+        packed (doc_id << pos_bits) | pos keys: every occurrence of
+        terms[0] is a chain start, and "term_j adjacent at offset j"
+        is one np.isin of (keys + j) against term_j's key set — the
+        doc id rides along in the high bits, so matches can never
+        cross documents. Cost ~ sum of the terms' position-list sizes
+        (the textbook positional-query bound), independent of
+        candidate count — the per-doc loop this replaced was
+        600-3300ms on common-token phrases at sf0.1; this is ~10-40ms.
+
+        ``within`` (sorted unique int64 doc-id ndarray) drops chain
+        starts outside the set up front, bounding the chain work by
+        the candidate window — the rescore path's contract."""
+        import numpy as np
+
+        keys: dict[str, "np.ndarray"] = {}
+        empty = (np.empty(0, dtype=np.int64),
+                 np.empty(0, dtype=np.int64))
+        for t in sorted(set(terms)):
+            keys[t] = self._term_position_keys(t)
+            if not len(keys[t]):
+                return empty
+        cur = keys[terms[0]]
+        if within is not None:
+            docs0 = cur >> np.int64(self._pos_bits)
+            cur = cur[np.isin(docs0, within, assume_unique=False)]
+        for j, t in enumerate(terms[1:], 1):
+            if not len(cur):
+                return empty
+            cur = cur[np.isin(cur + j, keys[t], assume_unique=True)]
+        if not len(cur):
+            return empty
+        docs = cur >> np.int64(self._pos_bits)
+        return np.unique(docs, return_counts=True)
+
+    def search_rescored(self, qtext: str, phrase: str, k: int = 10,
+                        window: int = 50, weight: float = 2.0,
+                        mode: str = "or"):
+        """Window rescoring (Elasticsearch ``rescore``, Lucene
+        QueryRescorer, score_mode=total): BM25 ranks the whole corpus,
+        then only the top ``window`` docs pay for the expensive second
+        query — an exact-phrase occurrence count from the positional
+        sidecar — and are re-ranked by
+        ``score + weight * n_occurrences``. With ``weight >= 0`` every
+        window doc's rescored score stays >= every non-window doc's
+        BM25 score, so the final top-k is provably inside the window
+        and the global ranking is exact for k <= window.
+
+        Returns [(doc_id, rescored_score, n_terms_matched,
+        n_occurrences)]. The phrase chain is seeded only from
+        occurrences inside the window (``within=``), so the rescore
+        query's cost is bounded by the window — the entire point of
+        the operator. Declarative twin: harness.q_rescore_bm25."""
+        import numpy as np
+
+        if window < k:
+            raise ValueError("window must be >= k")
+        if weight < 0:
+            raise ValueError(
+                "negative weight breaks the window-closure guarantee"
+            )
+        self._check_positions_coverage()
+        from rse_spark.tokenizer import tokenize
+
+        terms = tokenize(phrase, self.analyzer)
+        if not terms:
+            raise ValueError("phrase has no indexable terms")
+        hits = self.search(qtext, k=window, mode=mode)
+        if not hits:
+            return []
+        win_ids = np.unique(
+            np.array([d for d, _s, _m in hits], dtype=np.int64)
+        )
+        docs, counts = self._phrase_occurrence_counts(
+            terms, within=win_ids
+        )
+        occ = dict(zip(docs.tolist(), counts.tolist()))
+        rescored = [
+            (d, s + weight * occ.get(d, 0), m, int(occ.get(d, 0)))
+            for d, s, m in hits
+        ]
+        rescored.sort(key=lambda r: (-r[1], r[0]))
+        return rescored[:k]
 
     def near_search_positions(self, first: str, second: str,
                               max_dist: int, k: int = 10,

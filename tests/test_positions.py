@@ -822,3 +822,85 @@ def test_http_near_unordered(spark, pos_index):
             assert json.load(r)["ordered"] is True
     finally:
         srv.stop()
+
+
+def test_search_rescored_semantics(spark, pos_index):
+    """Rescoring (ES rescore / Lucene QueryRescorer) == brute-force
+    reference built from the two INDEPENDENT primitives: plain BM25
+    top-window + the content-verify phrase counter."""
+    s = DirectSearcher(pos_index, analyzer="simple")
+    q, phrase, window, w = "spark join filter", "the data", 50, 2.0
+    base = s.search(q, k=window)
+    counts = dict(
+        s.phrase_search(phrase, DOCS, k=10**6, content_col="text")
+    )
+    expected = sorted(
+        (
+            (d, sc + w * counts.get(d, 0), m, counts.get(d, 0))
+            for d, sc, m in base
+        ),
+        key=lambda r: (-r[1], r[0]),
+    )[:10]
+    got = s.search_rescored(q, phrase, k=10, window=window, weight=w)
+    assert [(d, m, n) for d, _sc, m, n in got] == [
+        (d, m, n) for d, _sc, m, n in expected
+    ]
+    for (_, sg, _, _), (_, se, _, _) in zip(got, expected):
+        assert abs(sg - se) < 1e-9
+    # the phrase actually re-ranks at this scale: some returned doc
+    # carries an occurrence
+    assert any(n > 0 for _, _, _, n in got)
+    # weight=0 degenerates to plain BM25 (same docs, same scores)
+    plain = s.search(q, k=10)
+    zero = s.search_rescored(q, phrase, k=10, window=window, weight=0.0)
+    assert [(d, sc, m) for d, sc, m, _n in zero] == plain
+
+
+def test_search_rescored_validation(spark, pos_index):
+    s = DirectSearcher(pos_index, analyzer="simple")
+    with pytest.raises(ValueError, match="window"):
+        s.search_rescored("spark", "the data", k=10, window=5)
+    with pytest.raises(ValueError, match="weight"):
+        s.search_rescored("spark", "the data", weight=-1.0)
+    with pytest.raises(ValueError, match="indexable"):
+        s.search_rescored("spark", "", k=5)
+
+
+def test_http_rescore(spark, pos_index):
+    """?q=&rescore= — window rescoring over HTTP mirrors the serving
+    tier; bad parameters are 400s."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    from rse_spark.query.http import SearchServer
+
+    srv = SearchServer(pos_index, analyzer="simple").start()
+    try:
+        with urllib.request.urlopen(
+            f"{srv.address}/search?q=spark+join&rescore=the+data"
+            f"&k=5&window=30&rescore_w=1.5",
+            timeout=30,
+        ) as r:
+            body = json.load(r)
+        direct = srv.searcher.search_rescored(
+            "spark join", "the data", k=5, window=30, weight=1.5
+        )
+        assert [
+            (h["doc_id"], h["n_terms_matched"], h["n_occurrences"])
+            for h in body["results"]
+        ] == [(d, m, n) for d, _sc, m, n in direct]
+        assert body["window"] == 30 and body["rescore_w"] == 1.5
+        for e in (
+            "?q=spark&rescore=the+data&window=abc",
+            "?q=spark&rescore=the+data&k=10&window=5",
+        ):
+            try:
+                urllib.request.urlopen(
+                    f"{srv.address}/search{e}", timeout=30
+                )
+                raise AssertionError("expected HTTP 400")
+            except urllib.error.HTTPError as err:
+                assert err.code == 400
+    finally:
+        srv.stop()
