@@ -119,7 +119,8 @@ def _bm25(spark, sf_dir, mode: str, prefix: str | None = None,
           boosts: dict[str, float] | None = None,
           collapse: str | None = None,
           mlt_doc: int | None = None,
-          dlen_range: tuple[int, int] | None = None) -> DataFrame:
+          dlen_range: tuple[int, int] | None = None,
+          msm: int | None = None) -> DataFrame:
     """Declarative single-DAG BM25 (no driver-side collects): stats join
     via broadcast cross-join of the 1-row corpus_stats. ``prefix``
     switches term selection from the fixed BM25_TERMS list to
@@ -235,6 +236,12 @@ def _bm25(spark, sf_dir, mode: str, prefix: str | None = None,
     )
     if mode == "and":
         agg = agg.filter(F.col("n_terms_matched") == len(BM25_TERMS))
+    if msm is not None:
+        # minimum_should_match (Lucene BooleanQuery
+        # minimumNumberShouldMatch): the dial between or (1) and
+        # and (all) — a filter on the match count the scorer already
+        # computes, no extra shuffle
+        agg = agg.filter(F.col("n_terms_matched") >= msm)
     if lang is not None:
         # metadata filter: semi-join against the (doc_id) set of the
         # requested language — no columns carried, planner free to pick
@@ -293,6 +300,19 @@ def q_bm25_topk(spark, sf_dir):
 
 def q_bm25_and(spark, sf_dir):
     return _bm25(spark, sf_dir, "and")
+
+
+MSM_N = 2  # minimum_should_match probe: 2 of the 3 query terms
+
+
+def q_msm_bm25(spark, sf_dir):
+    """minimum_should_match (Lucene BooleanQuery
+    minimumNumberShouldMatch, ES minimum_should_match): BM25 top-k
+    over docs matching at least MSM_N distinct query terms — the dial
+    between mode='or' (1) and mode='and' (all). A filter on the match
+    count the scorer already computes, so it adds no shuffle. Serving
+    twin: DirectSearcher.search(min_match=N)."""
+    return _bm25(spark, sf_dir, "or", msm=MSM_N)
 
 
 META_LANG = "de"  # metadata-filter probe: minority language
@@ -852,7 +872,8 @@ def _bm25_sql(mode: str, prefix: str | None = None,
               boosts: dict[str, float] | None = None,
               collapse: str | None = None,
               mlt_doc: int | None = None,
-              dlen_range: tuple[int, int] | None = None) -> str:
+              dlen_range: tuple[int, int] | None = None,
+              msm: int | None = None) -> str:
     if prefix is not None:
         where = (
             f"term IN (SELECT DISTINCT term FROM tf WHERE term LIKE "
@@ -896,6 +917,8 @@ def _bm25_sql(mode: str, prefix: str | None = None,
     having = (
         f"HAVING count(*) = {len(BM25_TERMS)}" if mode == "and" else ""
     )
+    if msm is not None:
+        having = f"HAVING count(*) >= {msm}"
     if lang is not None:
         meta_where = (
             f"WHERE doc_id IN (SELECT doc_id FROM documents "
@@ -1882,6 +1905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "meta_bm25": q_meta_bm25,
         "bm25_and": q_bm25_and,
+        "msm_bm25": q_msm_bm25,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_batch": q_bm25_batch,
         "tpch_q1": q_tpch_q1,
@@ -2195,6 +2219,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql("or"),
         "meta_bm25": _bm25_sql("or", lang=META_LANG),
         "bm25_and": _bm25_sql("and"),
+        "msm_bm25": _bm25_sql("or", msm=MSM_N),
         "bm25_wand_topk": _bm25_sql("or"),
         "bm25_batch": f"""
             WITH toks AS ({_TOKS_SQL}),

@@ -412,7 +412,23 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                     ],
                 })
                 return
-            hits = searcher.search(q, k=k, mode=mode)
+            msm_raw = (qs.get("msm") or [""])[0]
+            min_match = None
+            if msm_raw.strip():
+                # ?msm=N — ES minimum_should_match: docs must match
+                # at least N distinct query terms (or-mode only; and
+                # IS msm=all)
+                try:
+                    min_match = int(msm_raw)
+                except ValueError:
+                    self._json(400, {"error": "msm must be an int"})
+                    return
+            try:
+                hits = searcher.search(q, k=k, mode=mode,
+                                       min_match=min_match)
+            except ValueError as e:
+                self._json(400, {"error": str(e)})
+                return
             if (qs.get("explain") or ["0"])[0] not in ("0", "", "false"):
                 # ?explain=1 — Lucene explain parity: each hit carries
                 # its full per-term BM25 breakdown (one posting probe

@@ -616,7 +616,7 @@ class DirectSearcher:
         return iters
 
     def search(self, qtext: str, k: int = 10, mode: str = "or",
-               algo: str = "numpy"):
+               algo: str = "numpy", min_match: "int | None" = None):
         """Top-k BM25 — returns [(doc_id, score, n_terms_matched)].
 
         ``algo='numpy'`` (default): decode every matched list with the
@@ -625,15 +625,22 @@ class DirectSearcher:
         pruning because ALL per-posting math is C. ``algo='wand'``:
         the block-skipping cursor path (identical results) — wins when
         a single giant list dwarfs k and block upper bounds are tight.
-        """
+
+        ``min_match`` (Lucene BooleanQuery minimumNumberShouldMatch /
+        ES minimum_should_match): keep only docs matching at least
+        that many DISTINCT query terms — the dial between mode='or'
+        (1) and mode='and' (all). Numpy algo only: the count is one
+        extra bincount on work the scorer already did."""
         return self._search_qtf(
-            query_terms(qtext, self.analyzer), k, mode, algo
+            query_terms(qtext, self.analyzer), k, mode, algo,
+            min_match=min_match,
         )
 
     def search_terms(self, terms: list[str], k: int = 10,
                      mode: str = "or", algo: str = "numpy",
                      within=None,
-                     boosts: "dict[str, float] | None" = None):
+                     boosts: "dict[str, float] | None" = None,
+                     min_match: "int | None" = None):
         """Top-k over PRE-ANALYZED terms (no tokenizer pass) — the
         entry point for dictionary-expanded queries (prefix), where
         re-analyzing expanded vocabulary terms would re-stem them.
@@ -652,7 +659,8 @@ class DirectSearcher:
         if boosts:
             for t in qtf:
                 qtf[t] *= boosts.get(t, 1.0)
-        return self._search_qtf(qtf, k, mode, algo, within=within)
+        return self._search_qtf(qtf, k, mode, algo, within=within,
+                                min_match=min_match)
 
     def term_docs(self, term: str) -> "object":
         """Sorted unique doc_id array of one PRE-ANALYZED term —
@@ -1907,11 +1915,23 @@ class DirectSearcher:
         return out
 
     def _search_qtf(self, qtf: "dict[str, float]", k: int, mode: str,
-                    algo: str, within=None):
+                    algo: str, within=None,
+                    min_match: "int | None" = None):
         if not qtf:
             return []
         self._check_generation()
         terms = sorted(qtf)
+        if min_match is not None:
+            if not 1 <= min_match <= len(terms):
+                raise ValueError(
+                    f"min_match must be in [1, {len(terms)}] for "
+                    f"this query"
+                )
+            if algo != "numpy" or mode != "or":
+                raise ValueError(
+                    "min_match needs mode='or' and algo='numpy' "
+                    "(it generalizes or->and; 'and' IS min_match=all)"
+                )
         weights = {
             t: qtf[t] * idf_fn(self.term_dict.get(t, (0, 0))[0], self.n_docs)
             for t in terms
@@ -1923,7 +1943,8 @@ class DirectSearcher:
         )
         if algo == "numpy" or within is not None:
             return self._search_numpy(terms, weights, k, mode,
-                                      within=within)
+                                      within=within,
+                                      min_match=min_match)
         per_segment = self._matched_lists(terms, weights)
         results: list[tuple[int, float, int]] = []
         n_terms = len(terms)
@@ -1947,7 +1968,7 @@ class DirectSearcher:
         return results[:k]
 
     def _search_numpy(self, terms, weights, k: int, mode: str,
-                      within=None):
+                      within=None, min_match: "int | None" = None):
         """Vectorized exact scoring across all matched lists.
 
         ``within`` (sorted unique int64 array) drops postings outside
@@ -1990,8 +2011,9 @@ class DirectSearcher:
         uniq, inv = np.unique(docs, return_inverse=True)
         agg = np.bincount(inv, weights=scores)
         matched = np.bincount(inv).astype(np.int64)
-        if mode == "and":
-            keep = matched == len(terms)
+        if mode == "and" or min_match is not None:
+            need = len(terms) if mode == "and" else min_match
+            keep = matched >= need
             uniq, agg, matched = uniq[keep], agg[keep], matched[keep]
             if len(uniq) == 0:
                 return []

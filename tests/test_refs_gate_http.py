@@ -521,3 +521,35 @@ def test_http_docvec_and_count(http_index):
     finally:
         srv.stop()
 
+
+
+def test_http_min_match(http_index):
+    """?msm=N filters hits to >= N distinct matched terms; bad values
+    are 400s."""
+    from rse_spark.query.http import SearchServer
+
+    srv = SearchServer(http_index, analyzer="simple").start()
+    try:
+        with urllib.request.urlopen(
+            f"{srv.address}/search?q=spark+join+filter&k=10&msm=2",
+            timeout=30,
+        ) as r:
+            body = json.load(r)
+        direct = srv.searcher.search(
+            "spark join filter", k=10, min_match=2
+        )
+        assert [h["doc_id"] for h in body["results"]] == [
+            d for d, _s, _m in direct
+        ]
+        assert all(h["n_terms_matched"] >= 2 for h in body["results"])
+        for bad in ("msm=abc", "msm=0", "msm=9", "msm=2&mode=and"):
+            try:
+                urllib.request.urlopen(
+                    f"{srv.address}/search?q=spark+join+filter&{bad}",
+                    timeout=30,
+                )
+                raise AssertionError("expected HTTP 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+    finally:
+        srv.stop()

@@ -444,3 +444,33 @@ def test_term_vector_and_count(root):
     assert searcher.count(q) == len(searcher.search(q, k=10**9))
     assert searcher.count("zzzmissingterm") == 0
     assert searcher.count("zzzmissingterm parse", mode="and") == 0
+
+
+def test_min_match_dial(root):
+    """minimum_should_match: msm=1 == or-mode, msm=n_terms == and-mode,
+    and intermediate values keep exactly the docs matching >= N
+    distinct terms (checked against the exhaustive or-mode list)."""
+    s = DirectSearcher(root, analyzer="code")
+    q = "parse index merge"
+    n_terms = 3
+    allhits = s.search(q, k=10**6, mode="or")
+    assert any(m < n_terms for _, _, m in allhits), "probe too easy"
+    for msm in (1, 2, 3):
+        got = s.search(q, k=10**6, min_match=msm)
+        want = sorted(
+            [h for h in allhits if h[2] >= msm],
+            key=lambda h: (-h[1], h[0]),
+        )
+        assert got == want, msm
+    assert s.search(q, k=50, min_match=1) == s.search(q, k=50)
+    and_hits = s.search(q, k=50, mode="and")
+    assert s.search(q, k=50, min_match=n_terms) == and_hits
+    # validation: out-of-range msm, wrong mode/algo
+    with pytest.raises(ValueError, match="min_match"):
+        s.search(q, min_match=0)
+    with pytest.raises(ValueError, match="min_match"):
+        s.search(q, min_match=4)
+    with pytest.raises(ValueError, match="mode"):
+        s.search(q, mode="and", min_match=2)
+    with pytest.raises(ValueError, match="mode"):
+        s.search(q, algo="wand", min_match=2)
