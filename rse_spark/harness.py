@@ -498,6 +498,68 @@ def q_rescore_bm25(spark, sf_dir):
     )
 
 
+def q_search_after(spark, sf_dir):
+    """Deep pagination by cursor (ES ``search_after``): page 2 of the
+    BM25 ranking, qualified as "strictly after the (score, doc_id)
+    sort key of page 1's last hit" — the cursor algebra, NOT
+    offset+limit. The cursor is one broadcast row, the page filter is
+    a scan-side predicate, and the page itself is a
+    TakeOrderedAndProject — page N never builds a k*N heap or a
+    global sort, which is why this is the scale-safe pagination shape.
+    Serving twin: DirectSearcher.search(after=(score, doc_id))."""
+    toks = _toks(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qtf = tf.filter(F.col("term").isin(BM25_TERMS))
+    dfx = qtf.groupBy("term").agg(F.count("*").alias("df"))
+    agg = (
+        qtf.join(F.broadcast(dfx), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0
+            )
+            * F.col("tf") * (K1 + 1.0)
+            / (
+                F.col("tf")
+                + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("contrib").alias("s"),
+            F.count("*").cast("int").alias("n_terms_matched"),
+        )
+    )
+    cursor = (
+        agg.orderBy(F.desc("s"), F.asc("doc_id")).limit(10)
+        .orderBy(F.asc("s"), F.desc("doc_id")).limit(1)
+        .select(
+            F.col("s").alias("c_s"), F.col("doc_id").alias("c_d")
+        )
+    )
+    return (
+        agg.crossJoin(F.broadcast(cursor))
+        .filter(
+            (F.col("s") < F.col("c_s"))
+            | ((F.col("s") == F.col("c_s"))
+               & (F.col("doc_id") > F.col("c_d")))
+        )
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(10)
+        .select(
+            "doc_id", F.round("s", 6).alias("score"),
+            "n_terms_matched",
+        )
+    )
+
+
 def q_sig_terms(spark, sf_dir):
     """Significant terms (Elasticsearch ``significant_terms``, JLH
     heuristic): terms overrepresented in the docs matching a query
@@ -1958,6 +2020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_suggest": q_spell_suggest,
         "sig_terms": q_sig_terms,
         "rescore_bm25": q_rescore_bm25,
+        "search_after": q_search_after,
         "prefix_wand": q_prefix_wand,
         "facet_counts": q_facet_counts,
         "rep_ratio": q_rep_ratio,
@@ -2661,6 +2724,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_pos_search": _phrase_pos_sql(),
         "phrase_batch": _phrase_batch_sql(),
         "rescore_bm25": _rescore_sql(),
+        "search_after": _search_after_sql(),
         "proximity_search": f"""
             WITH toks AS (
               SELECT doc_id, unnest(sp) AS tok,
@@ -2937,6 +3001,41 @@ def _phrase_batch_sql() -> str:
         SELECT phrase_id, doc_id, count(*)::bigint AS n_occurrences
         FROM occ WHERE nm = plen GROUP BY 1, 2
     """
+
+
+def _search_after_sql() -> str:
+    """DuckDB twin of q_search_after: same BM25 CTE stack, the cursor
+    row picked as page 1's weakest hit, the page-2 predicate the
+    strictly-after compare on (s DESC, doc_id ASC)."""
+    terms_in = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH toks AS ({_TOKS_SQL}),
+tf AS (SELECT doc_id, term, count(*)::bigint AS tf FROM toks
+       GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::bigint AS dl FROM toks
+       GROUP BY doc_id),
+stats AS (SELECT count(*)::bigint AS n_docs, avg(dl) AS avgdl FROM dl),
+qtf AS (SELECT * FROM tf WHERE term IN ({terms_in})),
+dfx AS (SELECT term, count(*)::bigint AS df FROM qtf GROUP BY term),
+scored AS (
+  SELECT qtf.doc_id,
+         sum( ln((stats.n_docs - dfx.df + 0.5)/(dfx.df + 0.5) + 1.0)
+              * qtf.tf * {K1 + 1.0}
+              / (qtf.tf + {K1}*(1.0 - {B} + {B}*dl.dl/stats.avgdl)) )
+           AS s,
+         count(*)::int AS n_terms_matched
+  FROM qtf JOIN dfx USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+  GROUP BY qtf.doc_id
+),
+page1 AS (SELECT * FROM scored ORDER BY s DESC, doc_id ASC LIMIT 10),
+cur AS (SELECT s AS c_s, doc_id AS c_d FROM page1
+        ORDER BY s ASC, doc_id DESC LIMIT 1)
+SELECT doc_id, round(s, 6) AS score, n_terms_matched
+FROM scored, cur
+WHERE s < c_s OR (s = c_s AND doc_id > c_d)
+ORDER BY s DESC, doc_id ASC
+LIMIT 10
+"""
 
 
 def _rescore_sql() -> str:

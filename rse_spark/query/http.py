@@ -423,12 +423,33 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                 except ValueError:
                     self._json(400, {"error": "msm must be an int"})
                     return
+            after = None
+            after_raw = (qs.get("after") or [""])[0]
+            if after_raw.strip():
+                # ?after=<score>,<doc_id> — ES search_after deep
+                # pagination: the previous page's last sort key
+                # (served full-precision as next_after); strictly-
+                # after docs qualify, so page N costs one scoring
+                # pass, not a k*N heap
+                try:
+                    sa, da = after_raw.split(",")
+                    after = (float(sa), int(da))
+                except ValueError:
+                    self._json(400, {
+                        "error": "after must be score,doc_id"
+                    })
+                    return
             try:
                 hits = searcher.search(q, k=k, mode=mode,
-                                       min_match=min_match)
+                                       min_match=min_match,
+                                       after=after)
             except ValueError as e:
                 self._json(400, {"error": str(e)})
                 return
+            cursor_extra = (
+                {"next_after": [float(hits[-1][1]), int(hits[-1][0])]}
+                if hits else {}
+            )
             if (qs.get("explain") or ["0"])[0] not in ("0", "", "false"):
                 # ?explain=1 — Lucene explain parity: each hit carries
                 # its full per-term BM25 breakdown (one posting probe
@@ -437,10 +458,11 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                            extra={"explanations": [
                                searcher.explain(q, d)
                                for d, _s, _m in hits
-                           ]},
+                           ], **cursor_extra},
                            snippet_q=q if want_snippets else None)
                 return
             self._page(q, k, mode, hits,
+                       extra=cursor_extra or None,
                        snippet_q=q if want_snippets else None)
 
         def _phrase(self, phrase: str, k: int,

@@ -616,7 +616,8 @@ class DirectSearcher:
         return iters
 
     def search(self, qtext: str, k: int = 10, mode: str = "or",
-               algo: str = "numpy", min_match: "int | None" = None):
+               algo: str = "numpy", min_match: "int | None" = None,
+               after: "tuple[float, int] | None" = None):
         """Top-k BM25 — returns [(doc_id, score, n_terms_matched)].
 
         ``algo='numpy'`` (default): decode every matched list with the
@@ -630,10 +631,17 @@ class DirectSearcher:
         ES minimum_should_match): keep only docs matching at least
         that many DISTINCT query terms — the dial between mode='or'
         (1) and mode='and' (all). Numpy algo only: the count is one
-        extra bincount on work the scorer already did."""
+        extra bincount on work the scorer already did.
+
+        ``after`` (ES search_after): the (score, doc_id) sort key of
+        the previous page's last hit; only docs STRICTLY after it in
+        (score desc, doc_id asc) order qualify — deep pagination
+        without from+size over-fetch: page N costs the same one
+        scoring pass as page 1, never k*N heap slots. Numpy algo only.
+        """
         return self._search_qtf(
             query_terms(qtext, self.analyzer), k, mode, algo,
-            min_match=min_match,
+            min_match=min_match, after=after,
         )
 
     def search_terms(self, terms: list[str], k: int = 10,
@@ -1916,7 +1924,8 @@ class DirectSearcher:
 
     def _search_qtf(self, qtf: "dict[str, float]", k: int, mode: str,
                     algo: str, within=None,
-                    min_match: "int | None" = None):
+                    min_match: "int | None" = None,
+                    after: "tuple[float, int] | None" = None):
         if not qtf:
             return []
         self._check_generation()
@@ -1932,6 +1941,8 @@ class DirectSearcher:
                     "min_match needs mode='or' and algo='numpy' "
                     "(it generalizes or->and; 'and' IS min_match=all)"
                 )
+        if after is not None and algo != "numpy":
+            raise ValueError("after needs algo='numpy'")
         weights = {
             t: qtf[t] * idf_fn(self.term_dict.get(t, (0, 0))[0], self.n_docs)
             for t in terms
@@ -1944,7 +1955,8 @@ class DirectSearcher:
         if algo == "numpy" or within is not None:
             return self._search_numpy(terms, weights, k, mode,
                                       within=within,
-                                      min_match=min_match)
+                                      min_match=min_match,
+                                      after=after)
         per_segment = self._matched_lists(terms, weights)
         results: list[tuple[int, float, int]] = []
         n_terms = len(terms)
@@ -1968,7 +1980,8 @@ class DirectSearcher:
         return results[:k]
 
     def _search_numpy(self, terms, weights, k: int, mode: str,
-                      within=None, min_match: "int | None" = None):
+                      within=None, min_match: "int | None" = None,
+                      after: "tuple[float, int] | None" = None):
         """Vectorized exact scoring across all matched lists.
 
         ``within`` (sorted unique int64 array) drops postings outside
@@ -2014,6 +2027,15 @@ class DirectSearcher:
         if mode == "and" or min_match is not None:
             need = len(terms) if mode == "and" else min_match
             keep = matched >= need
+            uniq, agg, matched = uniq[keep], agg[keep], matched[keep]
+            if len(uniq) == 0:
+                return []
+        if after is not None:
+            # search_after cursor: strictly after (s, doc) in
+            # (score desc, doc_id asc) order — one vectorized compare,
+            # then the SAME kth-partition top-k on the survivors
+            s_a, d_a = float(after[0]), int(after[1])
+            keep = (agg < s_a) | ((agg == s_a) & (uniq > d_a))
             uniq, agg, matched = uniq[keep], agg[keep], matched[keep]
             if len(uniq) == 0:
                 return []

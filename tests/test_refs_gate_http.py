@@ -553,3 +553,37 @@ def test_http_min_match(http_index):
                 assert e.code == 400
     finally:
         srv.stop()
+
+
+def test_http_search_after(http_index):
+    """?after=score,doc_id pages by cursor; next_after chains pages
+    with full-precision sort keys."""
+    from rse_spark.query.http import SearchServer
+
+    srv = SearchServer(http_index, analyzer="simple").start()
+    try:
+        with urllib.request.urlopen(
+            f"{srv.address}/search?q=spark+join&k=5", timeout=30
+        ) as r:
+            p1 = json.load(r)
+        sa, da = p1["next_after"]
+        with urllib.request.urlopen(
+            f"{srv.address}/search?q=spark+join&k=5&after={sa!r},{da}",
+            timeout=30,
+        ) as r:
+            p2 = json.load(r)
+        direct = srv.searcher.search("spark join", k=10)
+        got = [h["doc_id"] for h in p1["results"] + p2["results"]]
+        assert got == [d for d, _s, _m in direct]
+        assert not set(h["doc_id"] for h in p1["results"]) & set(
+            h["doc_id"] for h in p2["results"]
+        )
+        try:
+            urllib.request.urlopen(
+                f"{srv.address}/search?q=spark&after=oops", timeout=30
+            )
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.stop()

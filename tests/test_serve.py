@@ -474,3 +474,26 @@ def test_min_match_dial(root):
         s.search(q, mode="and", min_match=2)
     with pytest.raises(ValueError, match="mode"):
         s.search(q, algo="wand", min_match=2)
+
+
+def test_search_after_pagination(root):
+    """search_after: walking pages by cursor reproduces the exhaustive
+    ranking exactly, with no overlap and no gaps."""
+    s = DirectSearcher(root, analyzer="code")
+    q = "parse index merge"
+    full = s.search(q, k=10**6)
+    assert len(full) > 25, "probe must span several pages"
+    pages, cursor = [], None
+    while True:
+        page = s.search(q, k=10, after=cursor)
+        if not page:
+            break
+        pages.extend(page)
+        cursor = (page[-1][1], page[-1][0])
+    assert pages == full
+    # cursor mid-tie: paging from inside a tie group never skips docs
+    mid = full[len(full) // 2]
+    rest = s.search(q, k=10**6, after=(mid[1], mid[0]))
+    assert rest == full[full.index(mid) + 1:]
+    with pytest.raises(ValueError, match="algo"):
+        s.search(q, algo="wand", after=(1.0, 0))
