@@ -391,6 +391,22 @@ def q_regex_bm25(spark, sf_dir):
     return _bm25(spark, sf_dir, "or", regex=REGEX_Q)
 
 
+WILDCARD_Q = "s?a*"  # WildcardQuery probe: scan, small, spark
+
+
+def q_wildcard_bm25(spark, sf_dir):
+    """WildcardQuery end-to-end, declarative tier: the pattern is
+    translated ONCE to a portable regex (textmatch.wildcard_to_regex
+    — only ``.``/``.*``/escaped literals, so Java rlike, Python re,
+    and DuckDB regexp_full_match agree) and rides the same capped
+    full-match dictionary expansion as /regex/ atoms. Serving twin:
+    DirectSearcher.expand_wildcard; qlang spells it as a mid-string
+    ``*``/``?`` atom (``s?ar*``)."""
+    from rse_spark.query.textmatch import wildcard_to_regex
+
+    return _bm25(spark, sf_dir, "or", regex=wildcard_to_regex(WILDCARD_Q))
+
+
 FUZZY_Q = ("sort", 2)  # matches sort (d=0) and part (d=2) in fixtures
 
 
@@ -2011,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_unordered": q_proximity_unordered,
         "prefix_bm25": q_prefix_bm25,
         "regex_bm25": q_regex_bm25,
+        "wildcard_bm25": q_wildcard_bm25,
         "fuzzy_bm25": q_fuzzy_bm25,
         "boost_bm25": q_boost_bm25,
         "collapse_bm25": q_collapse_bm25,
@@ -2091,6 +2108,8 @@ def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from rse_spark.query.textmatch import wildcard_to_regex
+
     terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
     stop = ", ".join(f"'{s}'" for s in STOPWORDS)
     return {
@@ -2759,6 +2778,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "prefix_bm25": _bm25_sql("or", prefix=PREFIX),
         "regex_bm25": _bm25_sql("or", regex=REGEX_Q),
+        "wildcard_bm25": _bm25_sql(
+            "or", regex=wildcard_to_regex(WILDCARD_Q)),
         "fuzzy_bm25": _bm25_sql("or", fuzzy=FUZZY_Q),
         "boost_bm25": _bm25_sql("or", boosts=BOOST_Q),
         "collapse_bm25": _bm25_sql("or", collapse="lang"),

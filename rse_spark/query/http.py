@@ -181,14 +181,16 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
             near = (qs.get("near") or [""])[0]
             mlt = (qs.get("mlt") or [""])[0]
             syn = (qs.get("syn") or [""])[0]
-            given = [p for p in (q, phrase, prefix, ql, near, mlt, syn)
+            wildcard = (qs.get("wildcard") or [""])[0]
+            given = [p for p in (q, phrase, prefix, ql, near, mlt,
+                                 syn, wildcard)
                      if p.strip()]
             if len(given) != 1:
                 # GSE: empty query -> http.Error 400 (main.go:210-214);
                 # exactly one selector must be present
                 self._json(400, {
                     "error": "exactly one of q, phrase, prefix, ql, "
-                             "near, mlt, syn required"
+                             "near, mlt, syn, wildcard required"
                 })
                 return
             try:
@@ -368,6 +370,24 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                 terms = searcher.expand_prefix(prefix.strip())
                 hits = searcher.search_terms(terms, k=k, mode="or")
                 self._page(prefix, k, "or", hits,
+                           extra={"expanded_terms": terms},
+                           snippet_q=" ".join(terms) if want_snippets
+                           else None)
+                return
+            if wildcard.strip():
+                # ?wildcard=s?a* — Lucene WildcardQuery: capped
+                # dictionary expansion via the portable regex
+                # translation, then the standard or-mode scorer
+                try:
+                    terms = searcher.expand_wildcard(wildcard.strip())
+                except ValueError as e:
+                    self._json(400, {"error": str(e)})
+                    return
+                hits = (
+                    searcher.search_terms(terms, k=k, mode="or")
+                    if terms else []
+                )
+                self._page(wildcard, k, "or", hits,
                            extra={"expanded_terms": terms},
                            snippet_q=" ".join(terms) if want_snippets
                            else None)

@@ -309,6 +309,25 @@ def parse_ql(q: str) -> list[Clause]:
             else:
                 cur.regexes.append(pattern)
                 cur.regex_boosts.append(boost)
+        elif ("?" in tok or "*" in tok[:-1]) and "~" not in tok:
+            # mid-string wildcard — Lucene WildcardQuery (te?t,
+            # fil*er, *sort): translated once to a portable regex and
+            # carried on the SAME regex machinery (expansion, caps,
+            # negation, boosts). Trailing-only '*' stays the cheaper
+            # prefix atom below; '~' atoms stay fuzzy.
+            if set(tok) <= {"*", "?"}:
+                raise ValueError(
+                    f"unbounded wildcard atom {tok!r} (matches "
+                    f"everything)"
+                )
+            from rse_spark.query.textmatch import wildcard_to_regex
+
+            pattern = wildcard_to_regex(tok)
+            if neg:
+                cur.neg_regexes.append(pattern)
+            else:
+                cur.regexes.append(pattern)
+                cur.regex_boosts.append(boost)
         elif tok.endswith("*") and len(tok) > 1:
             if neg:
                 cur.neg_prefixes.append(tok[:-1])

@@ -840,6 +840,19 @@ class DirectSearcher:
         )
         return sorted(t for t in cand if rx.fullmatch(t))[:max_terms]
 
+    def expand_wildcard(self, pattern: str,
+                        max_terms: int = 64) -> list[str]:
+        """All indexed terms matching a Lucene WildcardQuery pattern
+        (``*`` = any run, ``?`` = one char) — translated once to a
+        portable regex (textmatch.wildcard_to_regex) and resolved by
+        :meth:`expand_regex`, so it inherits the literal-prefix range
+        restriction (``fil*er`` scans only the ``fil…`` vocab range)
+        and the rewrite cap. Raises ValueError for a wildcard-free
+        pattern."""
+        from rse_spark.query.textmatch import wildcard_to_regex
+
+        return self.expand_regex(wildcard_to_regex(pattern), max_terms)
+
     def expand_fuzzy(self, term: str, max_edits: int = 2,
                      max_terms: int = 64) -> list[str]:
         """All indexed terms within ``max_edits`` classic Levenshtein

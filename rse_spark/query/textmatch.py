@@ -255,6 +255,34 @@ def expand_regex(term_dict: DataFrame, pattern: str,
     return [r["term"] for r in rows]
 
 
+def wildcard_to_regex(pattern: str) -> str:
+    """Lucene WildcardQuery pattern -> portable regex: ``*`` matches
+    any run of characters, ``?`` exactly one; everything else is
+    literal (escaped). The output uses only ``.`` / ``.*`` / escaped
+    literals, so Python ``re``, Java ``rlike``, and DuckDB
+    ``regexp_full_match`` agree on it — one translation shared by the
+    declarative path, the serving tier, and the oracle. Raises
+    ValueError for an empty or wildcard-free pattern (an exact term is
+    a term query, not a wildcard query)."""
+    import re as _re
+
+    if not pattern:
+        raise ValueError("empty wildcard pattern")
+    if "*" not in pattern and "?" not in pattern:
+        raise ValueError(
+            "pattern has no wildcard; use a plain term query"
+        )
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "".join(out)
+
+
 def expand_fuzzy(term_dict: DataFrame, term: str, max_edits: int = 2,
                  max_terms: int = 64) -> list[str]:
     """Dictionary expansion for a fuzzy atom: all indexed terms within

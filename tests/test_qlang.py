@@ -777,3 +777,22 @@ def test_range_atom_http(planted):
         assert ei.value.code == 400
     finally:
         srv.stop()
+
+
+def test_wildcard_atom_parses_to_regex():
+    from rse_spark.query.qlang import parse_ql
+
+    cl = parse_ql("te?t AND fil*er")[0]
+    assert cl.regexes == ["te.t", "fil.*er"]
+    assert cl.terms == []
+    # trailing-only * stays the cheaper prefix atom
+    cl2 = parse_ql("pars*")[0]
+    assert cl2.prefixes == ["pars"] and cl2.regexes == []
+    # negation + boost ride the regex machinery
+    cl3 = parse_ql("sort AND -te?t")[0]
+    assert cl3.neg_regexes == ["te.t"]
+    cl4 = parse_ql("w?rd^2")[0]
+    assert cl4.regexes == ["w.rd"] and cl4.regex_boosts == [2.0]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unbounded"):
+        parse_ql("sort AND *?")

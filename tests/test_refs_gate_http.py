@@ -587,3 +587,40 @@ def test_http_search_after(http_index):
             assert e.code == 400
     finally:
         srv.stop()
+
+
+def test_http_wildcard(http_index):
+    """?wildcard= expands via the portable translation and scores like
+    search_terms over the expansion; ql wildcard atoms agree."""
+    from rse_spark.query.http import SearchServer
+
+    srv = SearchServer(http_index, analyzer="simple").start()
+    try:
+        with urllib.request.urlopen(
+            f"{srv.address}/search?wildcard=s%3Fa*&k=5", timeout=30
+        ) as r:
+            body = json.load(r)
+        terms = srv.searcher.expand_wildcard("s?a*")
+        assert body["expanded_terms"] == terms and len(terms) >= 2
+        direct = srv.searcher.search_terms(terms, k=5, mode="or")
+        assert [h["doc_id"] for h in body["results"]] == [
+            d for d, _s, _m in direct
+        ]
+        # ql mid-string wildcard atom resolves the same expansion
+        with urllib.request.urlopen(
+            f"{srv.address}/search?ql=s%3Fa*&k=5", timeout=30
+        ) as r:
+            ql_body = json.load(r)
+        assert [h["doc_id"] for h in ql_body["results"]] == [
+            h["doc_id"] for h in body["results"]
+        ]
+        # wildcard-free pattern -> 400
+        try:
+            urllib.request.urlopen(
+                f"{srv.address}/search?wildcard=plain", timeout=30
+            )
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.stop()

@@ -497,3 +497,22 @@ def test_search_after_pagination(root):
     assert rest == full[full.index(mid) + 1:]
     with pytest.raises(ValueError, match="algo"):
         s.search(q, algo="wand", after=(1.0, 0))
+
+
+def test_expand_wildcard(root):
+    """WildcardQuery expansion: `?`/`*` translate to the portable
+    regex and agree with a hand filter of the vocabulary."""
+    import fnmatch
+
+    s = DirectSearcher(root, analyzer="code")
+    vocab = list(s.term_dict)
+    for pat in ("pars*e", "ind?x", "*dex", "p?rse??"):
+        got = s.expand_wildcard(pat)
+        want = sorted(
+            t for t in vocab if fnmatch.fnmatchcase(t, pat)
+        )[:64]
+        assert got == want, pat
+    with pytest.raises(ValueError, match="wildcard"):
+        s.expand_wildcard("plain")
+    with pytest.raises(ValueError, match="wildcard"):
+        s.expand_wildcard("")
