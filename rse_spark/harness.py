@@ -514,6 +514,38 @@ def q_rescore_bm25(spark, sf_dir):
     )
 
 
+HIST_INTERVAL = 32  # histogram agg bucket width (doc-length tokens)
+
+
+def q_hist_dlen(spark, sf_dir):
+    """Histogram aggregation (ES ``histogram``, min_doc_count=1):
+    fixed-width doc-length buckets over the docs matching any query
+    term — the analytics panel next to a search page. Scale shape:
+    the candidate set is a semi-join (no content carried), the bucket
+    key is a scan-side projection, and the aggregate is one partial+
+    final hash agg on a key space of |max_dlen / interval| buckets —
+    tiny, so the final agg is effectively a broadcast-sized reduce.
+    Serving twin: DirectSearcher.histogram over the metadata table
+    (HTTP ``?ql=…&hist=doc_len&interval=N``)."""
+    toks = _toks(spark, sf_dir)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    cand = (
+        toks.filter(F.col("term").isin(BM25_TERMS))
+        .select("doc_id").distinct()
+    )
+    return (
+        dl.join(cand, "doc_id", "left_semi")
+        .withColumn(
+            "bucket",
+            (F.floor(F.col("dl") / HIST_INTERVAL)
+             * HIST_INTERVAL).cast("bigint"),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("bucket")
+    )
+
+
 def q_search_after(spark, sf_dir):
     """Deep pagination by cursor (ES ``search_after``): page 2 of the
     BM25 ranking, qualified as "strictly after the (score, doc_id)
@@ -2038,6 +2070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sig_terms": q_sig_terms,
         "rescore_bm25": q_rescore_bm25,
         "search_after": q_search_after,
+        "hist_dlen": q_hist_dlen,
         "prefix_wand": q_prefix_wand,
         "facet_counts": q_facet_counts,
         "rep_ratio": q_rep_ratio,
@@ -2744,6 +2777,18 @@ def oracle_sql() -> dict[str, str]:
         "phrase_batch": _phrase_batch_sql(),
         "rescore_bm25": _rescore_sql(),
         "search_after": _search_after_sql(),
+        "hist_dlen": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            dl AS (SELECT doc_id, count(*)::bigint AS dl FROM toks
+                   GROUP BY doc_id),
+            cand AS (SELECT DISTINCT doc_id FROM toks
+                     WHERE term IN ({terms}))
+            SELECT floor(dl / {HIST_INTERVAL})::bigint
+                     * {HIST_INTERVAL} AS bucket,
+                   count(*)::bigint AS n_docs
+            FROM dl JOIN cand USING (doc_id)
+            GROUP BY bucket ORDER BY bucket
+        """,
         "proximity_search": f"""
             WITH toks AS (
               SELECT doc_id, unnest(sp) AS tok,

@@ -215,6 +215,7 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                     search_ql,
                     search_ql_collapse,
                     search_ql_facets,
+                    search_ql_hist,
                 )
 
                 # ?facets=lang,repo — per-field value counts over the
@@ -226,12 +227,25 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                     .replace(",", " ").split() if f
                 ]
                 collapse = (qs.get("collapse") or [""])[0].strip()
-                if collapse and facet_fields:
+                hist = (qs.get("hist") or [""])[0].strip()
+                if sum(bool(x) for x in
+                       (collapse, facet_fields, hist)) > 1:
                     self._json(400, {
-                        "error": "collapse and facets are separate "
-                                 "views; request one at a time"
+                        "error": "collapse, facets, and hist are "
+                                 "separate views; request one at a "
+                                 "time"
                     })
                     return
+                interval = 0
+                if hist:
+                    # ?hist=doc_len&interval=50 — ES histogram agg
+                    # over the full qualifying set
+                    try:
+                        interval = int(
+                            (qs.get("interval") or ["0"])[0]
+                        )
+                    except ValueError:
+                        interval = 0
                 extra = None
                 try:
                     if collapse:
@@ -248,6 +262,22 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                             content_col=content_col, id_col=id_col,
                             key_col=key_col,
                         )
+                    elif hist:
+                        hits, buckets = search_ql_hist(
+                            searcher, ql, hist, interval, k=k,
+                            corpus_path=corpus_path,
+                            content_col=content_col, id_col=id_col,
+                            key_col=key_col,
+                        )
+                        extra = {
+                            "hist": {
+                                "field": hist, "interval": interval,
+                                "buckets": [
+                                    {"key": int(b), "n_docs": int(n)}
+                                    for b, n in buckets
+                                ],
+                            }
+                        }
                     elif facet_fields:
                         hits, facets = search_ql_facets(
                             searcher, ql, facet_fields, k=k,

@@ -654,6 +654,35 @@ def search_ql_facets(searcher, q: str, facet_fields: list[str],
     return hits, facets
 
 
+def search_ql_hist(searcher, q: str, field: str, interval: int,
+                   k: int = 10,
+                   corpus_path: str | None = None,
+                   content_col: str = "text", id_col: str = "doc_id",
+                   key_col: str | None = None,
+                   max_prefix_terms: int = 64,
+                   max_atoms: int = 16):
+    """``search_ql`` plus an ES ``histogram`` aggregation: returns
+    ``(hits, buckets)`` where ``buckets`` is the fixed-width numeric
+    bucketing of ``field`` over the FULL qualifying set (not the
+    returned page) — sorted ``[(bucket_key, n_docs), ...]``. One
+    presence evaluation feeds both the scoring pass and the bucket
+    aggregation (``DirectSearcher.histogram``: a column-pruned
+    metadata scan, no Spark job)."""
+    qualified, boosts = match_ql(
+        searcher, q, corpus_path=corpus_path, content_col=content_col,
+        id_col=id_col, key_col=key_col,
+        max_prefix_terms=max_prefix_terms, max_atoms=max_atoms,
+    )
+    buckets = searcher.histogram(qualified, field, interval)
+    if not len(qualified):
+        return [], buckets
+    hits = searcher.search_terms(
+        sorted(boosts), k=k, mode="or", within=qualified,
+        boosts=boosts,
+    )
+    return hits, buckets
+
+
 def search_ql_collapse(searcher, q: str, collapse: str, k: int = 10,
                        per_group: int = 1,
                        corpus_path: str | None = None,

@@ -955,6 +955,66 @@ class DirectSearcher:
             for f in fields
         }
 
+    def histogram(self, doc_ids, field: str,
+                  interval: int) -> "list[tuple[int, int]]":
+        """ES ``histogram`` aggregation over a matched doc-id set:
+        fixed-width numeric buckets ``floor(value / interval) *
+        interval`` of one metadata field, returned as sorted
+        ``[(bucket_key, n_docs), ...]`` (empty buckets omitted —
+        min_doc_count=1 semantics). Same replica-side cost shape as
+        ``facet_counts``: one column-pruned streaming scan of the
+        metadata table, vectorized ``np.isin`` membership per batch,
+        numpy floor-divide + unique per batch — no Spark job, no
+        content read. Raises ValueError for a non-numeric or missing
+        field, or a non-positive interval."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+
+        if interval <= 0:
+            raise ValueError("interval must be positive")
+        self._check_generation()
+        ids = np.unique(np.asarray(doc_ids, dtype=np.int64))
+        path = os.path.join(self.root, "docs_meta")
+        if not os.path.isdir(path):
+            path = os.path.join(self.root, "enriched")
+        dset = pads.dataset(path, format="parquet", partitioning="hive")
+        try:
+            ftype = dset.schema.field(field).type
+        except KeyError:
+            raise ValueError(
+                f"unknown metadata field {field!r}"
+            ) from None
+        if not (pa.types.is_integer(ftype)
+                or pa.types.is_floating(ftype)):
+            raise ValueError(
+                f"metadata field {field!r} is {ftype}, not numeric — "
+                f"histograms need a numeric field"
+            )
+        acc: dict[int, int] = {}
+        if len(ids):
+            for batch in dset.to_batches(columns=["doc_id", field]):
+                if batch.num_rows == 0:
+                    continue
+                mask = np.isin(
+                    batch.column("doc_id").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    ids, assume_unique=False,
+                )
+                if not mask.any():
+                    continue
+                vals = batch.column(field).to_numpy(
+                    zero_copy_only=False
+                )[mask]
+                buckets = (
+                    np.floor_divide(vals, interval) * interval
+                ).astype(np.int64)
+                u, c = np.unique(buckets, return_counts=True)
+                for bk, n in zip(u.tolist(), c.tolist()):
+                    acc[bk] = acc.get(bk, 0) + n
+        return sorted(acc.items())
+
     def field_values(self, doc_ids, field: str) -> dict:
         """``{doc_id: value}`` for one metadata field over a doc-id
         set — the lookup behind result collapsing (``collapse=``):

@@ -624,3 +624,42 @@ def test_http_wildcard(http_index):
             assert e.code == 400
     finally:
         srv.stop()
+
+
+def test_http_ql_hist(http_index):
+    """?ql=&hist=doc_len&interval=N returns histogram buckets over the
+    full qualifying set alongside the page."""
+    from rse_spark.query.http import SearchServer
+    from rse_spark.query.qlang import match_ql
+
+    srv = SearchServer(http_index, analyzer="simple").start()
+    try:
+        with urllib.request.urlopen(
+            f"{srv.address}/search?ql=spark&hist=doc_len&interval=16",
+            timeout=30,
+        ) as r:
+            body = json.load(r)
+        qualified, _b = match_ql(srv.searcher, "spark")
+        direct = srv.searcher.histogram(qualified, "doc_len", 16)
+        assert [
+            (b["key"], b["n_docs"])
+            for b in body["hist"]["buckets"]
+        ] == [(b, n) for b, n in direct]
+        assert sum(
+            b["n_docs"] for b in body["hist"]["buckets"]
+        ) == len(qualified)
+        # bad interval and conflicting views -> 400
+        for bad in (
+            "ql=spark&hist=doc_len",
+            "ql=spark&hist=doc_len&interval=0",
+            "ql=spark&hist=doc_len&interval=16&facets=lang",
+        ):
+            try:
+                urllib.request.urlopen(
+                    f"{srv.address}/search?{bad}", timeout=30
+                )
+                raise AssertionError("expected HTTP 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+    finally:
+        srv.stop()

@@ -516,3 +516,28 @@ def test_expand_wildcard(root):
         s.expand_wildcard("plain")
     with pytest.raises(ValueError, match="wildcard"):
         s.expand_wildcard("")
+
+
+def test_histogram_agg(root):
+    """ES histogram agg over a match set == brute-force bucketing of
+    the per-doc field values; validation errors are loud."""
+    s = DirectSearcher(root, analyzer="code")
+    ids = s.term_docs("parse")
+    assert len(ids) > 5
+    got = s.histogram(ids, "doc_len", 16)
+    vals = s.field_values(ids, "doc_len")
+    assert len(vals) == len(ids)
+    want: dict[int, int] = {}
+    for v in vals.values():
+        b = (int(v) // 16) * 16
+        want[b] = want.get(b, 0) + 1
+    assert got == sorted(want.items())
+    assert sum(n for _b, n in got) == len(ids)
+    # empty match set -> no buckets
+    assert s.histogram([], "doc_len", 16) == []
+    with pytest.raises(ValueError, match="interval"):
+        s.histogram(ids, "doc_len", 0)
+    with pytest.raises(ValueError, match="numeric"):
+        s.histogram(ids, "lang", 16)
+    with pytest.raises(ValueError, match="unknown"):
+        s.histogram(ids, "nope", 16)
