@@ -129,6 +129,24 @@ def main() -> None:
         d50 = dlat[len(dlat) // 2]
         d95 = dlat[max(0, int(len(dlat) * 0.95) - 1)]
 
+        # scatter-gather sharded serving (query/shard.py): 4 doc-
+        # partition shards scored in parallel threads with global
+        # stats, coordinator merge — the multi-node serving topology,
+        # measured against the single-replica warm p50 above
+        from rse_spark.query.shard import ShardedSearcher
+
+        shsearcher = ShardedSearcher(idx_root, 4, analyzer="code")
+        shsearcher.search("warm up shards", k=10)
+        for q in qset.itertuples():
+            shsearcher.search(q.query_text, k=10)  # warm shard caches
+        shlat: list[float] = []
+        for q in qset.itertuples():
+            t0 = time.time()
+            shsearcher.search(q.query_text, k=10)
+            shlat.append(time.time() - t0)
+        shlat.sort()
+        sh50 = shlat[len(shlat) // 2]
+
         # prefix queries (dictionary expansion -> pre-analyzed-term
         # scoring): the textmatch surface at serving latency
         plat: list[float] = []
@@ -358,6 +376,7 @@ def main() -> None:
                 "serve_syn_p50_ms": round(1000 * syn_p50, 2),
                 "serve_suggest_p50_ms": round(1000 * suggest_p50, 2),
                 "serve_rescore_p50_ms": round(1000 * rescore_p50, 2),
+                "serve_sharded_p50_ms": round(1000 * sh50, 2),
                 "serve_phrase_pos_p50_ms": round(
                     1000 * phrase_pos_p50, 2
                 ),

@@ -268,7 +268,8 @@ class DirectSearcher:
 
     def __init__(self, root: str, analyzer: str = "code",
                  max_bucket_bytes: int | None = None,
-                 max_vocab_in_memory: int = 10_000_000):
+                 max_vocab_in_memory: int = 10_000_000,
+                 seg_groups: "list | None" = None):
         """``max_bucket_bytes`` bounds the columnar bucket cache: when
         the Arrow tables held exceed the budget, least-recently-queried
         buckets (and their extracted term rows) are evicted and reload
@@ -280,11 +281,24 @@ class DirectSearcher:
         built; term lookups fall back to per-term filtered parquet
         reads automatically (the documented fallback of
         index/storage.py:preload_terms, now applied instead of
-        advised)."""
+        advised).
+
+        ``seg_groups`` restricts posting READS to the given segment
+        groups — this instance then scores only that doc partition
+        while every statistic it ranks with (term_dict df, n_docs,
+        avgdl) stays GLOBAL, which is exactly the distributed-search
+        contract (ES/Solr: shards score locally with broadcast global
+        stats, so shard-local ranks merge into the exact global
+        ranking). The scatter-gather coordinator is
+        ``query.shard.ShardedSearcher``. ``None`` = the whole index."""
         self.root = root
         self.analyzer = analyzer
         self.max_bucket_bytes = max_bucket_bytes
         self.max_vocab_in_memory = max_vocab_in_memory
+        self.seg_groups = (
+            sorted(str(g) for g in seg_groups)
+            if seg_groups is not None else None
+        )
         self._load_meta()
         # index-generation awareness: writers bump manifest/GENERATION
         # on every commit (index/storage.py); each query stat()s that
@@ -486,11 +500,22 @@ class DirectSearcher:
             if tables is not None:
                 return tables
             gen0 = self._gen_sig  # snapshot: don't cache across a reload
-            pattern = os.path.join(
-                self.root, "postings", "seg_group=*",
-                f"bucket={bucket}", "*.parquet",
-            )
-            files = sorted(glob.glob(pattern))
+            if self.seg_groups is None:
+                pattern = os.path.join(
+                    self.root, "postings", "seg_group=*",
+                    f"bucket={bucket}", "*.parquet",
+                )
+                files = sorted(glob.glob(pattern))
+            else:
+                # sharded read: only this shard's doc partition
+                files = sorted(
+                    f
+                    for g in self.seg_groups
+                    for f in glob.glob(os.path.join(
+                        self.root, "postings", f"seg_group={g}",
+                        f"bucket={bucket}", "*.parquet",
+                    ))
+                )
 
             def _read_one(path: str):
                 import numpy as np
