@@ -514,6 +514,28 @@ def q_rescore_bm25(spark, sf_dir):
     )
 
 
+def q_sort_by_field(spark, sf_dir):
+    """Field-sorted search (ES ``sort``): docs matching any query term,
+    ranked by an attribute (doc length, "longest first") instead of
+    relevance. Qualification stays a presence semi-join (no scoring
+    work at all) and the page is a TakeOrderedAndProject on
+    (field desc, doc_id asc) — no global sort. Serving twin:
+    DirectSearcher.search_sorted (presence set algebra + column-pruned
+    field fetch + k-bounded partial sort); HTTP ``?q=&sort=field``."""
+    toks = _toks(spark, sf_dir)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    cand = (
+        toks.filter(F.col("term").isin(BM25_TERMS))
+        .select("doc_id").distinct()
+    )
+    return (
+        dl.join(cand, "doc_id", "left_semi")
+        .orderBy(F.desc("dl"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.col("dl").alias("doc_len"))
+    )
+
+
 HIST_INTERVAL = 32  # histogram agg bucket width (doc-length tokens)
 
 
@@ -2071,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore_bm25": q_rescore_bm25,
         "search_after": q_search_after,
         "hist_dlen": q_hist_dlen,
+        "sort_by_field": q_sort_by_field,
         "prefix_wand": q_prefix_wand,
         "facet_counts": q_facet_counts,
         "rep_ratio": q_rep_ratio,
@@ -2788,6 +2811,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::bigint AS n_docs
             FROM dl JOIN cand USING (doc_id)
             GROUP BY bucket ORDER BY bucket
+        """,
+        "sort_by_field": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            dl AS (SELECT doc_id, count(*)::bigint AS dl FROM toks
+                   GROUP BY doc_id),
+            cand AS (SELECT DISTINCT doc_id FROM toks
+                     WHERE term IN ({terms}))
+            SELECT doc_id, dl AS doc_len
+            FROM dl JOIN cand USING (doc_id)
+            ORDER BY dl DESC, doc_id ASC LIMIT 10
         """,
         "proximity_search": f"""
             WITH toks AS (

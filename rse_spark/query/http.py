@@ -422,6 +422,33 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                            snippet_q=" ".join(terms) if want_snippets
                            else None)
                 return
+            sort_field = (qs.get("sort") or [""])[0].strip()
+            if sort_field:
+                # ?q=...&sort=doc_len[&order=asc|desc] — ES sort:
+                # rank by an attribute instead of relevance
+                order = (qs.get("order") or ["desc"])[0]
+                if order not in ("asc", "desc"):
+                    self._json(400, {
+                        "error": "order must be asc or desc"
+                    })
+                    return
+                try:
+                    rows = searcher.search_sorted(
+                        q, sort_field, k=k, mode=mode,
+                        ascending=(order == "asc"),
+                    )
+                except ValueError as e:
+                    self._json(400, {"error": str(e)})
+                    return
+                self._json(200, {
+                    "q": q, "sort": sort_field, "order": order,
+                    "k": k, "mode": mode, "n_results": len(rows),
+                    "results": [
+                        {"doc_id": int(d), "value": v}
+                        for d, v in rows
+                    ],
+                })
+                return
             rescore = (qs.get("rescore") or [""])[0]
             if rescore.strip():
                 # ?q=...&rescore=<phrase>[&rescore_w=W&window=N] —

@@ -248,6 +248,23 @@ def _bounded_levenshtein(a: str, b: str, max_d: int) -> int | None:
 _REGEX_META = set(r"\.^$*+?()[]{}|")
 
 
+class _NegKey:
+    """Sort-key wrapper inverting one component's order so a
+    descending field sort keeps the doc_id tie-break ASCENDING
+    (list.sort(reverse=True) would flip both)."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __lt__(self, other):
+        return other.v < self.v
+
+    def __eq__(self, other):
+        return self.v == other.v
+
+
 def _regex_literal_prefix(pattern: str) -> str:
     lit = []
     for i, ch in enumerate(pattern):
@@ -979,6 +996,47 @@ class DirectSearcher:
             )[:top]
             for f in fields
         }
+
+    def search_sorted(self, qtext: str, field: str, k: int = 10,
+                      mode: str = "or", ascending: bool = False):
+        """Field-sorted search (ES ``sort``: ranking by an attribute
+        instead of relevance — "newest first", "longest first"):
+        qualify docs by term PRESENCE (no BM25 work — the posting
+        decode stops at doc ids, the qlang presence primitive), fetch
+        the sort field for exactly the qualifying ids from the
+        metadata table, and top-k by (value, doc_id asc). Returns
+        [(doc_id, value)].
+
+        Scale shape: qualification is the same set algebra the boolean
+        path uses; the field fetch is one column-pruned metadata scan
+        bounded by |qualifying docs|; the final order is a k-bounded
+        partial sort. Raises ValueError for unknown fields or no
+        indexable terms (same contracts as meta_docs/search)."""
+        import numpy as np
+
+        from rse_spark.query.engine import query_terms
+
+        qtf = query_terms(qtext, self.analyzer)
+        if not qtf:
+            raise ValueError("query has no indexable terms")
+        self._check_generation()
+        sets = [self.term_docs(t) for t in sorted(qtf)]
+        if mode == "and":
+            ids = sets[0]
+            for s in sets[1:]:
+                ids = np.intersect1d(ids, s, assume_unique=True)
+        else:
+            ids = np.unique(np.concatenate(sets)) if sets else \
+                np.empty(0, dtype=np.int64)
+        if not len(ids):
+            return []
+        vals = self.field_values(ids, field)
+        order = sorted(
+            vals.items(),
+            key=(lambda kv: (kv[1], kv[0])) if ascending
+            else (lambda kv: (_NegKey(kv[1]), kv[0])),
+        )[:k]
+        return [(int(d), v) for d, v in order]
 
     def histogram(self, doc_ids, field: str,
                   interval: int) -> "list[tuple[int, int]]":

@@ -663,3 +663,39 @@ def test_http_ql_hist(http_index):
                 assert e.code == 400
     finally:
         srv.stop()
+
+
+def test_http_sort(http_index):
+    """?q=&sort=field orders by attribute instead of relevance."""
+    from rse_spark.query.http import SearchServer
+
+    srv = SearchServer(http_index, analyzer="simple").start()
+    try:
+        with urllib.request.urlopen(
+            f"{srv.address}/search?q=spark&sort=doc_len&k=5",
+            timeout=30,
+        ) as r:
+            body = json.load(r)
+        direct = srv.searcher.search_sorted("spark", "doc_len", k=5)
+        assert [(h["doc_id"], h["value"]) for h in body["results"]] \
+            == [(d, v) for d, v in direct]
+        vals = [h["value"] for h in body["results"]]
+        assert vals == sorted(vals, reverse=True)
+        with urllib.request.urlopen(
+            f"{srv.address}/search?q=spark&sort=doc_len&order=asc&k=5",
+            timeout=30,
+        ) as r:
+            asc = json.load(r)["results"]
+        assert [h["value"] for h in asc] == sorted(
+            h["value"] for h in asc
+        )
+        for bad in ("sort=doc_len&order=sideways", "sort=nope"):
+            try:
+                urllib.request.urlopen(
+                    f"{srv.address}/search?q=spark&{bad}", timeout=30
+                )
+                raise AssertionError("expected HTTP 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+    finally:
+        srv.stop()

@@ -541,3 +541,44 @@ def test_histogram_agg(root):
         s.histogram(ids, "lang", 16)
     with pytest.raises(ValueError, match="unknown"):
         s.histogram(ids, "nope", 16)
+
+
+def test_search_sorted(root):
+    """Field-sorted search == brute-force: presence-qualified docs
+    ordered by the field with an ASCENDING doc_id tie-break in both
+    directions."""
+    import numpy as np
+
+    from rse_spark.query.engine import query_terms
+
+    s = DirectSearcher(root, analyzer="code")
+    q = "parse index"
+    t1, t2 = sorted(query_terms(q, "code"))
+    ids = np.union1d(s.term_docs(t1), s.term_docs(t2))
+    vals = s.field_values(ids, "doc_len")
+    desc = s.search_sorted(q, "doc_len", k=15)
+    assert desc == sorted(
+        ((int(d), v) for d, v in vals.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:15]
+    asc = s.search_sorted(q, "doc_len", k=15, ascending=True)
+    assert asc == sorted(
+        ((int(d), v) for d, v in vals.items()),
+        key=lambda kv: (kv[1], kv[0]),
+    )[:15]
+    # and-mode qualification
+    both = np.intersect1d(
+        s.term_docs(t1), s.term_docs(t2), assume_unique=True
+    )
+    got_and = s.search_sorted(q, "doc_len", k=10**6, mode="and")
+    assert {d for d, _v in got_and} == set(both.tolist())
+    # string field sorts too (lexicographic, same tie-break)
+    by_lang = s.search_sorted(q, "lang", k=5, ascending=True)
+    assert by_lang == sorted(
+        ((int(d), v) for d, v in s.field_values(ids, "lang").items()),
+        key=lambda kv: (kv[1], kv[0]),
+    )[:5]
+    with pytest.raises(ValueError):
+        s.search_sorted(q, "nope", k=5)
+    with pytest.raises(ValueError, match="indexable"):
+        s.search_sorted("", "doc_len")
