@@ -514,6 +514,36 @@ def q_rescore_bm25(spark, sf_dir):
     )
 
 
+def q_facet_stats(spark, sf_dir):
+    """Terms aggregation with a stats sub-aggregation (ES ``terms`` +
+    ``stats``: per-facet-value count/avg/min/max of a numeric field
+    over the match set) — the analytics drill-down one level deeper
+    than facet_counts. Scale shape: the match set is a presence
+    semi-join, the stats are ONE partial+final hash agg keyed by the
+    facet value (group count = cardinality of the facet field, tiny),
+    no window, no second scan. Serving twin:
+    DirectSearcher.facet_stats."""
+    toks = _toks(spark, sf_dir)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    cand = (
+        toks.filter(F.col("term").isin(BM25_TERMS))
+        .select("doc_id").distinct()
+    )
+    meta = _docs(spark, sf_dir).select("doc_id", "lang")
+    return (
+        dl.join(cand, "doc_id", "left_semi")
+        .join(meta, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("dl"), 6).alias("avg_dlen"),
+            F.min("dl").alias("min_dlen"),
+            F.max("dl").alias("max_dlen"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc("lang"))
+    )
+
+
 def q_sort_by_field(spark, sf_dir):
     """Field-sorted search (ES ``sort``): docs matching any query term,
     ranked by an attribute (doc length, "longest first") instead of
@@ -2094,6 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after": q_search_after,
         "hist_dlen": q_hist_dlen,
         "sort_by_field": q_sort_by_field,
+        "facet_stats": q_facet_stats,
         "prefix_wand": q_prefix_wand,
         "facet_counts": q_facet_counts,
         "rep_ratio": q_rep_ratio,
@@ -2821,6 +2852,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, dl AS doc_len
             FROM dl JOIN cand USING (doc_id)
             ORDER BY dl DESC, doc_id ASC LIMIT 10
+        """,
+        "facet_stats": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            dl AS (SELECT doc_id, count(*)::bigint AS dl FROM toks
+                   GROUP BY doc_id),
+            cand AS (SELECT DISTINCT doc_id FROM toks
+                     WHERE term IN ({terms}))
+            SELECT lang, count(*)::bigint AS n_docs,
+                   round(avg(dl), 6) AS avg_dlen,
+                   min(dl)::bigint AS min_dlen,
+                   max(dl)::bigint AS max_dlen
+            FROM dl JOIN cand USING (doc_id)
+            JOIN documents USING (doc_id)
+            GROUP BY lang ORDER BY n_docs DESC, lang ASC
         """,
         "proximity_search": f"""
             WITH toks AS (

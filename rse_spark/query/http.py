@@ -228,12 +228,13 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                 ]
                 collapse = (qs.get("collapse") or [""])[0].strip()
                 hist = (qs.get("hist") or [""])[0].strip()
+                stats = (qs.get("stats") or [""])[0].strip()
                 if sum(bool(x) for x in
-                       (collapse, facet_fields, hist)) > 1:
+                       (collapse, facet_fields, hist, stats)) > 1:
                     self._json(400, {
-                        "error": "collapse, facets, and hist are "
-                                 "separate views; request one at a "
-                                 "time"
+                        "error": "collapse, facets, hist, and stats "
+                                 "are separate views; request one at "
+                                 "a time"
                     })
                     return
                 interval = 0
@@ -262,6 +263,40 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                             content_col=content_col, id_col=id_col,
                             key_col=key_col,
                         )
+                    elif stats:
+                        # ?stats=lang:doc_len — ES terms agg + stats
+                        # sub-agg over the full qualifying set
+                        if ":" not in stats:
+                            raise ValueError(
+                                "stats must be facet_field:value_field"
+                            )
+                        sfield, vfield = stats.split(":", 1)
+                        from rse_spark.query.qlang import match_ql
+
+                        qualified, boosts = match_ql(
+                            searcher, ql, corpus_path=corpus_path,
+                            content_col=content_col, id_col=id_col,
+                            key_col=key_col,
+                        )
+                        rows = searcher.facet_stats(
+                            qualified, sfield, vfield
+                        )
+                        hits = searcher.search_terms(
+                            sorted(boosts), k=k, mode="or",
+                            within=qualified, boosts=boosts,
+                        ) if len(qualified) else []
+                        extra = {"stats": {
+                            "field": sfield, "value_field": vfield,
+                            "groups": [
+                                {
+                                    "value": v, "n_docs": int(n),
+                                    "avg": round(float(m), 6),
+                                    "min": float(lo),
+                                    "max": float(hi),
+                                }
+                                for v, n, m, lo, hi in rows
+                            ],
+                        }}
                     elif hist:
                         hits, buckets = search_ql_hist(
                             searcher, ql, hist, interval, k=k,

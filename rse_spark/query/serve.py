@@ -1098,6 +1098,83 @@ class DirectSearcher:
                     acc[bk] = acc.get(bk, 0) + n
         return sorted(acc.items())
 
+    def facet_stats(self, doc_ids, field: str, value_field: str,
+                    top: int = 10):
+        """Terms aggregation with a stats sub-aggregation (ES
+        ``terms`` + ``stats``): for each distinct value of ``field``
+        over the matched doc-id set, the (n_docs, mean, min, max) of
+        the numeric ``value_field`` — facet_counts one analytics level
+        deeper, same replica-side cost shape (one column-pruned
+        metadata scan, np.isin membership per batch, vectorized group
+        reduction). Returns ``[(value, n, mean, min, max), ...]``
+        sorted by (n desc, value asc), capped at ``top``. Raises
+        ValueError for missing fields or a non-numeric
+        ``value_field``."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+
+        self._check_generation()
+        ids = np.unique(np.asarray(doc_ids, dtype=np.int64))
+        path = os.path.join(self.root, "docs_meta")
+        if not os.path.isdir(path):
+            path = os.path.join(self.root, "enriched")
+        dset = pads.dataset(path, format="parquet", partitioning="hive")
+        names = set(dset.schema.names)
+        missing = [f for f in (field, value_field) if f not in names]
+        if missing:
+            raise ValueError(f"unknown field(s) {missing!r}")
+        vtype = dset.schema.field(value_field).type
+        if not (pa.types.is_integer(vtype)
+                or pa.types.is_floating(vtype)):
+            raise ValueError(
+                f"stats field {value_field!r} is {vtype}, not numeric"
+            )
+        acc: dict = {}
+        if len(ids):
+            for batch in dset.to_batches(
+                columns=["doc_id", field, value_field]
+            ):
+                if batch.num_rows == 0:
+                    continue
+                mask = np.isin(
+                    batch.column("doc_id").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    ids, assume_unique=False,
+                )
+                if not mask.any():
+                    continue
+                fv = np.asarray(
+                    batch.column(field).to_pylist(), dtype=object
+                )[mask]
+                vv = batch.column(value_field).to_numpy(
+                    zero_copy_only=False
+                )[mask].astype(np.float64)
+                u, inv = np.unique(fv, return_inverse=True)
+                ns = np.bincount(inv)
+                sums = np.bincount(inv, weights=vv)
+                for i, val in enumerate(u.tolist()):
+                    sel = vv[inv == i]
+                    st = acc.get(val)
+                    if st is None:
+                        acc[val] = [
+                            int(ns[i]), float(sums[i]),
+                            float(sel.min()), float(sel.max()),
+                        ]
+                    else:
+                        st[0] += int(ns[i])
+                        st[1] += float(sums[i])
+                        st[2] = min(st[2], float(sel.min()))
+                        st[3] = max(st[3], float(sel.max()))
+        return sorted(
+            (
+                (v, n, s / n, lo, hi)
+                for v, (n, s, lo, hi) in acc.items()
+            ),
+            key=lambda r: (-r[1], str(r[0])),
+        )[:top]
+
     def field_values(self, doc_ids, field: str) -> dict:
         """``{doc_id: value}`` for one metadata field over a doc-id
         set — the lookup behind result collapsing (``collapse=``):

@@ -699,3 +699,40 @@ def test_http_sort(http_index):
                 assert e.code == 400
     finally:
         srv.stop()
+
+
+def test_http_ql_stats(http_index):
+    """?ql=&stats=facet:value returns per-group numeric stats over the
+    full qualifying set."""
+    from rse_spark.query.http import SearchServer
+    from rse_spark.query.qlang import match_ql
+
+    srv = SearchServer(http_index, analyzer="simple").start()
+    try:
+        with urllib.request.urlopen(
+            f"{srv.address}/search?ql=spark&stats=lang:doc_len",
+            timeout=30,
+        ) as r:
+            body = json.load(r)
+        qualified, _b = match_ql(srv.searcher, "spark")
+        direct = srv.searcher.facet_stats(
+            qualified, "lang", "doc_len"
+        )
+        assert [
+            (g["value"], g["n_docs"], g["min"], g["max"])
+            for g in body["stats"]["groups"]
+        ] == [(v, n, lo, hi) for v, n, _m, lo, hi in direct]
+        assert sum(
+            g["n_docs"] for g in body["stats"]["groups"]
+        ) == len(qualified)
+        for bad in ("stats=lang", "stats=lang:nope",
+                    "stats=lang:doc_len&facets=lang"):
+            try:
+                urllib.request.urlopen(
+                    f"{srv.address}/search?ql=spark&{bad}", timeout=30
+                )
+                raise AssertionError("expected HTTP 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+    finally:
+        srv.stop()

@@ -582,3 +582,35 @@ def test_search_sorted(root):
         s.search_sorted(q, "nope", k=5)
     with pytest.raises(ValueError, match="indexable"):
         s.search_sorted("", "doc_len")
+
+
+def test_facet_stats(root):
+    """Terms+stats agg == brute-force per-group stats over the match
+    set's field values."""
+    s = DirectSearcher(root, analyzer="code")
+    ids = s.term_docs("parse")
+    got = s.facet_stats(ids, "lang", "doc_len")
+    langs = s.field_values(ids, "lang")
+    dls = s.field_values(ids, "doc_len")
+    groups: dict[str, list[int]] = {}
+    for d in ids.tolist():
+        groups.setdefault(langs[d], []).append(int(dls[d]))
+    want = sorted(
+        (
+            (v, len(xs), sum(xs) / len(xs), float(min(xs)),
+             float(max(xs)))
+            for v, xs in groups.items()
+        ),
+        key=lambda r: (-r[1], str(r[0])),
+    )[:10]
+    assert len(got) == len(want)
+    for (gv, gn, gm, glo, ghi), (wv, wn, wm, wlo, whi) in zip(
+        got, want
+    ):
+        assert (gv, gn, glo, ghi) == (wv, wn, wlo, whi)
+        assert abs(gm - wm) < 1e-9
+    assert s.facet_stats([], "lang", "doc_len") == []
+    with pytest.raises(ValueError, match="numeric"):
+        s.facet_stats(ids, "lang", "lang")
+    with pytest.raises(ValueError, match="unknown"):
+        s.facet_stats(ids, "nope", "doc_len")
