@@ -80,6 +80,7 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                     "max_bucket_bytes": searcher.max_bucket_bytes,
                     "phrase_enabled": corpus_path is not None,
                     "index_generation": searcher.generation,
+                    "result_cache": searcher.result_cache_stats,
                 })
                 return
             if u.path == "/suggest":
@@ -677,7 +678,8 @@ class SearchServer:
                  corpus_path: str | None = None,
                  content_col: str = "text", id_col: str = "doc_id",
                  key_col: str | None = None,
-                 max_vocab_in_memory: int = 10_000_000):
+                 max_vocab_in_memory: int = 10_000_000,
+                 result_cache: int = 0):
         """``corpus_path`` (parquet content store with ``id_col`` +
         ``content_col``) enables ``?phrase=`` adjacency verification;
         without it phrase requests get a 400. ``key_col`` maps index
@@ -687,6 +689,10 @@ class SearchServer:
             index_root, analyzer=analyzer,
             max_vocab_in_memory=max_vocab_in_memory,
         )
+        # ES shard-request-cache analog, opt-in (entries, 0 = off):
+        # identical result pages are served from memory until the
+        # next writer commit invalidates them (generation stamp)
+        self.searcher.max_result_cache = result_cache
         self.httpd = ThreadingHTTPServer(
             (host, port),
             _make_handler(self.searcher, corpus_path=corpus_path,

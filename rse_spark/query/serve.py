@@ -350,6 +350,16 @@ class DirectSearcher:
         # memoized metadata presence sets for qlang filter atoms
         # (lang:python etc.); cleared on writer commits
         self._meta_docs_cache: dict[tuple[str, str], object] = {}
+        # opt-in query RESULT cache (ES shard request cache):
+        # (surface, args) -> finished hit list, LRU-capped at
+        # max_result_cache entries, invalidated wholesale on writer
+        # commits like every other cache. Default OFF (0) so latency
+        # benchmarks measure real work, matching ES (hit pages are
+        # not request-cached by default).
+        self.max_result_cache = 0
+        self._result_cache: OrderedDict = OrderedDict()
+        self._result_hits = 0
+        self._result_misses = 0
         # per-file doc-id [min, max] of the enriched table (segments
         # partition the id space, so a point lookup touches ONE file);
         # built on first more_like_this, dropped on writer commits
@@ -439,6 +449,7 @@ class DirectSearcher:
             self._pos_keys_bytes = 0
             self._meta_docs_cache.clear()
             self._enriched_ranges_cache = None
+            self._result_cache.clear()
             self._gen_sig = pre
 
     @property
@@ -2176,6 +2187,22 @@ class DirectSearcher:
                 )
         if after is not None and algo != "numpy":
             raise ValueError("after needs algo='numpy'")
+        cache_key = None
+        if self.max_result_cache and within is None:
+            # within= sets are ndarray-keyed intermediate calls (the
+            # qlang path caches at its own level); everything else is
+            # hashable and cacheable
+            cache_key = (
+                tuple(sorted(qtf.items())), k, mode, algo,
+                min_match, after,
+            )
+            with self._meta_lock:
+                hit = self._result_cache.get(cache_key)
+                if hit is not None:
+                    self._result_cache.move_to_end(cache_key)
+                    self._result_hits += 1
+                    return list(hit)
+                self._result_misses += 1
         weights = {
             t: qtf[t] * idf_fn(self.term_dict.get(t, (0, 0))[0], self.n_docs)
             for t in terms
@@ -2186,10 +2213,12 @@ class DirectSearcher:
             if info
         )
         if algo == "numpy" or within is not None:
-            return self._search_numpy(terms, weights, k, mode,
-                                      within=within,
-                                      min_match=min_match,
-                                      after=after)
+            res = self._search_numpy(terms, weights, k, mode,
+                                     within=within,
+                                     min_match=min_match,
+                                     after=after)
+            self._result_store(cache_key, res)
+            return res
         per_segment = self._matched_lists(terms, weights)
         results: list[tuple[int, float, int]] = []
         n_terms = len(terms)
@@ -2210,7 +2239,28 @@ class DirectSearcher:
             "blocks_decoded": sum(it.blocks_decoded for it in all_iters),
         }
         results.sort(key=lambda r: (-r[1], r[0]))
-        return results[:k]
+        res = results[:k]
+        self._result_store(cache_key, res)
+        return res
+
+    def _result_store(self, cache_key, res) -> None:
+        """LRU-insert a finished result page (no-op when caching is
+        off or the key was uncacheable)."""
+        if cache_key is None:
+            return
+        with self._meta_lock:
+            self._result_cache[cache_key] = list(res)
+            self._result_cache.move_to_end(cache_key)
+            while len(self._result_cache) > self.max_result_cache:
+                self._result_cache.popitem(last=False)
+
+    @property
+    def result_cache_stats(self) -> dict:
+        return {
+            "hits": self._result_hits,
+            "misses": self._result_misses,
+            "entries": len(self._result_cache),
+        }
 
     def _search_numpy(self, terms, weights, k: int, mode: str,
                       within=None, min_match: "int | None" = None,

@@ -614,3 +614,42 @@ def test_facet_stats(root):
         s.facet_stats(ids, "lang", "lang")
     with pytest.raises(ValueError, match="unknown"):
         s.facet_stats(ids, "nope", "doc_len")
+
+
+def test_result_cache(spark, tmp_path_factory):
+    """Opt-in request cache: identical pages hit, the LRU cap holds,
+    and a writer commit invalidates the whole cache (generation)."""
+    from rse_spark.streaming.stream_index import append_batch
+
+    root = str(tmp_path_factory.mktemp("rcache_idx"))
+    corpus = spark.createDataFrame(gen_code_corpus(0.0004))
+    build_resumable(spark, corpus, root, analyzer="code",
+                    docs_per_segment=64)
+    s = DirectSearcher(root, analyzer="code")
+    s.max_result_cache = 8
+    q = "parse index merge"
+    first = s.search(q, k=10)
+    assert s.result_cache_stats["misses"] == 1
+    again = s.search(q, k=10)
+    assert again == first
+    assert s.result_cache_stats["hits"] == 1
+    # a different page shape is a different entry
+    s.search(q, k=5)
+    assert s.result_cache_stats["entries"] == 2
+    # returned pages are copies: callers can't poison the cache
+    again.append(("poison",))
+    assert s.search(q, k=10) == first
+    # LRU cap
+    for i in range(12):
+        s.search(f"parse index merge q{i}", k=10)
+    assert s.result_cache_stats["entries"] <= 8
+    # writer commit -> invalidated, fresh results include new docs
+    extra = spark.createDataFrame(
+        gen_code_corpus(0.0004).assign(
+            content=lambda d: d.content + " parse parse parse"
+        )
+    )
+    append_batch(spark, extra, root, analyzer="code")
+    after = s.search(q, k=10)
+    assert s.result_cache_stats["entries"] <= 1
+    assert after != first  # corpus doubled; ranking must move
