@@ -496,7 +496,9 @@ def q_rescore_bm25(spark, sf_dir):
         candidates=window.select("doc_id"),
     )
     return (
-        window.join(ph, "doc_id", "left")
+        # ph is bounded by the window (<= 50 rows): broadcast it so
+        # the re-rank join never sort-merge-shuffles the window
+        window.join(F.broadcast(ph), "doc_id", "left")
         .withColumn(
             "n_occurrences",
             F.coalesce(F.col("n_occurrences"), F.lit(0)).cast("bigint"),

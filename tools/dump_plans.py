@@ -214,6 +214,70 @@ def main() -> None:
         + cap_explain(harness.q_mlt_bm25(spark, sf_dir)),
     ))
 
+    # 18. Window rescoring — the expensive phrase join is bounded by
+    # the 50-row window, not the corpus
+    sections.append((
+        "rescore_bm25 (ES rescore: window-bounded phrase re-rank)",
+        "Expect: the BM25 window as a TakeOrderedAndProject(50) "
+        "broadcast into a left_semi restriction of the positional "
+        "phrase join — the second query's scan cost is bounded by "
+        "the window ids, then one more TakeOrderedAndProject(10) on "
+        "the adjusted score. No global sort anywhere.\n\n"
+        + cap_explain(harness.q_rescore_bm25(spark, sf_dir)),
+    ))
+
+    # 19. Cursor pagination — page 2 as a predicate, not an offset
+    sections.append((
+        "search_after (cursor pagination, page 2)",
+        "Expect: page 1's tail row as a 1-row broadcast "
+        "(BroadcastNestedLoopJoin against the scored aggregate is "
+        "intended — the cursor is ONE row), the strictly-after "
+        "compare as a post-join Filter, and the page itself a "
+        "TakeOrderedAndProject(10) — deep paging never builds a "
+        "k*N heap or global sort.\n\n"
+        + cap_explain(harness.q_search_after(spark, sf_dir)),
+    ))
+
+    # 20. Histogram aggregation — tiny bucket key space
+    sections.append((
+        "hist_dlen (ES histogram agg over the match set)",
+        "Expect: presence candidates as a left_semi join, the bucket "
+        "key a scan-side Project (floor-divide), and ONE partial+"
+        "final HashAggregate pair on |max_dlen / interval| keys — "
+        "the exchange moves bucket counts, never docs.\n\n"
+        + cap_explain(harness.q_hist_dlen(spark, sf_dir)),
+    ))
+
+    # 21. Field-sorted search — no scoring work at all
+    sections.append((
+        "sort_by_field (ES sort: attribute ranking)",
+        "Expect: qualification as a left_semi join on the candidate "
+        "ids and the page a TakeOrderedAndProject(10) on "
+        "(dl DESC, doc_id ASC) — zero BM25 math, no global sort.\n\n"
+        + cap_explain(harness.q_sort_by_field(spark, sf_dir)),
+    ))
+
+    # 22. Terms + stats sub-aggregation
+    sections.append((
+        "facet_stats (ES terms agg + stats sub-agg)",
+        "Expect: the match set semi-joined to the metadata lookup, "
+        "then ONE partial+final HashAggregate keyed by the facet "
+        "value (group count = field cardinality, tiny) computing "
+        "count/avg/min/max together — one scan, one shuffle of "
+        "group-sized partials.\n\n"
+        + cap_explain(harness.q_facet_stats(spark, sf_dir)),
+    ))
+
+    # 23. Wildcard expansion rides the regex machinery
+    sections.append((
+        "wildcard_bm25 (WildcardQuery via portable regex)",
+        "Expect: identical shape to regex_bm25 — the vocab-bounded "
+        "distinct-term aggregate filtered by the translated pattern "
+        "(rlike), capped, broadcast back into the standard scoring "
+        "chain.\n\n"
+        + cap_explain(harness.q_wildcard_bm25(spark, sf_dir)),
+    ))
+
     out = ["# PLANS — physical plans of the key paths\n"]
     out.append(
         "Generated by tools/dump_plans.py (`df.explain('formatted')`).\n"
