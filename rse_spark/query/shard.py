@@ -83,6 +83,8 @@ class ShardedSearcher:
             return None
 
     def _build(self) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
         groups = list_seg_groups(self.root)
         slices: list[list[str]] = [
             groups[i::self.n_shards] for i in range(self.n_shards)
@@ -98,6 +100,16 @@ class ShardedSearcher:
             for s in (slices or [[]])
         ]
         self.shard_groups = slices or [[]]
+        # persistent scatter pool: per-query executor creation costs
+        # thread spawns every request; a replica coordinator keeps one
+        # pool for its lifetime (rebuilt only on topology changes)
+        old = getattr(self, "_pool", None)
+        if old is not None:
+            old.shutdown(wait=False)
+        self._pool = (
+            ThreadPoolExecutor(max_workers=len(self.shards))
+            if len(self.shards) > 1 else None
+        )
         self._gen_sig = self._gen_stat()
 
     def _check_topology(self) -> None:
@@ -107,14 +119,9 @@ class ShardedSearcher:
             self._build()
 
     def _scatter(self, fn) -> list:
-        from concurrent.futures import ThreadPoolExecutor
-
-        if len(self.shards) == 1:
+        if self._pool is None:
             return [fn(self.shards[0])]
-        with ThreadPoolExecutor(
-            max_workers=len(self.shards)
-        ) as ex:
-            return list(ex.map(fn, self.shards))
+        return list(self._pool.map(fn, self.shards))
 
     @staticmethod
     def _merge(pages: list, k: int) -> list:
