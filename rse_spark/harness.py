@@ -861,6 +861,137 @@ def q_collapse_bm25(spark, sf_dir):
     return _bm25(spark, sf_dir, "or", collapse="lang")
 
 
+TOP_HITS_PER_GROUP = 2
+
+
+def q_top_hits(spark, sf_dir):
+    """Grouped top hits (ES ``top_hits`` sub-aggregation, Lucene
+    grouping with groupDocsLimit>1): the best ``TOP_HITS_PER_GROUP``
+    docs PER ``lang`` bucket with their in-group rank — the "show two
+    results per repo/language" SERP shape. collapse is the rank<=1
+    special case. Scale shape: one scoring pass, one shuffle on the
+    group key for the window, group-local heaps (rank filter prunes
+    before the final order). Serving twin: qlang.search_ql_collapse
+    with per_group=N."""
+    toks = _toks(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qtf = tf.filter(F.col("term").isin(BM25_TERMS))
+    dfx = qtf.groupBy("term").agg(F.count("*").alias("df"))
+    agg = (
+        qtf.join(F.broadcast(dfx), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0
+            )
+            * F.col("tf") * (K1 + 1.0)
+            / (
+                F.col("tf")
+                + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    grp = _docs(spark, sf_dir).select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("s"), F.asc("doc_id")
+    )
+    return (
+        agg.join(grp, "doc_id")
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TOP_HITS_PER_GROUP)
+        .orderBy("lang", "rnk")
+        .select(
+            "lang", "rnk", "doc_id", F.round("s", 6).alias("score")
+        )
+    )
+
+
+def q_export_matches(spark, sf_dir):
+    """Match-set export (ES scroll / point-in-time bulk retrieval,
+    re-expressed the cluster-native way): EVERY doc matching the
+    boolean query with its score — a scan job whose output is the
+    dataset, not a page. There is deliberately NO limit and NO global
+    sort: deep retrieval as a paging loop is the anti-pattern this
+    replaces (k*N heaps, N round trips); as a Spark job the match set
+    writes out partition-parallel. Rows are hash-compared order-
+    insensitively by the driver, matching the no-sort contract."""
+    toks = _toks(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qtf = tf.filter(F.col("term").isin(BM25_TERMS))
+    dfx = qtf.groupBy("term").agg(F.count("*").alias("df"))
+    return (
+        qtf.join(F.broadcast(dfx), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0
+            )
+            * F.col("tf") * (K1 + 1.0)
+            / (
+                F.col("tf")
+                + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("contrib"), 6).alias("score"),
+            F.count("*").cast("int").alias("n_terms_matched"),
+        )
+    )
+
+
+PCT_PROBES = [0.25, 0.5, 0.75, 0.95]
+
+
+def q_pct_dlen(spark, sf_dir):
+    """Percentiles aggregation (ES ``percentiles``) of doc length over
+    the match set — exact interpolated quantiles (Spark ``percentile``
+    == DuckDB ``quantile_cont``, the same cross-engine pairing the
+    oracled ``quantiles`` query pins). One presence semi-join + one
+    aggregate; at real scale the exact percentile is a sort-based agg,
+    and the approximate dial is ``percentile_approx`` (t-digest) —
+    same plan shape, bounded memory."""
+    toks = _toks(spark, sf_dir)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    cand = (
+        toks.filter(F.col("term").isin(BM25_TERMS))
+        .select("doc_id").distinct()
+    )
+    probes = ", ".join(str(p) for p in PCT_PROBES)
+    return (
+        dl.join(cand, "doc_id", "left_semi")
+        .agg(
+            F.expr(f"percentile(dl, array({probes}))").alias("pcts"),
+            F.count("*").alias("n_docs"),
+        )
+        .select(
+            *[
+                F.round(F.col("pcts")[i], 6).alias(
+                    f"p{int(p * 100)}"
+                )
+                for i, p in enumerate(PCT_PROBES)
+            ],
+            "n_docs",
+        )
+    )
+
+
 def q_fuzzy_bm25(spark, sf_dir):
     """Fuzzy atom end-to-end, declarative tier: Levenshtein dictionary
     expansion (``sort~2`` -> sort, part), capped closest-first, feeding
@@ -2127,6 +2258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_dlen": q_hist_dlen,
         "sort_by_field": q_sort_by_field,
         "facet_stats": q_facet_stats,
+        "top_hits": q_top_hits,
+        "export_matches": q_export_matches,
+        "pct_dlen": q_pct_dlen,
         "prefix_wand": q_prefix_wand,
         "facet_counts": q_facet_counts,
         "rep_ratio": q_rep_ratio,
@@ -2854,6 +2988,79 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, dl AS doc_len
             FROM dl JOIN cand USING (doc_id)
             ORDER BY dl DESC, doc_id ASC LIMIT 10
+        """,
+        "top_hits": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            tf AS (SELECT doc_id, term, count(*)::bigint AS tf
+                   FROM toks GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*)::bigint AS dl FROM toks
+                   GROUP BY doc_id),
+            stats AS (SELECT count(*)::bigint AS n_docs,
+                             avg(dl) AS avgdl FROM dl),
+            qtf AS (SELECT * FROM tf WHERE term IN ({terms})),
+            dfx AS (SELECT term, count(*)::bigint AS df FROM qtf
+                    GROUP BY term),
+            scored AS (
+              SELECT qtf.doc_id,
+                     sum( ln((stats.n_docs - dfx.df + 0.5)
+                             /(dfx.df + 0.5) + 1.0)
+                          * qtf.tf * {K1 + 1.0}
+                          / (qtf.tf + {K1}*(1.0 - {B}
+                             + {B}*dl.dl/stats.avgdl)) ) AS s,
+                     count(*)::int AS n_terms_matched
+              FROM qtf JOIN dfx USING(term) JOIN dl USING(doc_id)
+              CROSS JOIN stats
+              GROUP BY qtf.doc_id
+            )
+            SELECT lang, rnk, doc_id, round(s, 6) AS score FROM (
+              SELECT documents.lang, scored.doc_id, scored.s,
+                     row_number() OVER (
+                       PARTITION BY documents.lang
+                       ORDER BY s DESC, doc_id ASC
+                     )::int AS rnk
+              FROM scored JOIN documents USING (doc_id)
+            ) WHERE rnk <= {TOP_HITS_PER_GROUP}
+            ORDER BY lang, rnk
+        """,
+        "export_matches": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            tf AS (SELECT doc_id, term, count(*)::bigint AS tf
+                   FROM toks GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*)::bigint AS dl FROM toks
+                   GROUP BY doc_id),
+            stats AS (SELECT count(*)::bigint AS n_docs,
+                             avg(dl) AS avgdl FROM dl),
+            qtf AS (SELECT * FROM tf WHERE term IN ({terms})),
+            dfx AS (SELECT term, count(*)::bigint AS df FROM qtf
+                    GROUP BY term),
+            scored AS (
+              SELECT qtf.doc_id,
+                     sum( ln((stats.n_docs - dfx.df + 0.5)
+                             /(dfx.df + 0.5) + 1.0)
+                          * qtf.tf * {K1 + 1.0}
+                          / (qtf.tf + {K1}*(1.0 - {B}
+                             + {B}*dl.dl/stats.avgdl)) ) AS s,
+                     count(*)::int AS n_terms_matched
+              FROM qtf JOIN dfx USING(term) JOIN dl USING(doc_id)
+              CROSS JOIN stats
+              GROUP BY qtf.doc_id
+            )
+            SELECT doc_id, round(s, 6) AS score, n_terms_matched
+            FROM scored
+        """,
+        "pct_dlen": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            dl AS (SELECT doc_id, count(*)::bigint AS dl FROM toks
+                   GROUP BY doc_id),
+            cand AS (SELECT DISTINCT doc_id FROM toks
+                     WHERE term IN ({terms}))
+            SELECT
+              {", ".join(
+                  f"round(quantile_cont(dl, {p}), 6) AS p{int(p*100)}"
+                  for p in PCT_PROBES
+              )},
+              count(*)::bigint AS n_docs
+            FROM dl JOIN cand USING (doc_id)
         """,
         "facet_stats": f"""
             WITH toks AS ({_TOKS_SQL}),
