@@ -861,6 +861,58 @@ def q_collapse_bm25(spark, sf_dir):
     return _bm25(spark, sf_dir, "or", collapse="lang")
 
 
+DISMAX_TIE = 0.3  # DisjunctionMax tiebreak multiplier
+
+
+def q_dismax_bm25(spark, sf_dir):
+    """DisjunctionMax scoring (Lucene DisjunctionMaxQuery, the ES
+    dis_max query): a doc's score is its BEST single term contribution
+    plus DISMAX_TIE times the others — the ranking for synonym-like
+    query terms where matching all variants shouldn't multiply-count
+    one intent. Same plan as bm25_topk with the sum swapped for a
+    max + tiebreak-scaled remainder in the SAME aggregate (no second
+    pass). Serving twin: DirectSearcher.search_dismax."""
+    toks = _toks(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qtf = tf.filter(F.col("term").isin(BM25_TERMS))
+    dfx = qtf.groupBy("term").agg(F.count("*").alias("df"))
+    return (
+        qtf.join(F.broadcast(dfx), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0
+            )
+            * F.col("tf") * (K1 + 1.0)
+            / (
+                F.col("tf")
+                + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.max("contrib")
+                + DISMAX_TIE * (F.sum("contrib") - F.max("contrib"))
+            ).alias("s"),
+            F.count("*").cast("int").alias("n_terms_matched"),
+        )
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(10)
+        .select(
+            "doc_id", F.round("s", 6).alias("score"),
+            "n_terms_matched",
+        )
+    )
+
+
 TOP_HITS_PER_GROUP = 2
 
 
@@ -2259,6 +2311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_by_field": q_sort_by_field,
         "facet_stats": q_facet_stats,
         "top_hits": q_top_hits,
+        "dismax_bm25": q_dismax_bm25,
         "export_matches": q_export_matches,
         "pct_dlen": q_pct_dlen,
         "prefix_wand": q_prefix_wand,
@@ -2988,6 +3041,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, dl AS doc_len
             FROM dl JOIN cand USING (doc_id)
             ORDER BY dl DESC, doc_id ASC LIMIT 10
+        """,
+        "dismax_bm25": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            tf AS (SELECT doc_id, term, count(*)::bigint AS tf
+                   FROM toks GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*)::bigint AS dl FROM toks
+                   GROUP BY doc_id),
+            stats AS (SELECT count(*)::bigint AS n_docs,
+                             avg(dl) AS avgdl FROM dl),
+            qtf AS (SELECT * FROM tf WHERE term IN ({terms})),
+            dfx AS (SELECT term, count(*)::bigint AS df FROM qtf
+                    GROUP BY term),
+            contribs AS (
+              SELECT qtf.doc_id,
+                     ln((stats.n_docs - dfx.df + 0.5)
+                        /(dfx.df + 0.5) + 1.0)
+                     * qtf.tf * {K1 + 1.0}
+                     / (qtf.tf + {K1}*(1.0 - {B}
+                        + {B}*dl.dl/stats.avgdl)) AS c
+              FROM qtf JOIN dfx USING(term) JOIN dl USING(doc_id)
+              CROSS JOIN stats
+            ),
+            scored AS (
+              SELECT doc_id,
+                     max(c) + {DISMAX_TIE} * (sum(c) - max(c)) AS s,
+                     count(*)::int AS n_terms_matched
+              FROM contribs GROUP BY doc_id
+            )
+            SELECT doc_id, round(s, 6) AS score, n_terms_matched
+            FROM scored ORDER BY s DESC, doc_id ASC LIMIT 10
         """,
         "top_hits": f"""
             WITH toks AS ({_TOKS_SQL}),

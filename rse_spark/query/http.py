@@ -485,6 +485,25 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                     ],
                 })
                 return
+            dismax_raw = (qs.get("dismax") or [""])[0]
+            if dismax_raw.strip():
+                # ?q=...&dismax=T — Lucene DisjunctionMaxQuery with
+                # tiebreak T in [0,1]
+                try:
+                    tie = float(dismax_raw)
+                except ValueError:
+                    self._json(400, {
+                        "error": "dismax must be a float tiebreak"
+                    })
+                    return
+                try:
+                    hits = searcher.search_dismax(q, k=k, tiebreak=tie)
+                except ValueError as e:
+                    self._json(400, {"error": str(e)})
+                    return
+                self._page(q, k, f"dismax:{tie:g}", hits,
+                           snippet_q=q if want_snippets else None)
+                return
             rescore = (qs.get("rescore") or [""])[0]
             if rescore.strip():
                 # ?q=...&rescore=<phrase>[&rescore_w=W&window=N] —

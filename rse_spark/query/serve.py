@@ -2166,10 +2166,28 @@ class DirectSearcher:
             out[int(d)] = prefix + " ".join(window) + suffix
         return out
 
+    def search_dismax(self, qtext: str, k: int = 10,
+                      tiebreak: float = 0.0):
+        """Lucene DisjunctionMaxQuery over the query's terms: a doc's
+        score is its BEST single term contribution plus ``tiebreak``
+        times the rest — the ranking for "these words are synonyms of
+        one intent, don't reward stuffing all of them" (tiebreak=0) up
+        through plain or-mode summing (tiebreak=1, proven equal in the
+        pytest). Same single scoring pass as search(); the max is one
+        ``np.maximum.at`` over the contributions the sum already
+        walks. Declarative twin: harness.q_dismax_bm25."""
+        if not 0.0 <= tiebreak <= 1.0:
+            raise ValueError("tiebreak must be in [0, 1]")
+        return self._search_qtf(
+            query_terms(qtext, self.analyzer), k, "or", "numpy",
+            combine="dismax", tiebreak=tiebreak,
+        )
+
     def _search_qtf(self, qtf: "dict[str, float]", k: int, mode: str,
                     algo: str, within=None,
                     min_match: "int | None" = None,
-                    after: "tuple[float, int] | None" = None):
+                    after: "tuple[float, int] | None" = None,
+                    combine: str = "sum", tiebreak: float = 0.0):
         if not qtf:
             return []
         self._check_generation()
@@ -2194,7 +2212,7 @@ class DirectSearcher:
             # hashable and cacheable
             cache_key = (
                 tuple(sorted(qtf.items())), k, mode, algo,
-                min_match, after,
+                min_match, after, combine, tiebreak,
             )
             with self._meta_lock:
                 hit = self._result_cache.get(cache_key)
@@ -2212,11 +2230,14 @@ class DirectSearcher:
             for info in (self.term_dict.get(t) for t in terms)
             if info
         )
+        if combine != "sum" and algo != "numpy":
+            raise ValueError("dismax needs algo='numpy'")
         if algo == "numpy" or within is not None:
             res = self._search_numpy(terms, weights, k, mode,
                                      within=within,
                                      min_match=min_match,
-                                     after=after)
+                                     after=after, combine=combine,
+                                     tiebreak=tiebreak)
             self._result_store(cache_key, res)
             return res
         per_segment = self._matched_lists(terms, weights)
@@ -2264,7 +2285,8 @@ class DirectSearcher:
 
     def _search_numpy(self, terms, weights, k: int, mode: str,
                       within=None, min_match: "int | None" = None,
-                      after: "tuple[float, int] | None" = None):
+                      after: "tuple[float, int] | None" = None,
+                      combine: str = "sum", tiebreak: float = 0.0):
         """Vectorized exact scoring across all matched lists.
 
         ``within`` (sorted unique int64 array) drops postings outside
@@ -2306,6 +2328,13 @@ class DirectSearcher:
         scores = np.concatenate(score_chunks)
         uniq, inv = np.unique(docs, return_inverse=True)
         agg = np.bincount(inv, weights=scores)
+        if combine == "dismax":
+            # DisjunctionMax: best single clause dominates, the rest
+            # contribute tiebreak-scaled — max via maximum.at, the sum
+            # the bincount above already produced
+            best = np.zeros(len(uniq))
+            np.maximum.at(best, inv, scores)
+            agg = best + tiebreak * (agg - best)
         matched = np.bincount(inv).astype(np.int64)
         if mode == "and" or min_match is not None:
             need = len(terms) if mode == "and" else min_match

@@ -736,3 +736,32 @@ def test_http_ql_stats(http_index):
                 assert e.code == 400
     finally:
         srv.stop()
+
+
+def test_http_dismax(http_index):
+    from rse_spark.query.http import SearchServer
+
+    srv = SearchServer(http_index, analyzer="simple").start()
+    try:
+        with urllib.request.urlopen(
+            f"{srv.address}/search?q=spark+join&dismax=0.3&k=5",
+            timeout=30,
+        ) as r:
+            body = json.load(r)
+        direct = srv.searcher.search_dismax(
+            "spark join", k=5, tiebreak=0.3
+        )
+        assert [h["doc_id"] for h in body["results"]] == [
+            d for d, _s, _m in direct
+        ]
+        assert body["mode"] == "dismax:0.3"
+        for bad in ("dismax=abc", "dismax=1.5"):
+            try:
+                urllib.request.urlopen(
+                    f"{srv.address}/search?q=spark&{bad}", timeout=30
+                )
+                raise AssertionError("expected HTTP 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+    finally:
+        srv.stop()

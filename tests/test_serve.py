@@ -653,3 +653,37 @@ def test_result_cache(spark, tmp_path_factory):
     after = s.search(q, k=10)
     assert s.result_cache_stats["entries"] <= 1
     assert after != first  # corpus doubled; ranking must move
+
+
+def test_search_dismax(root):
+    """DisjunctionMax: tiebreak=1 degenerates to or-mode summing;
+    tiebreak=0 is the pure per-doc max; intermediate values match a
+    brute-force recombination from explain()'s per-term breakdown."""
+    s = DirectSearcher(root, analyzer="code")
+    q = "parse index merge"
+    full = s.search(q, k=10**6)
+    via_tie1 = s.search_dismax(q, k=10**6, tiebreak=1.0)
+    assert [(d, m) for d, sc, m in via_tie1] == [
+        (d, m) for d, sc, m in full
+    ]
+    for (_, s1, _), (_, s2, _) in zip(via_tie1, full):
+        assert abs(s1 - s2) < 1e-12
+    # brute-force check at tiebreak=0.3 from per-term contributions
+    tie = 0.3
+    got = s.search_dismax(q, k=20, tiebreak=tie)
+    want = []
+    for d, _sc, m in full:
+        contribs = [
+            e["contribution"]
+            for e in s.explain(q, d)["terms"]
+        ]
+        best = max(contribs)
+        want.append((d, best + tie * (sum(contribs) - best), m))
+    want.sort(key=lambda r: (-r[1], r[0]))
+    assert [(d, m) for d, _sc, m in got] == [
+        (d, m) for d, _sc, m in want[:20]
+    ]
+    for (_, s1, _), (_, s2, _) in zip(got, want):
+        assert abs(s1 - s2) < 1e-9
+    with pytest.raises(ValueError, match="tiebreak"):
+        s.search_dismax(q, tiebreak=1.5)
