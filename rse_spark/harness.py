@@ -861,6 +861,73 @@ def q_collapse_bm25(spark, sf_dir):
     return _bm25(spark, sf_dir, "or", collapse="lang")
 
 
+SPAN_WORD, SPAN_END = "spark", 10  # SpanFirst probe: word in lead
+
+
+def q_span_first(spark, sf_dir):
+    """SpanFirstQuery (Lucene): docs where the word occurs within the
+    first SPAN_END token positions — lead/title-sensitive matching
+    without a separate field. One posexplode + scan-side predicate on
+    (token, position) + hash-agg count; the position filter prunes
+    before any join or shuffle. Serving twin:
+    DirectSearcher.span_first_search (one mask over the packed
+    position keys)."""
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+        )
+        .filter(
+            (F.col("tok") == SPAN_WORD) & (F.col("pos") < SPAN_END)
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+
+
+PHRASE_PREFIX_Q = "the da"  # match_phrase_prefix probe
+
+
+def q_phrase_prefix(spark, sf_dir):
+    """match_phrase_prefix (ES, search-as-you-type): an exact phrase
+    whose LAST word is a prefix — the positional join of
+    phrase_pos_search with the final word's position set replaced by
+    the UNION over the capped prefix expansion (same 64-term rewrite
+    limit and ordering as every other expansion, so engine,
+    declarative path, and oracle agree on truncated vocabularies).
+    Serving twin: DirectSearcher.phrase_prefix_search."""
+    words = PHRASE_PREFIX_Q.split()
+    head, prefix = words[:-1], words[-1]
+    toks = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+        )
+    )
+    expanded = (
+        toks.select("tok").distinct()
+        .filter(F.col("tok").startswith(prefix))
+        .orderBy("tok").limit(PREFIX_MAX_TERMS)
+    )
+    acc = toks.filter(F.col("tok") == head[0]).select("doc_id", "pos")
+    for j, w in enumerate(head[1:], 1):
+        nxt = toks.filter(F.col("tok") == w).select(
+            "doc_id", (F.col("pos") - j).alias("pos")
+        )
+        acc = acc.join(nxt, ["doc_id", "pos"])
+    tail = (
+        toks.join(F.broadcast(expanded), "tok")
+        .select("doc_id", (F.col("pos") - len(head)).alias("pos"))
+    )
+    return (
+        acc.join(tail, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+
+
 DISMAX_TIE = 0.3  # DisjunctionMax tiebreak multiplier
 
 
@@ -2312,6 +2379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_stats": q_facet_stats,
         "top_hits": q_top_hits,
         "dismax_bm25": q_dismax_bm25,
+        "span_first": q_span_first,
+        "phrase_prefix": q_phrase_prefix,
         "export_matches": q_export_matches,
         "pct_dlen": q_pct_dlen,
         "prefix_wand": q_prefix_wand,
@@ -3042,6 +3111,19 @@ def oracle_sql() -> dict[str, str]:
             FROM dl JOIN cand USING (doc_id)
             ORDER BY dl DESC, doc_id ASC LIMIT 10
         """,
+        "span_first": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(sp) AS tok,
+                     unnest(range(1, len(sp) + 1)) AS pos
+              FROM (SELECT doc_id, string_split(text, ' ') AS sp
+                    FROM documents)
+            )
+            SELECT doc_id, count(*)::bigint AS n_occurrences
+            FROM toks
+            WHERE tok = '{SPAN_WORD}' AND pos <= {SPAN_END}
+            GROUP BY doc_id
+        """,
+        "phrase_prefix": _phrase_prefix_sql(),
         "dismax_bm25": f"""
             WITH toks AS ({_TOKS_SQL}),
             tf AS (SELECT doc_id, term, count(*)::bigint AS tf
@@ -3472,6 +3554,42 @@ WHERE s < c_s OR (s = c_s AND doc_id > c_d)
 ORDER BY s DESC, doc_id ASC
 LIMIT 10
 """
+
+
+def _phrase_prefix_sql() -> str:
+    """DuckDB twin of q_phrase_prefix: the positional-join chain of
+    _phrase_pos_sql with the last step joined against the capped
+    prefix expansion instead of one literal word."""
+    words = PHRASE_PREFIX_Q.split()
+    head, prefix = words[:-1], words[-1]
+    joins = "\n".join(
+        f"JOIN (SELECT doc_id, pos - {j} AS pos FROM toks "
+        f"WHERE tok = '{w}') w{j} USING (doc_id, pos)"
+        for j, w in enumerate(head[1:], 1)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(sp) AS tok,
+                 unnest(range(1, len(sp) + 1)) AS pos
+          FROM (SELECT doc_id, string_split(text, ' ') AS sp
+                FROM documents)
+        ),
+        expanded AS (
+          SELECT DISTINCT tok FROM toks
+          WHERE tok LIKE '{prefix}%'
+          ORDER BY tok LIMIT {PREFIX_MAX_TERMS}
+        ),
+        tail AS (
+          SELECT doc_id, pos - {len(head)} AS pos
+          FROM toks JOIN expanded USING (tok)
+        )
+        SELECT doc_id, count(*)::bigint AS n_occurrences
+        FROM (SELECT doc_id, pos FROM toks
+              WHERE tok = '{head[0]}') w0
+        {joins}
+        JOIN tail USING (doc_id, pos)
+        GROUP BY doc_id
+    """
 
 
 def _rescore_sql() -> str:

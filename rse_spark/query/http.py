@@ -183,15 +183,19 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
             mlt = (qs.get("mlt") or [""])[0]
             syn = (qs.get("syn") or [""])[0]
             wildcard = (qs.get("wildcard") or [""])[0]
+            span_first = (qs.get("span_first") or [""])[0]
+            phrase_prefix = (qs.get("phrase_prefix") or [""])[0]
             given = [p for p in (q, phrase, prefix, ql, near, mlt,
-                                 syn, wildcard)
+                                 syn, wildcard, span_first,
+                                 phrase_prefix)
                      if p.strip()]
             if len(given) != 1:
                 # GSE: empty query -> http.Error 400 (main.go:210-214);
                 # exactly one selector must be present
                 self._json(400, {
                     "error": "exactly one of q, phrase, prefix, ql, "
-                             "near, mlt, syn, wildcard required"
+                             "near, mlt, syn, wildcard, span_first, "
+                             "phrase_prefix required"
                 })
                 return
             try:
@@ -439,6 +443,49 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                            extra={"expanded_terms": terms},
                            snippet_q=" ".join(terms) if want_snippets
                            else None)
+                return
+            if span_first.strip():
+                # ?span_first=word&end=N — Lucene SpanFirstQuery:
+                # the word within the first N token positions
+                try:
+                    end = int((qs.get("end") or ["10"])[0])
+                except ValueError:
+                    self._json(400, {"error": "end must be an int"})
+                    return
+                try:
+                    hits2 = searcher.span_first_search(
+                        span_first.strip(), end, k=k
+                    )
+                except ValueError as e:
+                    self._json(400, {"error": str(e)})
+                    return
+                self._json(200, {
+                    "span_first": span_first.strip(), "end": end,
+                    "k": k, "n_results": len(hits2),
+                    "results": [
+                        {"doc_id": int(d), "n_occurrences": int(n)}
+                        for d, n in hits2
+                    ],
+                })
+                return
+            if phrase_prefix.strip():
+                # ?phrase_prefix=merge+jo — ES match_phrase_prefix
+                # (search-as-you-type) over the positional sidecar
+                try:
+                    hits2 = searcher.phrase_prefix_search(
+                        phrase_prefix, k=k
+                    )
+                except ValueError as e:
+                    self._json(400, {"error": str(e)})
+                    return
+                self._json(200, {
+                    "phrase_prefix": phrase_prefix, "k": k,
+                    "n_results": len(hits2),
+                    "results": [
+                        {"doc_id": int(d), "n_occurrences": int(n)}
+                        for d, n in hits2
+                    ],
+                })
                 return
             if wildcard.strip():
                 # ?wildcard=s?a* — Lucene WildcardQuery: capped

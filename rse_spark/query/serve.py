@@ -1830,6 +1830,93 @@ class DirectSearcher:
         rescored.sort(key=lambda r: (-r[1], r[0]))
         return rescored[:k]
 
+    def span_first_search(self, word: str, end: int, k: int = 10):
+        """Lucene SpanFirstQuery: docs where ``word`` occurs within
+        the first ``end`` token positions (a title/lead-sensitive
+        match without a separate field), with the count of qualifying
+        occurrences — one mask over the term's packed position keys
+        (the low bits ARE the 0-based position, so "first end tokens"
+        is ``pos < end``)."""
+        import numpy as np
+
+        from rse_spark.tokenizer import tokenize
+
+        if end < 1:
+            raise ValueError("end must be >= 1")
+        self._check_positions_coverage()
+        toks = tokenize(word, self.analyzer)
+        if len(toks) != 1:
+            raise ValueError(
+                "span_first takes one word (compose phrases with "
+                "phrase_search_positions)"
+            )
+        keys = self._term_position_keys(toks[0])
+        if not len(keys):
+            return []
+        mask = (keys & ((np.int64(1) << np.int64(self._pos_bits))
+                        - 1)) < end
+        if not mask.any():
+            return []
+        docs = keys[mask] >> np.int64(self._pos_bits)
+        uniq, counts = np.unique(docs, return_counts=True)
+        order = sorted(
+            range(len(uniq)), key=lambda i: (-counts[i], uniq[i])
+        )[:k]
+        return [(int(uniq[i]), int(counts[i])) for i in order]
+
+    def phrase_prefix_search(self, phrase: str, k: int = 10,
+                             max_expansions: int = 64):
+        """ES ``match_phrase_prefix`` (search-as-you-type): an exact
+        phrase whose LAST word is a prefix — "merge jo" matches
+        "merge join" and "merge joined". The chain runs exactly like
+        phrase_search_positions; the final step tests membership in
+        the UNION of the expanded terms' position keys (expansion
+        capped and ordered like every other rewrite). A single-word
+        query degenerates to presence-counting of the expansion."""
+        import numpy as np
+
+        from rse_spark.tokenizer import tokenize
+
+        self._check_positions_coverage()
+        words = phrase.split()
+        if not words:
+            raise ValueError("empty phrase")
+        head = tokenize(" ".join(words[:-1]), self.analyzer)
+        expanded = self.expand_prefix(words[-1].lower(),
+                                      max_expansions)
+        if not expanded:
+            return []
+        last_keys = [
+            ks for t in expanded
+            if len(ks := self._term_position_keys(t))
+        ]
+        if not last_keys:
+            return []
+        tail = np.sort(np.concatenate(last_keys)) if len(last_keys) \
+            else last_keys[0]
+        if not head:
+            cur = tail
+        else:
+            cur = self._term_position_keys(head[0])
+            for j, t in enumerate(head[1:], 1):
+                if not len(cur):
+                    return []
+                cur = cur[np.isin(cur + j, self._term_position_keys(t),
+                                  assume_unique=True)]
+            if not len(cur):
+                return []
+            # final step: next position must hold ANY expanded term
+            cur = cur[np.isin(cur + len(head), tail,
+                              assume_unique=False)]
+        if not len(cur):
+            return []
+        docs = cur >> np.int64(self._pos_bits)
+        uniq, counts = np.unique(docs, return_counts=True)
+        order = sorted(
+            range(len(uniq)), key=lambda i: (-counts[i], uniq[i])
+        )[:k]
+        return [(int(uniq[i]), int(counts[i])) for i in order]
+
     def near_search_positions(self, first: str, second: str,
                               max_dist: int, k: int = 10,
                               ordered: bool = True):

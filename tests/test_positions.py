@@ -904,3 +904,102 @@ def test_http_rescore(spark, pos_index):
                 assert err.code == 400
     finally:
         srv.stop()
+
+
+def test_span_first_search(spark, pos_index):
+    """SpanFirstQuery == brute-force lead-window count over content."""
+    import pyarrow.parquet as pq
+
+    s = DirectSearcher(pos_index, analyzer="simple")
+    tbl = pq.read_table(DOCS, columns=["doc_id", "text"])
+    want: dict[int, int] = {}
+    for d, txt in zip(tbl["doc_id"].to_pylist(),
+                      tbl["text"].to_pylist()):
+        n = sum(1 for t in txt.split()[:5] if t == "the")
+        if n:
+            want[int(d)] = n
+    got = s.span_first_search("the", 5, k=10**6)
+    assert dict(got) == want
+    assert got == sorted(got, key=lambda r: (-r[1], r[0]))
+    # a word never in the lead window
+    assert all(
+        n <= 5 for _d, n in s.span_first_search("the", 5, k=10**6)
+    )
+    with pytest.raises(ValueError, match="end"):
+        s.span_first_search("the", 0)
+    with pytest.raises(ValueError, match="one word"):
+        s.span_first_search("the data", 5)
+
+
+def test_phrase_prefix_search(spark, pos_index):
+    """match_phrase_prefix == brute-force adjacency with a prefix
+    last word over content."""
+    import pyarrow.parquet as pq
+
+    s = DirectSearcher(pos_index, analyzer="simple")
+    tbl = pq.read_table(DOCS, columns=["doc_id", "text"])
+    want: dict[int, int] = {}
+    for d, txt in zip(tbl["doc_id"].to_pylist(),
+                      tbl["text"].to_pylist()):
+        toks = txt.split()
+        n = sum(
+            1 for i in range(len(toks) - 1)
+            if toks[i] == "the" and toks[i + 1].startswith("da")
+        )
+        if n:
+            want[int(d)] = n
+    got = s.phrase_prefix_search("the da", k=10**6)
+    assert dict(got) == want and want, "probe must match docs"
+    # single word degenerates to prefix presence counting
+    got1 = s.phrase_prefix_search("da", k=10**6)
+    want1: dict[int, int] = {}
+    for d, txt in zip(tbl["doc_id"].to_pylist(),
+                      tbl["text"].to_pylist()):
+        n = sum(1 for t in txt.split() if t.startswith("da"))
+        if n:
+            want1[int(d)] = n
+    assert dict(got1) == want1
+    assert s.phrase_prefix_search("the zzznope") == []
+    with pytest.raises(ValueError, match="empty"):
+        s.phrase_prefix_search("   ")
+
+
+def test_http_span_first_and_phrase_prefix(spark, pos_index):
+    import json
+    import urllib.error
+    import urllib.request
+
+    from rse_spark.query.http import SearchServer
+
+    srv = SearchServer(pos_index, analyzer="simple").start()
+    try:
+        with urllib.request.urlopen(
+            f"{srv.address}/search?span_first=the&end=5&k=5",
+            timeout=30,
+        ) as r:
+            body = json.load(r)
+        direct = srv.searcher.span_first_search("the", 5, k=5)
+        assert [
+            (h["doc_id"], h["n_occurrences"]) for h in body["results"]
+        ] == direct
+        with urllib.request.urlopen(
+            f"{srv.address}/search?phrase_prefix=the+da&k=5",
+            timeout=30,
+        ) as r:
+            body2 = json.load(r)
+        direct2 = srv.searcher.phrase_prefix_search("the da", k=5)
+        assert [
+            (h["doc_id"], h["n_occurrences"])
+            for h in body2["results"]
+        ] == direct2
+        for bad in ("span_first=the&end=0", "span_first=the+data",
+                    "span_first=the&phrase_prefix=x"):
+            try:
+                urllib.request.urlopen(
+                    f"{srv.address}/search?{bad}", timeout=30
+                )
+                raise AssertionError("expected HTTP 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+    finally:
+        srv.stop()
