@@ -861,6 +861,31 @@ def q_collapse_bm25(spark, sf_dir):
     return _bm25(spark, sf_dir, "or", collapse="lang")
 
 
+# percolator rule set: (rule_id, terms, min_match) — a rule fires on
+# a doc containing at least min_match of its terms (min_match =
+# len(terms) is AND, 1 is OR)
+PERC_RULES = [
+    (0, ["spark", "join"], 2),
+    (1, ["merge", "sort", "hash"], 1),
+    (2, ["table", "scan", "filter"], 2),
+]
+
+
+def q_percolate(spark, sf_dir):
+    """Percolator (ES percolate query, reversed search): match the
+    CORPUS against a STORED rule set instead of one query against the
+    corpus — the shape of stream tagging, alerting, and routing
+    training data through labeling rules. Each rule fires on docs
+    matching >= min_match of its terms. Scale shape: the rule table
+    is a broadcast literal (rules are small by definition), the token
+    stream is scanned ONCE for all rules, and the coverage check is a
+    partial+final hash agg on (doc, rule) — adding rules never adds
+    corpus scans."""
+    from rse_spark.functions.percolate import percolate_tokens
+
+    return percolate_tokens(spark, _toks(spark, sf_dir), PERC_RULES)
+
+
 SPAN_WORD, SPAN_END = "spark", 10  # SpanFirst probe: word in lead
 
 
@@ -2380,6 +2405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_hits": q_top_hits,
         "dismax_bm25": q_dismax_bm25,
         "span_first": q_span_first,
+        "percolate": q_percolate,
         "phrase_prefix": q_phrase_prefix,
         "export_matches": q_export_matches,
         "pct_dlen": q_pct_dlen,
@@ -3110,6 +3136,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, dl AS doc_len
             FROM dl JOIN cand USING (doc_id)
             ORDER BY dl DESC, doc_id ASC LIMIT 10
+        """,
+        "percolate": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            dt AS (SELECT DISTINCT doc_id, term FROM toks),
+            rules(rule_id, term, min_match) AS (VALUES
+              {", ".join(
+                  f"({rid}, '{t}', {mm})"
+                  for rid, ts, mm in PERC_RULES for t in ts
+              )})
+            SELECT rule_id, doc_id, count(*)::int AS n_matched
+            FROM dt JOIN rules USING (term)
+            GROUP BY rule_id, doc_id, min_match
+            HAVING count(*) >= min_match
         """,
         "span_first": f"""
             WITH toks AS (

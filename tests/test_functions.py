@@ -292,3 +292,45 @@ def test_ivf_ann_recall_and_exact_limit(spark):
                               centroids=cents).collect()
     ]
     assert len(set(approx) & set(exact)) >= 6
+
+
+def test_percolate_tokens(spark):
+    """Percolator: rules fire on planted docs exactly per min_match
+    coverage; incremental batches union to the full answer."""
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rse_spark.functions.percolate import percolate_tokens
+
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "spark join fast",        # rule 0 (both), rule 1 (1 of 3)
+            "spark alone here",       # rule 0 misses (1 < 2)
+            "merge conflict",         # rule 1 (merge)
+            "sort hash merge",        # rule 1 (3 of 3)
+        ],
+    })
+    toks = spark.createDataFrame(pdf).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    rules = [(0, ["spark", "join"], 2), (1, ["merge", "sort", "hash"], 1)]
+    got = {
+        (r.rule_id, r.doc_id): r.n_matched
+        for r in percolate_tokens(spark, toks, rules).collect()
+    }
+    assert got == {(0, 0): 2, (1, 2): 1, (1, 3): 3}
+    # incremental: per-batch percolation unions to the full answer
+    b1 = toks.filter(F.col("doc_id") < 2)
+    b2 = toks.filter(F.col("doc_id") >= 2)
+    inc = {
+        (r.rule_id, r.doc_id): r.n_matched
+        for b in (b1, b2)
+        for r in percolate_tokens(spark, b, rules).collect()
+    }
+    assert inc == got
+    with pytest.raises(ValueError, match="min_match"):
+        percolate_tokens(spark, toks, [(0, ["a"], 2)])
+    with pytest.raises(ValueError, match="empty"):
+        percolate_tokens(spark, toks, [])
