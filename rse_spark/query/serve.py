@@ -1830,6 +1830,50 @@ class DirectSearcher:
         rescored.sort(key=lambda r: (-r[1], r[0]))
         return rescored[:k]
 
+    def percolate(self, rules: "list[tuple[int, list[str], int]]"):
+        """Percolator on the serving tier (ES percolate): which stored
+        rules fire on which indexed docs — ``{rule_id: [(doc_id,
+        n_matched), ...]}`` for rules (rule_id, terms, min_match).
+        Pure presence-set algebra: each rule term's sorted doc-id
+        array (term_docs — posting decode stops at ids, no scoring),
+        coverage counted with one concatenate + unique per rule.
+        Terms are pre-analyzed index terms (same contract as
+        search_terms). The declarative twin percolates arbitrary
+        corpora/micro-batches; this one answers "which docs already
+        in the index match rule R" replica-side with no Spark job."""
+        import numpy as np
+
+        if not rules:
+            raise ValueError("empty rule set")
+        self._check_generation()
+        out: dict[int, list] = {}
+        term_cache: dict[str, object] = {}
+        for rid, terms, mm in rules:
+            uniq_terms = sorted(set(terms))
+            if not uniq_terms or not 1 <= mm <= len(uniq_terms):
+                raise ValueError(
+                    f"rule {rid}: min_match {mm} out of "
+                    f"[1, {len(uniq_terms)}]"
+                )
+            sets = []
+            for t in uniq_terms:
+                if t not in term_cache:
+                    term_cache[t] = self.term_docs(t)
+                if len(term_cache[t]):
+                    sets.append(term_cache[t])
+            if not sets:
+                out[rid] = []
+                continue
+            docs, counts = np.unique(
+                np.concatenate(sets), return_counts=True
+            )
+            keep = counts >= mm
+            out[rid] = [
+                (int(d), int(n))
+                for d, n in zip(docs[keep], counts[keep])
+            ]
+        return out
+
     def span_first_search(self, word: str, end: int, k: int = 10):
         """Lucene SpanFirstQuery: docs where ``word`` occurs within
         the first ``end`` token positions (a title/lead-sensitive

@@ -687,3 +687,36 @@ def test_search_dismax(root):
         assert abs(s1 - s2) < 1e-9
     with pytest.raises(ValueError, match="tiebreak"):
         s.search_dismax(q, tiebreak=1.5)
+
+
+def test_percolate_serving(spark, root):
+    """Serving-tier percolation == an independent pure-python coverage
+    recount over the enriched table's stored term vectors (index-id
+    aligned)."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    s = DirectSearcher(root, analyzer="code")
+    t1, t2, t3 = "pars", "index", "merg"  # analyzed (stemmed) forms
+    rules = [(0, [t1, t2], 2), (1, [t2, t3], 1)]
+    got = s.percolate(rules)
+    tbl = pads.dataset(os.path.join(root, "enriched")).to_table(
+        columns=["doc_id", "tf_terms"]
+    )
+    want: dict[int, list] = {0: [], 1: []}
+    for d, terms in zip(tbl["doc_id"].to_pylist(),
+                        tbl["tf_terms"].to_pylist()):
+        ts = set(terms)
+        for rid, rterms, mm in rules:
+            n = sum(1 for t in rterms if t in ts)
+            if n >= mm:
+                want[rid].append((int(d), n))
+    for rid in want:
+        want[rid].sort()
+        assert got[rid] == want[rid], rid
+    assert any(want[rid] for rid in want), "probe must fire"
+    with pytest.raises(ValueError, match="min_match"):
+        s.percolate([(0, [t1], 2)])
+    with pytest.raises(ValueError, match="empty"):
+        s.percolate([])
