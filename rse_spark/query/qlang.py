@@ -9,6 +9,7 @@ Lucene's SimpleQueryParser popularized, nesting-free by design:
     error AND handler OR panic        ->  (error ∧ handler) ∨ panic
     "merge sort" AND stable           ->  adjacency ∧ term
     "merge sort"~2 AND stable         ->  in-order slop<=2 ∧ term
+    "merge jo*" AND fast              ->  phrase-prefix ∧ term
     pars* AND config                  ->  (any pars… term) ∧ config
     /ha.h(es)?/ AND table             ->  (any regex-matched term) ∧ term
     tabel~1 AND join                  ->  (any term ≤1 edit away) ∧ term
@@ -124,6 +125,12 @@ class Clause:
         default_factory=list)
     neg_ranges: list[tuple[str, "int | None", "int | None"]] = field(
         default_factory=list)
+    # quoted phrases whose LAST word ends with ``*`` (``"merge jo*"``
+    # — ES match_phrase_prefix / Lucene complex-phrase trailing
+    # wildcard): resolved on the positional sidecar via
+    # phrase_prefix_search. Stored with the ``*`` stripped.
+    phrase_prefixes: list[str] = field(default_factory=list)
+    neg_phrase_prefixes: list[str] = field(default_factory=list)
     # per-atom score boosts (``atom^N``), aligned with their positive
     # atom lists; 1.0 = unboosted. Negative atoms can't carry boosts
     # (parse error — they contribute no scoring terms).
@@ -132,6 +139,7 @@ class Clause:
     phrase_boosts: list[float] = field(default_factory=list)
     regex_boosts: list[float] = field(default_factory=list)
     fuzzy_boosts: list[float] = field(default_factory=list)
+    phrase_prefix_boosts: list[float] = field(default_factory=list)
 
     def atoms(self) -> int:
         return (
@@ -141,7 +149,8 @@ class Clause:
             + len(self.neg_metas) + len(self.regexes)
             + len(self.neg_regexes) + len(self.fuzzies)
             + len(self.neg_fuzzies) + len(self.ranges)
-            + len(self.neg_ranges)
+            + len(self.neg_ranges) + len(self.phrase_prefixes)
+            + len(self.neg_phrase_prefixes)
         )
 
     def positive_atoms(self) -> int:
@@ -150,6 +159,7 @@ class Clause:
         return (
             len(self.terms) + len(self.prefixes) + len(self.phrases)
             + len(self.regexes) + len(self.fuzzies)
+            + len(self.phrase_prefixes)
         )
 
 
@@ -257,7 +267,25 @@ def parse_ql(q: str) -> list[Clause]:
                         f"allowed)"
                     )
             phrase = body.strip()
-            if phrase:
+            if phrase.endswith("*"):
+                # '"merge jo*"' — phrase-prefix atom (ES
+                # match_phrase_prefix): the last word is a prefix.
+                # Slop on a prefix tail has no defined semantics.
+                pp = phrase[:-1].rstrip()
+                if not pp or pp.endswith("*"):
+                    raise ValueError(
+                        f'bad phrase-prefix atom "{phrase}"'
+                    )
+                if slop:
+                    raise ValueError(
+                        "phrase-prefix atoms cannot carry slop"
+                    )
+                if neg:
+                    cur.neg_phrase_prefixes.append(pp)
+                else:
+                    cur.phrase_prefixes.append(pp)
+                    cur.phrase_prefix_boosts.append(boost)
+            elif phrase:
                 if neg:
                     cur.neg_phrases.append(phrase)
                     cur.neg_slops.append(slop)
@@ -415,6 +443,11 @@ def match_ql(searcher, q: str,
         raise ValueError(
             'sloppy phrases ("…"~N) need a positional sidecar'
         )
+    if any(c.phrase_prefixes or c.neg_phrase_prefixes
+           for c in clauses) and not has_pos:
+        raise ValueError(
+            'phrase-prefix atoms ("… wo*") need a positional sidecar'
+        )
 
     empty = np.empty(0, dtype=np.int64)
     docs_cache: dict[str, np.ndarray] = {}
@@ -494,6 +527,20 @@ def match_ql(searcher, q: str,
             [d for d, _n in ph_hits], dtype=np.int64,
         )
 
+    def phrase_prefix_docs(ph: str) -> tuple[np.ndarray, list[str]]:
+        """Phrase-prefix atom presence + its scoring terms (analyzed
+        head words plus the capped last-word expansion — the same
+        terms every other expanded atom feeds the scorer)."""
+        hits = searcher.phrase_prefix_search(ph, k=searcher.n_docs)
+        words = ph.split()
+        sterms = list(
+            query_terms(" ".join(words[:-1]), searcher.analyzer)
+        ) + searcher.expand_prefix(words[-1].lower(), max_prefix_terms)
+        return (
+            np.asarray([d for d, _n in hits], dtype=np.int64),
+            sorted(set(sterms)),
+        )
+
     meta_cache: dict[tuple[str, str], np.ndarray] = {}
 
     def meta_set(f: str, v: str) -> np.ndarray:
@@ -541,6 +588,10 @@ def match_ql(searcher, q: str,
         for ph, slop, b in zip(c.phrases, c.slops, c.phrase_boosts):
             add_scoring(query_terms(ph, searcher.analyzer), b)
             clause_sets.append(phrase_docs(ph, slop))
+        for ph, b in zip(c.phrase_prefixes, c.phrase_prefix_boosts):
+            docs, sterms = phrase_prefix_docs(ph)
+            add_scoring(sterms, b)
+            clause_sets.append(docs)
         for f, v in c.metas:
             # filter-only: presence set in the intersection, no
             # scoring contribution
@@ -563,9 +614,13 @@ def match_ql(searcher, q: str,
         if len(hit) and (
             c.neg_terms or c.neg_prefixes or c.neg_phrases
             or c.neg_metas or c.neg_regexes or c.neg_fuzzies
-            or c.neg_ranges
+            or c.neg_ranges or c.neg_phrase_prefixes
         ):
             neg_parts = [token_docs(t) for t in c.neg_terms]
+            neg_parts += [
+                phrase_prefix_docs(ph)[0]
+                for ph in c.neg_phrase_prefixes
+            ]
             neg_parts += [prefix_docs(p)[0] for p in c.neg_prefixes]
             neg_parts += [regex_docs(p)[0] for p in c.neg_regexes]
             neg_parts += [

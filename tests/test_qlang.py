@@ -796,3 +796,72 @@ def test_wildcard_atom_parses_to_regex():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unbounded"):
         parse_ql("sort AND *?")
+
+
+def test_phrase_prefix_atom_parse():
+    import pytest as _pytest
+
+    from rse_spark.query.qlang import parse_ql
+
+    cl = parse_ql('"merge jo*" AND fast')[0]
+    assert cl.phrase_prefixes == ["merge jo"]
+    assert cl.phrases == [] and cl.terms == ["fast"]
+    cl2 = parse_ql('sort AND -"merge jo*"')[0]
+    assert cl2.neg_phrase_prefixes == ["merge jo"]
+    cl3 = parse_ql('"merge jo*"^2')[0]
+    assert cl3.phrase_prefix_boosts == [2.0]
+    with _pytest.raises(ValueError, match="slop"):
+        parse_ql('"merge jo*"~2')
+    with _pytest.raises(ValueError, match="phrase-prefix"):
+        parse_ql('"*"')
+
+
+@pytest.fixture(scope="module")
+def planted_pos(spark, tmp_path_factory):
+    """Same planted corpus, index CREATED with stored positions (the
+    sidecar the phrase-prefix atom needs)."""
+    from rse_spark.streaming.stream_index import append_batch
+
+    base = tmp_path_factory.mktemp("qlang_pos")
+    corpus_path = str(base / "corpus.parquet")
+    pd.DataFrame(ROWS, columns=["doc_id", "text"]).to_parquet(corpus_path)
+    root = str(base / "idx")
+    docs = spark.read.parquet(corpus_path)
+    append_batch(spark, docs, root, analyzer="simple",
+                 content_col="text", batch_id=0, with_positions=True)
+    to_src = {
+        int(r["doc_id"]): int(r["src_doc_id"])
+        for r in spark.read.parquet(f"{root}/enriched")
+        .select("doc_id", "src_doc_id").collect()
+    }
+    return root, corpus_path, to_src
+
+
+def test_phrase_prefix_atom_semantics(planted_pos):
+    """'"alpha be*"' qualifies exact-adjacency docs whose next token
+    starts with the prefix; ranking stays BM25 over head + expansion
+    terms; negation and sidecar requirement hold."""
+    root, corpus_path, to_src = planted_pos
+    s = DirectSearcher(root, analyzer="simple")
+    kw = dict(corpus_path=corpus_path, key_col="src_doc_id")
+
+    assert _src_ids(
+        search_ql(s, '"alpha be*"', **kw), to_src
+    ) == {0}
+    # one-word phrase-prefix degenerates to prefix presence
+    assert _src_ids(search_ql(s, '"alph*"', **kw), to_src) \
+        == _src_ids(search_ql(s, "alph*", **kw), to_src)
+    # clause-scoped negation
+    assert _src_ids(
+        search_ql(s, 'alpha AND -"alpha be*"', **kw), to_src
+    ) == {1, 5}
+    # no expansion -> empty, not error
+    assert search_ql(s, '"alpha zzz*"', **kw) == []
+
+
+def test_phrase_prefix_atom_needs_sidecar(planted):
+    root, corpus_path, _to_src = planted
+    s = DirectSearcher(root, analyzer="simple")
+    with pytest.raises(ValueError, match="sidecar"):
+        search_ql(s, '"alpha be*"', corpus_path=corpus_path,
+                  key_col="src_doc_id")
