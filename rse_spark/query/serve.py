@@ -701,7 +701,8 @@ class DirectSearcher:
                      mode: str = "or", algo: str = "numpy",
                      within=None,
                      boosts: "dict[str, float] | None" = None,
-                     min_match: "int | None" = None):
+                     min_match: "int | None" = None,
+                     stats_override: "tuple | None" = None):
         """Top-k over PRE-ANALYZED terms (no tokenizer pass) — the
         entry point for dictionary-expanded queries (prefix), where
         re-analyzing expanded vocabulary terms would re-stem them.
@@ -721,7 +722,8 @@ class DirectSearcher:
             for t in qtf:
                 qtf[t] *= boosts.get(t, 1.0)
         return self._search_qtf(qtf, k, mode, algo, within=within,
-                                min_match=min_match)
+                                min_match=min_match,
+                                stats_override=stats_override)
 
     def term_docs(self, term: str) -> "object":
         """Sorted unique doc_id array of one PRE-ANALYZED term —
@@ -2318,7 +2320,13 @@ class DirectSearcher:
                     algo: str, within=None,
                     min_match: "int | None" = None,
                     after: "tuple[float, int] | None" = None,
-                    combine: str = "sum", tiebreak: float = 0.0):
+                    combine: str = "sum", tiebreak: float = 0.0,
+                    stats_override: "tuple | None" = None):
+        # stats_override = (n_docs, avgdl, {term: df}) — DFS-phase
+        # global statistics for cross-index federation
+        # (query.federate): THIS instance scores its own postings with
+        # the federation's corpus-wide idf and length norm, which is
+        # what makes cross-index ranks merge exactly.
         if not qtf:
             return []
         self._check_generation()
@@ -2337,7 +2345,8 @@ class DirectSearcher:
         if after is not None and algo != "numpy":
             raise ValueError("after needs algo='numpy'")
         cache_key = None
-        if self.max_result_cache and within is None:
+        if self.max_result_cache and within is None \
+                and stats_override is None:
             # within= sets are ndarray-keyed intermediate calls (the
             # qlang path caches at its own level); everything else is
             # hashable and cacheable
@@ -2352,10 +2361,19 @@ class DirectSearcher:
                     self._result_hits += 1
                     return list(hit)
                 self._result_misses += 1
-        weights = {
-            t: qtf[t] * idf_fn(self.term_dict.get(t, (0, 0))[0], self.n_docs)
-            for t in terms
-        }
+        if stats_override is not None:
+            g_ndocs, g_avgdl, g_df = stats_override
+            weights = {
+                t: qtf[t] * idf_fn(g_df.get(t, 0), g_ndocs)
+                for t in terms
+            }
+        else:
+            g_avgdl = None
+            weights = {
+                t: qtf[t]
+                * idf_fn(self.term_dict.get(t, (0, 0))[0], self.n_docs)
+                for t in terms
+            }
         self._prefetch_buckets(
             info[1]
             for info in (self.term_dict.get(t) for t in terms)
@@ -2368,7 +2386,8 @@ class DirectSearcher:
                                      within=within,
                                      min_match=min_match,
                                      after=after, combine=combine,
-                                     tiebreak=tiebreak)
+                                     tiebreak=tiebreak,
+                                     avgdl=g_avgdl)
             self._result_store(cache_key, res)
             return res
         per_segment = self._matched_lists(terms, weights)
@@ -2417,7 +2436,8 @@ class DirectSearcher:
     def _search_numpy(self, terms, weights, k: int, mode: str,
                       within=None, min_match: "int | None" = None,
                       after: "tuple[float, int] | None" = None,
-                      combine: str = "sum", tiebreak: float = 0.0):
+                      combine: str = "sum", tiebreak: float = 0.0,
+                      avgdl: "float | None" = None):
         """Vectorized exact scoring across all matched lists.
 
         ``within`` (sorted unique int64 array) drops postings outside
@@ -2448,8 +2468,9 @@ class DirectSearcher:
                     if not len(doc_ids):
                         continue
                 tf = tfs.astype(np.float64)
+                _avgdl = self.avgdl if avgdl is None else avgdl
                 contrib = w * tf * (K1 + 1.0) / (
-                    tf + K1 * (1.0 - B + B * dls.astype(np.float64) / self.avgdl)
+                    tf + K1 * (1.0 - B + B * dls.astype(np.float64) / _avgdl)
                 )
                 doc_chunks.append(doc_ids)
                 score_chunks.append(contrib)
