@@ -278,6 +278,49 @@ def main() -> None:
         + cap_explain(harness.q_wildcard_bm25(spark, sf_dir)),
     ))
 
+    # 24. DisjunctionMax — same plan as bm25_topk, different aggregate
+    sections.append((
+        "dismax_bm25 (DisjunctionMax: max + tiebreak in ONE agg)",
+        "Expect: identical shape to bm25_topk — the max and sum land "
+        "in the SAME partial+final HashAggregate pair (no second "
+        "pass, no window), then TakeOrderedAndProject(10).\n\n"
+        + cap_explain(harness.q_dismax_bm25(spark, sf_dir)),
+    ))
+
+    # 25. Grouped top hits — one window shuffle on the group key
+    sections.append((
+        "top_hits (ES top_hits: best N per group)",
+        "Expect: one Exchange on the group key feeding a Window "
+        "(row_number) whose rank filter prunes before the final "
+        "order — group-local work, no global sort of the match "
+        "set.\n\n"
+        + cap_explain(harness.q_top_hits(spark, sf_dir)),
+    ))
+
+    # 26. Percolation — broadcast rules, one token-stream scan
+    sections.append((
+        "percolate (reversed search: corpus vs stored rules)",
+        "Expect: the distinct token stream BroadcastHashJoin'd with "
+        "the literal rule table (rules are small by definition), ONE "
+        "partial+final HashAggregate on (rule, doc) with the "
+        "min_match coverage filter after it — adding rules never "
+        "adds corpus scans.\n\n"
+        + cap_explain(harness.q_percolate(spark, sf_dir)),
+    ))
+
+    # 27. Phrase-prefix — positional join, last step against the
+    # capped expansion
+    sections.append((
+        "phrase_prefix (match_phrase_prefix: positional join + "
+        "expansion tail)",
+        "Expect: the phrase chain's equi-joins on (doc, pos-offset) "
+        "with the LAST join input the broadcast-capped prefix "
+        "expansion semi-joined to the token stream — work scales "
+        "with the words' position-list sizes plus the expansion, "
+        "never candidate content.\n\n"
+        + cap_explain(harness.q_phrase_prefix(spark, sf_dir)),
+    ))
+
     out = ["# PLANS — physical plans of the key paths\n"]
     out.append(
         "Generated by tools/dump_plans.py (`df.explain('formatted')`).\n"
