@@ -262,6 +262,17 @@ def main() -> None:
         rlat.sort()
         rescore_p50 = rlat[len(rlat) // 2] if rlat else 0.0
 
+        # ---- function_score field_value_factor: score * ln(1+dl) —
+        # should cost within noise of the plain search (one scatter +
+        # one vectorized log on the already-decoded match set)
+        flat: list[float] = []
+        for q in qset.itertuples():
+            t0 = time.time()
+            searcher.search(q.query_text, k=10, fvf="ln1p_dlen")
+            flat.append(time.time() - t0)
+        flat.sort()
+        fvf_p50 = flat[len(flat) // 2] if flat else 0.0
+
         # ---- batch phrase execution: a SET of phrases resolved from
         # the positional sidecar in ONE Spark job (the cluster-serving
         # shape; per-phrase jobs pay Spark's ~1s fixed cost each)
@@ -376,6 +387,7 @@ def main() -> None:
                 "serve_syn_p50_ms": round(1000 * syn_p50, 2),
                 "serve_suggest_p50_ms": round(1000 * suggest_p50, 2),
                 "serve_rescore_p50_ms": round(1000 * rescore_p50, 2),
+                "serve_fvf_p50_ms": round(1000 * fvf_p50, 2),
                 "serve_sharded_p50_ms": round(1000 * sh50, 2),
                 "serve_phrase_pos_p50_ms": round(
                     1000 * phrase_pos_p50, 2

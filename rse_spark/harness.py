@@ -2319,6 +2319,250 @@ def q_decontaminate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Hybrid retrieval, score shaping, and aggregation-pipeline surfaces
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # ES 8.x default rank_constant
+HYBRID_N = 20  # candidates taken from each modality before fusion
+
+
+def _bm25_scored(spark, sf_dir):
+    """(doc_id, s) BM25 OR-scores for BM25_TERMS — the shared candidate
+    generator for the fusion/score-shaping queries below. Same algebra
+    as _bm25 (broadcast df + 1-row stats cross-join; the only shuffle
+    is the tf/dl groupBys on doc_id)."""
+    toks = _toks(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qtf = tf.filter(F.col("term").isin(BM25_TERMS))
+    dfx = qtf.groupBy("term").agg(F.count("*").alias("df"))
+    return (
+        qtf.join(F.broadcast(dfx), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            )
+            * F.col("tf")
+            * (K1 + 1.0)
+            / (
+                F.col("tf")
+                + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("s"))
+    )
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """ES 8.x hybrid retrieval: BM25 top-20 and embedding-cosine top-20
+    (query vector = vec_id 0, its own row excluded — same convention as
+    emb_cosine_topk) fused with Reciprocal Rank Fusion,
+    rrf = sum over lists of 1/(60+rank). Ranks, not raw scores, cross
+    the modality boundary, so the two scoring scales never need
+    calibration. Scale shape: each candidate list is produced by a
+    TakeOrdered (no global sort) and is k rows, so ranking and the
+    full-outer fuse run on driver-trivial data; the heavy lifting stays
+    in the BM25 aggregation and the brute cosine scan (the ANN-bucketed
+    variants are the scale path for the latter)."""
+    sc = _bm25_scored(spark, sf_dir)
+    # top-N first (TakeOrdered — scalable), then rank the N survivors
+    # with a global window that only ever sees HYBRID_N rows
+    trk = (
+        sc.orderBy(F.desc("s"), F.asc("doc_id")).limit(HYBRID_N)
+        .withColumn(
+            "trank",
+            F.row_number().over(
+                Window.orderBy(F.desc("s"), F.asc("doc_id"))
+            ),
+        )
+        .select("doc_id", "trank")
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "v", F.expr("transform(embedding, x -> cast(x as double))")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dot = "aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (a, b) -> a + b)"
+    n1 = "aggregate(v, 0D, (a, x) -> a + x * x)"
+    n2 = "aggregate(qv, 0D, (a, x) -> a + x * x)"
+    vrk = (
+        emb.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != 0)
+        .withColumn("cos", F.expr(f"{dot} / (sqrt({n1}) * sqrt({n2}))"))
+        .orderBy(F.desc("cos"), F.asc("vec_id")).limit(HYBRID_N)
+        .withColumn(
+            "vrank",
+            F.row_number().over(
+                Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+            ),
+        )
+        .select(F.col("vec_id").alias("doc_id"), "vrank")
+    )
+    fused = (
+        trk.join(vrk, "doc_id", "full_outer")
+        .withColumn(
+            "rrf",
+            F.coalesce(1.0 / (RRF_K + F.col("trank")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("vrank")), F.lit(0.0)),
+        )
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
+        .select(
+            "doc_id",
+            F.round("rrf", 6).alias("rrf_score"),
+            F.coalesce("trank", F.lit(0)).alias("text_rank"),
+            F.coalesce("vrank", F.lit(0)).alias("vec_rank"),
+        )
+    )
+
+
+def q_function_score(spark, sf_dir):
+    """ES function_score with field_value_factor (modifier=ln1p,
+    boost_mode=multiply): final = bm25 * ln(1 + n_chars). The shaping
+    factor comes from the per-doc metadata row, joined AFTER the
+    aggregation (one small join on the already-reduced score set, AQE
+    free to broadcast documents' 2-column projection)."""
+    sc = _bm25_scored(spark, sf_dir)
+    meta = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    shaped = sc.join(meta, "doc_id").withColumn(
+        "fs", F.col("s") * F.log(F.lit(1.0) + F.col("n_chars"))
+    )
+    return (
+        shaped.orderBy(F.desc("fs"), F.asc("doc_id")).limit(10)
+        .select(
+            "doc_id", F.round("fs", 6).alias("score"), "n_chars"
+        )
+    )
+
+
+_HL_BIG = 999999999  # "not found" sentinel for first-match position
+
+
+def q_highlight(spark, sf_dir):
+    """Lucene highlighter analogue: for the BM25 top-10, a snippet
+    window around the FIRST occurrence of any query term (earliest
+    position wins; the simple analyzer's terms are literal substrings
+    of the text, so an OR-matched doc always has one). locate/strpos
+    are both 1-based with 0 = absent in Spark and DuckDB; absent terms
+    are mapped to a big sentinel so least() never compares NULLs (the
+    two engines disagree on NULL handling in least)."""
+    sc = _bm25_scored(spark, sf_dir)
+    top = sc.orderBy(F.desc("s"), F.asc("doc_id")).limit(10)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pos_cols = [
+        F.coalesce(
+            F.nullif(F.locate(t, F.col("text")), F.lit(0)),
+            F.lit(_HL_BIG),
+        )
+        for t in BM25_TERMS
+    ]
+    return (
+        top.join(docs, "doc_id")
+        .withColumn("pos", F.least(*pos_cols))
+        .withColumn(
+            "snippet",
+            F.substring(
+                F.col("text"),
+                F.greatest(F.lit(1), F.col("pos") - 30),
+                80,
+            ),
+        )
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .select("doc_id", F.round("s", 6).alias("score"), "snippet")
+    )
+
+
+def q_matrix_stats(spark, sf_dir):
+    """ES matrix_stats aggregation over (l_quantity, l_discount) per
+    return flag: count, means, sample variances, sample covariance,
+    Pearson correlation — all JVM-side Catalyst aggregates (one
+    map-side-combined shuffle on the group key)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("l_quantity"), 6).alias("mean_qty"),
+        F.round(F.avg("l_discount"), 6).alias("mean_disc"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias(
+            "covar"
+        ),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("corr"),
+    )
+
+
+COMPOSITE_AFTER = ("de", "src1")  # the "previous page's" last bucket key
+COMPOSITE_SIZE = 5
+
+
+def q_composite_agg(spark, sf_dir):
+    """ES composite aggregation: multi-source terms buckets
+    (lang, source) in key order, paged with an ``after`` cursor —
+    bucket pagination that never materializes more than one page.
+    The cursor compare is a plain tuple inequality pushed into the
+    aggregation's post-filter; one shuffle for the groupBy, the page
+    cut is a TakeOrdered."""
+    d = _docs(spark, sf_dir)
+    al, asrc = COMPOSITE_AFTER
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .filter(
+            (F.col("lang") > al)
+            | ((F.col("lang") == al) & (F.col("source") > asrc))
+        )
+        .orderBy("lang", "source")
+        .limit(COMPOSITE_SIZE)
+    )
+
+
+def q_moving_avg(spark, sf_dir):
+    """ES moving_fn (unweightedAvg, window=3) pipeline aggregation:
+    3-bucket trailing mean over the hourly per-type histogram. The
+    window frame is rows-based (ROWS 2 PRECEDING..CURRENT), identical
+    semantics in Spark and DuckDB; partial windows at the series head
+    average what exists, as ES's unweightedAvg does."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hist = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-2, 0)
+    )
+    return hist.withColumn(
+        "mov_avg", F.round(F.avg("n").over(w), 6)
+    )
+
+
+def q_events_derivative(spark, sf_dir):
+    """ES derivative pipeline aggregation: hourly event counts per
+    type, then the bucket-over-bucket delta (lag window per type; the
+    first bucket's derivative is NULL, as in ES). One shuffle for the
+    histogram, one window exchange on event_type."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hist = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hour")
+    return hist.withColumn(
+        "deriv", F.col("n") - F.lag("n").over(w)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2414,6 +2658,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rep_ratio": q_rep_ratio,
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
+        "hybrid_rrf": q_hybrid_rrf,
+        "composite_agg": q_composite_agg,
+        "moving_avg": q_moving_avg,
+        "function_score": q_function_score,
+        "highlight": q_highlight,
+        "matrix_stats": q_matrix_stats,
+        "events_derivative": q_events_derivative,
     }
 
 
@@ -3481,6 +3732,142 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d WHERE d.doc_id % 50 != 0
         """,
         **_ann_oracle_sqls(),
+        **_fusion_oracle_sqls(),
+    }
+
+
+def _fusion_oracle_sqls() -> dict[str, str]:
+    """DuckDB twins of the hybrid-retrieval / score-shaping /
+    aggregation-pipeline queries. All float literals that divide are
+    cast ::DOUBLE (DuckDB's bare 1.0 is DECIMAL and decimal division
+    would diverge from Spark's IEEE arithmetic)."""
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    scored_ctes = f"""
+toks AS ({_TOKS_SQL}),
+tf AS (SELECT doc_id, term, count(*)::bigint AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::bigint AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::bigint AS n_docs, avg(dl) AS avgdl FROM dl),
+qtf AS (SELECT * FROM tf WHERE term IN ({terms})),
+dfx AS (SELECT term, count(*)::bigint AS df FROM qtf GROUP BY term),
+scored AS (
+  SELECT qtf.doc_id,
+         sum( ln((stats.n_docs - dfx.df + 0.5)/(dfx.df + 0.5) + 1.0)
+              * qtf.tf * {K1 + 1.0}
+              / (qtf.tf + {K1}*(1.0 - {B} + {B}*dl.dl/stats.avgdl)) ) AS s
+  FROM qtf JOIN dfx USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+  GROUP BY qtf.doc_id
+)"""
+    hl_pos = ", ".join(
+        f"coalesce(nullif(strpos(d.text, '{t}'), 0), {_HL_BIG})"
+        for t in BM25_TERMS
+    )
+    return {
+        "hybrid_rrf": f"""
+            WITH {scored_ctes},
+            trk AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY s DESC, doc_id ASC)
+                       AS trank
+              FROM (SELECT * FROM scored
+                    ORDER BY s DESC, doc_id ASC LIMIT {HYBRID_N})
+            ),
+            e AS (SELECT vec_id,
+                         list_transform(embedding, x -> x::DOUBLE) AS v
+                  FROM embeddings),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            cosd AS (
+              SELECT e.vec_id,
+                     list_sum(list_transform(range(1, len(e.v) + 1),
+                                             i -> e.v[i] * q.qv[i]))
+                     / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                        * sqrt(list_sum(list_transform(q.qv, x -> x * x))))
+                       AS c
+              FROM e CROSS JOIN q WHERE e.vec_id != 0
+            ),
+            vrk AS (
+              SELECT vec_id AS doc_id,
+                     row_number() OVER (ORDER BY c DESC, vec_id ASC)
+                       AS vrank
+              FROM (SELECT * FROM cosd
+                    ORDER BY c DESC, vec_id ASC LIMIT {HYBRID_N})
+            ),
+            fused AS (
+              SELECT coalesce(trk.doc_id, vrk.doc_id) AS doc_id,
+                     coalesce(1.0::DOUBLE / ({RRF_K} + trank), 0.0)
+                       + coalesce(1.0::DOUBLE / ({RRF_K} + vrank), 0.0)
+                       AS rrf,
+                     coalesce(trank, 0)::int AS text_rank,
+                     coalesce(vrank, 0)::int AS vec_rank
+              FROM trk FULL OUTER JOIN vrk ON trk.doc_id = vrk.doc_id
+            )
+            SELECT doc_id, round(rrf, 6) AS rrf_score, text_rank,
+                   vec_rank
+            FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
+        """,
+        "function_score": f"""
+            WITH {scored_ctes}
+            SELECT doc_id,
+                   round(s * ln(1.0::DOUBLE + n_chars), 6) AS score,
+                   n_chars
+            FROM scored JOIN documents USING(doc_id)
+            ORDER BY s * ln(1.0::DOUBLE + n_chars) DESC, doc_id ASC
+            LIMIT 10
+        """,
+        "highlight": f"""
+            WITH {scored_ctes},
+            top10 AS (SELECT * FROM scored
+                      ORDER BY s DESC, doc_id ASC LIMIT 10)
+            SELECT t.doc_id, round(t.s, 6) AS score,
+                   substr(d.text,
+                          greatest(1, least({hl_pos}) - 30),
+                          80) AS snippet
+            FROM top10 t JOIN documents d USING(doc_id)
+            ORDER BY t.s DESC, t.doc_id ASC
+        """,
+        "matrix_stats": """
+            SELECT l_returnflag, count(*)::bigint AS n,
+                   round(avg(l_quantity), 6) AS mean_qty,
+                   round(avg(l_discount), 6) AS mean_disc,
+                   round(var_samp(l_quantity), 6) AS var_qty,
+                   round(var_samp(l_discount), 6) AS var_disc,
+                   round(covar_samp(l_quantity, l_discount), 6) AS covar,
+                   round(corr(l_quantity, l_discount), 6) AS corr
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "composite_agg": f"""
+            SELECT lang, source, count(*)::bigint AS doc_count,
+                   sum(n_chars)::bigint AS sum_chars
+            FROM documents GROUP BY lang, source
+            HAVING (lang > '{COMPOSITE_AFTER[0]}')
+                OR (lang = '{COMPOSITE_AFTER[0]}'
+                    AND source > '{COMPOSITE_AFTER[1]}')
+            ORDER BY lang, source LIMIT {COMPOSITE_SIZE}
+        """,
+        "moving_avg": """
+            WITH hist AS (
+              SELECT date_trunc('hour', ts) AS hour, event_type,
+                     count(*)::bigint AS n
+              FROM events GROUP BY 1, 2
+            )
+            SELECT hour, event_type, n,
+                   round(avg(n) OVER (
+                     PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ), 6) AS mov_avg
+            FROM hist
+        """,
+        "events_derivative": """
+            WITH hist AS (
+              SELECT date_trunc('hour', ts) AS hour, event_type,
+                     count(*)::bigint AS n
+              FROM events GROUP BY 1, 2
+            )
+            SELECT hour, event_type, n,
+                   n - lag(n) OVER (
+                     PARTITION BY event_type ORDER BY hour
+                   ) AS deriv
+            FROM hist
+        """,
     }
 
 

@@ -171,6 +171,34 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                     ],
                 })
                 return
+            if u.path == "/terms":
+                # ES _terms_enum: attested vocabulary terms matching a
+                # prefix, with their df — dictionary-only autocomplete,
+                # no posting list is ever decoded
+                qs = parse_qs(u.query)
+                prefix = (qs.get("prefix") or [""])[0].strip()
+                if not prefix:
+                    self._json(400, {"error": "prefix required"})
+                    return
+                try:
+                    n = int((qs.get("n") or ["20"])[0])
+                except ValueError:
+                    self._json(400, {"error": "n must be an int"})
+                    return
+                terms = searcher.expand_prefix(prefix, max_terms=n)
+                self._json(200, {
+                    "prefix": prefix,
+                    "terms": [
+                        {
+                            "term": t,
+                            "df": int(
+                                searcher.term_dict.get(t, (0, 0))[0]
+                            ),
+                        }
+                        for t in terms
+                    ],
+                })
+                return
             if u.path != "/search":
                 self._json(404, {"error": "not found"})
                 return
@@ -618,10 +646,14 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                         "error": "after must be score,doc_id"
                     })
                     return
+            # ?fvf=ln1p_dlen — function_score field_value_factor;
+            # an unknown factor name is rejected by the searcher
+            # (ValueError -> 400 below)
+            fvf = (qs.get("fvf") or [""])[0].strip() or None
             try:
                 hits = searcher.search(q, k=k, mode=mode,
                                        min_match=min_match,
-                                       after=after)
+                                       after=after, fvf=fvf)
             except ValueError as e:
                 self._json(400, {"error": str(e)})
                 return

@@ -670,7 +670,8 @@ class DirectSearcher:
 
     def search(self, qtext: str, k: int = 10, mode: str = "or",
                algo: str = "numpy", min_match: "int | None" = None,
-               after: "tuple[float, int] | None" = None):
+               after: "tuple[float, int] | None" = None,
+               fvf: "str | None" = None):
         """Top-k BM25 — returns [(doc_id, score, n_terms_matched)].
 
         ``algo='numpy'`` (default): decode every matched list with the
@@ -691,10 +692,18 @@ class DirectSearcher:
         (score desc, doc_id asc) order qualify — deep pagination
         without from+size over-fetch: page N costs the same one
         scoring pass as page 1, never k*N heap slots. Numpy algo only.
+
+        ``fvf='ln1p_dlen'`` (ES function_score field_value_factor,
+        modifier=ln1p, boost_mode=multiply): final score =
+        bm25 * ln(1 + doc_length) — the shaping factor rides the dl
+        the postings already carry, so it costs one vectorized log and
+        changes the RANKING (applied before top-k). Declarative twin:
+        harness.q_function_score (same operator over the n_chars
+        metadata field). Numpy algo only.
         """
         return self._search_qtf(
             query_terms(qtext, self.analyzer), k, mode, algo,
-            min_match=min_match, after=after,
+            min_match=min_match, after=after, fvf=fvf,
         )
 
     def search_terms(self, terms: list[str], k: int = 10,
@@ -2321,7 +2330,8 @@ class DirectSearcher:
                     min_match: "int | None" = None,
                     after: "tuple[float, int] | None" = None,
                     combine: str = "sum", tiebreak: float = 0.0,
-                    stats_override: "tuple | None" = None):
+                    stats_override: "tuple | None" = None,
+                    fvf: "str | None" = None):
         # stats_override = (n_docs, avgdl, {term: df}) — DFS-phase
         # global statistics for cross-index federation
         # (query.federate): THIS instance scores its own postings with
@@ -2344,6 +2354,13 @@ class DirectSearcher:
                 )
         if after is not None and algo != "numpy":
             raise ValueError("after needs algo='numpy'")
+        if fvf is not None:
+            if fvf != "ln1p_dlen":
+                raise ValueError(
+                    "fvf supports only 'ln1p_dlen' (score * ln(1+dl))"
+                )
+            if algo != "numpy":
+                raise ValueError("fvf needs algo='numpy'")
         cache_key = None
         if self.max_result_cache and within is None \
                 and stats_override is None:
@@ -2352,7 +2369,7 @@ class DirectSearcher:
             # hashable and cacheable
             cache_key = (
                 tuple(sorted(qtf.items())), k, mode, algo,
-                min_match, after, combine, tiebreak,
+                min_match, after, combine, tiebreak, fvf,
             )
             with self._meta_lock:
                 hit = self._result_cache.get(cache_key)
@@ -2387,7 +2404,7 @@ class DirectSearcher:
                                      min_match=min_match,
                                      after=after, combine=combine,
                                      tiebreak=tiebreak,
-                                     avgdl=g_avgdl)
+                                     avgdl=g_avgdl, fvf=fvf)
             self._result_store(cache_key, res)
             return res
         per_segment = self._matched_lists(terms, weights)
@@ -2437,7 +2454,8 @@ class DirectSearcher:
                       within=None, min_match: "int | None" = None,
                       after: "tuple[float, int] | None" = None,
                       combine: str = "sum", tiebreak: float = 0.0,
-                      avgdl: "float | None" = None):
+                      avgdl: "float | None" = None,
+                      fvf: "str | None" = None):
         """Vectorized exact scoring across all matched lists.
 
         ``within`` (sorted unique int64 array) drops postings outside
@@ -2448,7 +2466,7 @@ class DirectSearcher:
 
         from rse_spark.index.codec import B, K1, decode_postings
 
-        doc_chunks, score_chunks = [], []
+        doc_chunks, score_chunks, dl_chunks = [], [], []
         for t in terms:
             info = self.term_dict.get(t)
             if not info:
@@ -2474,6 +2492,8 @@ class DirectSearcher:
                 )
                 doc_chunks.append(doc_ids)
                 score_chunks.append(contrib)
+                if fvf is not None:
+                    dl_chunks.append(dls.astype(np.float64))
         if not doc_chunks:
             return []
         docs = np.concatenate(doc_chunks)
@@ -2487,6 +2507,17 @@ class DirectSearcher:
             best = np.zeros(len(uniq))
             np.maximum.at(best, inv, scores)
             agg = best + tiebreak * (agg - best)
+        if fvf is not None:
+            # ES function_score field_value_factor (modifier=ln1p,
+            # boost_mode=multiply) on doc length: every posting already
+            # carries the doc's dl, so the factor costs one scatter
+            # (identical dl lands in the slot from every list) and one
+            # vectorized log — no metadata fetch. Applied BEFORE the
+            # match-count filters and top-k so shaping changes the
+            # RANKING, not just the displayed score.
+            dlu = np.zeros(len(uniq))
+            dlu[inv] = np.concatenate(dl_chunks)
+            agg = agg * np.log1p(dlu)
         matched = np.bincount(inv).astype(np.int64)
         if mode == "and" or min_match is not None:
             need = len(terms) if mode == "and" else min_match

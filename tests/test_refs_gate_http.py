@@ -765,3 +765,53 @@ def test_http_dismax(http_index):
                 assert e.code == 400
     finally:
         srv.stop()
+
+
+def test_http_terms_enum_and_fvf(http_index):
+    """/terms = ES _terms_enum (dictionary-only prefix autocomplete
+    with df); ?fvf= shapes the ranking server-side and rejects unknown
+    factor names with a 400."""
+    from rse_spark.query.http import SearchServer
+
+    srv = SearchServer(http_index, analyzer="simple").start()
+    try:
+        with urllib.request.urlopen(
+            f"{srv.address}/terms?prefix=s&n=10", timeout=10
+        ) as r:
+            body = json.load(r)
+        assert 0 < len(body["terms"]) <= 10
+        assert all(t["term"].startswith("s") for t in body["terms"])
+        assert all(t["df"] >= 1 for t in body["terms"])
+        assert [t["term"] for t in body["terms"]] == sorted(
+            t["term"] for t in body["terms"]
+        )
+        # df must agree with what /count reports for the same term
+        probe = body["terms"][0]["term"]
+        with urllib.request.urlopen(
+            f"{srv.address}/count?q={probe}", timeout=30
+        ) as r:
+            assert json.load(r)["count"] == body["terms"][0]["df"]
+        try:
+            urllib.request.urlopen(
+                f"{srv.address}/terms?prefix=", timeout=10
+            )
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        # fvf: same doc set as the unshaped query, shaped scores
+        with urllib.request.urlopen(
+            f"{srv.address}/search?q=spark+join&k=5&fvf=ln1p_dlen",
+            timeout=30,
+        ) as r:
+            shaped = json.load(r)["results"]
+        direct = srv.searcher.search("spark join", k=5, fvf="ln1p_dlen")
+        assert [h["doc_id"] for h in shaped] == [d for d, _, _ in direct]
+        try:
+            urllib.request.urlopen(
+                f"{srv.address}/search?q=spark&fvf=nope", timeout=30
+            )
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.stop()

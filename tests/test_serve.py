@@ -720,3 +720,45 @@ def test_percolate_serving(spark, root):
         s.percolate([(0, [t1], 2)])
     with pytest.raises(ValueError, match="empty"):
         s.percolate([])
+
+
+def test_function_score_fvf(root):
+    """fvf='ln1p_dlen' == unshaped scores reshaped by ln(1+dl) and
+    re-ranked — shaping happens BEFORE top-k, so the ORDER can change,
+    not just the displayed numbers."""
+    import math
+
+    from rse_spark.index.codec import decode_postings
+    from rse_spark.query.engine import query_terms
+
+    s = DirectSearcher(root, analyzer="code")
+    q = "parse index merge"
+    terms = list(query_terms(q, "code"))
+    dl: dict[int, int] = {}
+    for t in terms:
+        info = s.term_dict.get(t)
+        if not info:
+            continue
+        for row in s._bucket_rows(info[1], t):
+            ids, _tfs, dls = decode_postings(bytes(row["payload"]))
+            dl.update(zip(ids.tolist(), dls.tolist()))
+    plain = s.search(q, k=s.n_docs)
+    expected = sorted(
+        ((d, sc * math.log1p(dl[d]), m) for d, sc, m in plain),
+        key=lambda r: (-r[1], r[0]),
+    )[:10]
+    shaped = s.search(q, k=10, fvf="ln1p_dlen")
+    assert [r[0] for r in shaped] == [r[0] for r in expected]
+    for (d1, s1, m1), (d2, s2, m2) in zip(shaped, expected):
+        assert abs(s1 - s2) < 1e-9 and m1 == m2
+    # the factor must be able to actually reorder (docs with distinct
+    # lengths in the match set) — otherwise this test proves nothing
+    assert len({dl[d] for d, _s, _m in plain}) > 1
+
+
+def test_function_score_fvf_validation(root):
+    s = DirectSearcher(root, analyzer="code")
+    with pytest.raises(ValueError, match="fvf"):
+        s.search("parse", fvf="sqrt_dlen")
+    with pytest.raises(ValueError, match="numpy"):
+        s.search("parse", algo="wand", fvf="ln1p_dlen")
