@@ -273,6 +273,40 @@ def main() -> None:
         flat.sort()
         fvf_p50 = flat[len(flat) // 2] if flat else 0.0
 
+        # ---- hybrid lexical+semantic page (ES search+knn, RRF):
+        # BM25 candidates + exact cosine top-20 over a deterministic
+        # synthetic vector table in the index's own id space — the
+        # metric is the fused page latency (matvec + search + fuse)
+        import numpy as _np
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        from rse_spark.query.vectors import VectorStore
+
+        rng = _np.random.default_rng(42)
+        vecs = rng.standard_normal((n_docs, 64)).astype(_np.float32)
+        vec_pq = os.path.join(idx_root, "bench_vectors.parquet")
+        _pq.write_table(
+            _pa.table({
+                "vec_id": _pa.array(range(n_docs), type=_pa.int64()),
+                "embedding": _pa.array(
+                    vecs.tolist(),
+                    type=_pa.list_(_pa.float32()),
+                ),
+            }),
+            vec_pq,
+        )
+        vstore = VectorStore(vec_pq)
+        hlat: list[float] = []
+        for q in qset.itertuples():
+            t0 = time.time()
+            searcher.search_hybrid_rrf(
+                q.query_text, vstore, query_id=0, k=10
+            )
+            hlat.append(time.time() - t0)
+        hlat.sort()
+        hybrid_p50 = hlat[len(hlat) // 2] if hlat else 0.0
+
         # ---- batch phrase execution: a SET of phrases resolved from
         # the positional sidecar in ONE Spark job (the cluster-serving
         # shape; per-phrase jobs pay Spark's ~1s fixed cost each)
@@ -388,6 +422,7 @@ def main() -> None:
                 "serve_suggest_p50_ms": round(1000 * suggest_p50, 2),
                 "serve_rescore_p50_ms": round(1000 * rescore_p50, 2),
                 "serve_fvf_p50_ms": round(1000 * fvf_p50, 2),
+                "serve_hybrid_p50_ms": round(1000 * hybrid_p50, 2),
                 "serve_sharded_p50_ms": round(1000 * sh50, 2),
                 "serve_phrase_pos_p50_ms": round(
                     1000 * phrase_pos_p50, 2

@@ -33,7 +33,7 @@ from rse_spark.query.serve import DirectSearcher
 
 def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                   content_col: str = "text", id_col: str = "doc_id",
-                  key_col: str | None = None):
+                  key_col: str | None = None, vstore=None):
     class Handler(BaseHTTPRequestHandler):
         def _json(self, code: int, obj) -> None:
             body = json.dumps(obj).encode()
@@ -560,6 +560,44 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                     ],
                 })
                 return
+            knn_raw = (qs.get("knn") or [""])[0]
+            if knn_raw.strip():
+                # ?q=...&knn=<vec_id> — ES 8.x hybrid search+knn with
+                # RRF: BM25 candidates from the index, cosine
+                # candidates from the configured vector table, fused
+                # by rank (see DirectSearcher.search_hybrid_rrf)
+                if vstore is None:
+                    self._json(400, {
+                        "error": "hybrid search not enabled "
+                                 "(no vector table configured)"
+                    })
+                    return
+                try:
+                    knn_id = int(knn_raw)
+                except ValueError:
+                    self._json(400, {"error": "knn needs a vec_id"})
+                    return
+                try:
+                    fused = searcher.search_hybrid_rrf(
+                        q, vstore, query_id=knn_id, k=k,
+                        key_col=key_col,
+                    )
+                except (ValueError, KeyError) as e:
+                    self._json(400, {"error": str(e)})
+                    return
+                self._json(200, {
+                    "query": q, "knn": knn_id, "k": k,
+                    "mode": "hybrid_rrf",
+                    "n_results": len(fused),
+                    "results": [
+                        {
+                            "id": d, "rrf_score": round(s, 6),
+                            "text_rank": tr, "vec_rank": vr,
+                        }
+                        for d, s, tr, vr in fused
+                    ],
+                })
+                return
             dismax_raw = (qs.get("dismax") or [""])[0]
             if dismax_raw.strip():
                 # ?q=...&dismax=T — Lucene DisjunctionMaxQuery with
@@ -777,16 +815,30 @@ class SearchServer:
                  content_col: str = "text", id_col: str = "doc_id",
                  key_col: str | None = None,
                  max_vocab_in_memory: int = 10_000_000,
-                 result_cache: int = 0):
+                 result_cache: int = 0,
+                 vectors_path: str | None = None,
+                 vector_id_col: str = "vec_id",
+                 vector_col: str = "embedding"):
         """``corpus_path`` (parquet content store with ``id_col`` +
         ``content_col``) enables ``?phrase=`` adjacency verification;
         without it phrase requests get a 400. ``key_col`` maps index
         doc ids to corpus ids through the doc metadata when the index
-        assigned its own (see DirectSearcher.phrase_search)."""
+        assigned its own (see DirectSearcher.phrase_search).
+        ``vectors_path`` (parquet embeddings table) enables hybrid
+        lexical+semantic pages (``?q=...&knn=<vec_id>`` — RRF fusion,
+        see DirectSearcher.search_hybrid_rrf); without it knn requests
+        get a 400."""
         self.searcher = DirectSearcher(
             index_root, analyzer=analyzer,
             max_vocab_in_memory=max_vocab_in_memory,
         )
+        self.vstore = None
+        if vectors_path is not None:
+            from rse_spark.query.vectors import VectorStore
+
+            self.vstore = VectorStore(
+                vectors_path, id_col=vector_id_col, vec_col=vector_col
+            )
         # ES shard-request-cache analog, opt-in (entries, 0 = off):
         # identical result pages are served from memory until the
         # next writer commit invalidates them (generation stamp)
@@ -795,7 +847,7 @@ class SearchServer:
             (host, port),
             _make_handler(self.searcher, corpus_path=corpus_path,
                           content_col=content_col, id_col=id_col,
-                          key_col=key_col),
+                          key_col=key_col, vstore=self.vstore),
         )
         self._thread: threading.Thread | None = None
 

@@ -2227,6 +2227,82 @@ class DirectSearcher:
         )
         return rows, all_ids
 
+    def _key_map(self, ids: list[int], key_col: "str | None",
+                 fetch_stats: "dict[str, int] | None" = None
+                 ) -> "dict[int, object]":
+        """{index doc_id: source key} for a bounded id set — the
+        id-space bridge used by every surface that must leave the
+        index's renumbered id space (content fetch, snippets, hybrid
+        fusion against an external vector table). ``key_col=None``
+        means the spaces coincide (identity map). Reads are row-group
+        pruned against the metadata table's doc_id min/max stats."""
+        if key_col is None:
+            return {d: d for d in ids}
+        src = os.path.join(self.root, "docs_meta")
+        if not os.path.isdir(src):
+            # array-format indexes keep docs_meta virtual; the
+            # physical enriched table carries the same columns
+            src = os.path.join(self.root, "enriched")
+        mt, meta_stats = read_ids_pruned(
+            src, ids, ["doc_id", key_col], "doc_id"
+        )
+        if fetch_stats is not None:
+            fetch_stats.update(
+                {f"meta_{k}": v for k, v in meta_stats.items()}
+            )
+        return dict(
+            zip(mt["doc_id"].to_pylist(), mt[key_col].to_pylist())
+        )
+
+    def search_hybrid_rrf(self, qtext: str, vstore, query_vec=None,
+                          query_id: "int | None" = None, k: int = 10,
+                          n_candidates: int = 20, rrf_k: int = 60,
+                          key_col: "str | None" = None):
+        """Hybrid lexical+semantic retrieval on the serving tier (ES
+        8.x search+knn with RRF): BM25 top-``n_candidates`` from this
+        index fused with cosine top-``n_candidates`` from ``vstore``
+        (a query.vectors.VectorStore) by Reciprocal Rank Fusion.
+        Ranks, not raw scores, cross the modality boundary.
+
+        The query vector is either given (``query_vec``) or looked up
+        by id (``query_id`` — which is then excluded from the vector
+        list, the MoreLikeThis convention). ``key_col`` bridges id
+        spaces when the index renumbered its docs (stream-appended
+        indexes keep the source id as ``src_doc_id``): text-side hits
+        are mapped to source ids BEFORE fusing, so both lists speak the
+        vector table's id space. Returns
+        [(id, rrf_score, text_rank, vec_rank)] with 0 = absent from
+        that list. Declarative twin: harness.q_hybrid_rrf."""
+        from rse_spark.query.vectors import rrf_fuse
+
+        if (query_vec is None) == (query_id is None):
+            raise ValueError(
+                "exactly one of query_vec / query_id required"
+            )
+        if n_candidates < 1:
+            raise ValueError("n_candidates must be >= 1")
+        qv = vstore.vector(query_id) if query_id is not None \
+            else query_vec
+        hits = self.search(qtext, k=n_candidates)
+        keymap = self._key_map([d for d, *_ in hits], key_col)
+        # drop hits the metadata table can't map (loud alternative
+        # would mask nothing: a missing row means the doc was deleted
+        # between scoring and mapping — rank order of the rest holds)
+        text_ids = [
+            int(keymap[d]) for d, *_ in hits if d in keymap
+        ]
+        vec_hits = vstore.topk(
+            qv, k=n_candidates,
+            exclude={query_id} if query_id is not None else None,
+        )
+        fused = rrf_fuse(
+            [text_ids, [i for i, _c in vec_hits]], k=k, rrf_k=rrf_k,
+        )
+        return [
+            (did, score, ranks[0], ranks[1])
+            for did, score, ranks in fused
+        ]
+
     def fetch_content(self, ids: list[int], corpus_path: str,
                       content_col: str = "text",
                       id_col: str = "doc_id",
@@ -2241,23 +2317,7 @@ class DirectSearcher:
         groups-total counters land in ``last_fetch_stats``."""
         self._check_generation()
         fetch_stats: dict[str, int] = {}
-        if key_col is None:
-            keymap = {d: d for d in ids}
-        else:
-            src = os.path.join(self.root, "docs_meta")
-            if not os.path.isdir(src):
-                # array-format indexes keep docs_meta virtual; the
-                # physical enriched table carries the same columns
-                src = os.path.join(self.root, "enriched")
-            mt, meta_stats = read_ids_pruned(
-                src, ids, ["doc_id", key_col], "doc_id"
-            )
-            fetch_stats.update(
-                {f"meta_{k}": v for k, v in meta_stats.items()}
-            )
-            keymap = dict(
-                zip(mt["doc_id"].to_pylist(), mt[key_col].to_pylist())
-            )
+        keymap = self._key_map(ids, key_col, fetch_stats)
         tbl, corpus_stats = read_ids_pruned(
             corpus_path, list(keymap.values()), [id_col, content_col],
             id_col,
