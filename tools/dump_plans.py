@@ -321,6 +321,62 @@ def main() -> None:
         + cap_explain(harness.q_phrase_prefix(spark, sf_dir)),
     ))
 
+    sections.append((
+        "hybrid_rrf (RRF fusion of BM25 and embedding-cosine top-20)",
+        "Expect: two independent TakeOrderedAndProject(limit=20) "
+        "candidate branches (the BM25 agg and the broadcast-qv cosine "
+        "scan); the rank windows and the full-outer fuse run on 20-row "
+        "inputs, so the single-partition Window warning is benign by "
+        "construction — the expensive work never sees a global sort.\n\n"
+        + cap_explain(harness.q_hybrid_rrf(spark, sf_dir)),
+    ))
+
+    sections.append((
+        "function_score (field_value_factor ln1p shaping)",
+        "Expect: the shaping join lands AFTER the score aggregation "
+        "on the already-reduced per-doc set (AQE free to broadcast "
+        "the 2-column documents projection), then "
+        "TakeOrderedAndProject on the shaped score.\n\n"
+        + cap_explain(harness.q_function_score(spark, sf_dir)),
+    ))
+
+    sections.append((
+        "highlight (snippet extraction on the top-k page)",
+        "Expect: content (the wide text column) is joined ONLY to the "
+        "10 surviving hits — the snippet substring never touches "
+        "non-page rows; locate/substring stay in WholeStageCodegen.\n\n"
+        + cap_explain(harness.q_highlight(spark, sf_dir)),
+    ))
+
+    sections.append((
+        "matrix_stats (covariance/correlation matrix agg)",
+        "Expect: ONE two-phase hash aggregate (partial corr/covar "
+        "moments map-side, merge on the group key) — no second pass "
+        "over the fact table for the cross-moments.\n\n"
+        + cap_explain(harness.q_matrix_stats(spark, sf_dir)),
+    ))
+
+    sections.append((
+        "composite_agg (cursor-paged multi-source terms buckets)",
+        "Expect: the after-cursor tuple inequality evaluated on the "
+        "aggregated buckets, page cut as TakeOrderedAndProject "
+        "(size 5) — one shuffle total, no global sort of all "
+        "buckets.\n\n"
+        + cap_explain(harness.q_composite_agg(spark, sf_dir)),
+    ))
+
+    sections.append((
+        "events_derivative + moving_avg (pipeline aggs over the "
+        "hourly histogram)",
+        "Expect: histogram as a two-phase agg, then ONE window "
+        "exchange partitioned by event_type serving the lag/frame "
+        "function — the derivative and trailing mean never repartition "
+        "twice.\n\n"
+        + cap_explain(harness.q_events_derivative(spark, sf_dir))
+        + "\n--- moving_avg ---\n\n"
+        + cap_explain(harness.q_moving_avg(spark, sf_dir)),
+    ))
+
     out = ["# PLANS — physical plans of the key paths\n"]
     out.append(
         "Generated by tools/dump_plans.py (`df.explain('formatted')`).\n"
