@@ -138,6 +138,19 @@ def main(argv: list[str] | None = None) -> int:
     cs.add_argument("--block-bytes", type=int, default=None,
                     help="parquet row-group byte target (finer pruning)")
 
+    dq = sub.add_parser(
+        "delete-by-query",
+        help="remove every doc matching a boolean ql query "
+             "(ES _delete_by_query)",
+    )
+    dq.add_argument("--root", required=True)
+    dq.add_argument("--ql", required=True,
+                    help="mini-language query (terms, AND/OR, -neg, "
+                         "prefix*, lang:/repo:/path: filters)")
+    dq.add_argument("--analyzer", default="code")
+    dq.add_argument("--dry-run", action="store_true",
+                    help="report the match count, delete nothing")
+
     q = sub.add_parser("query", help="BM25 top-k search")
     q.add_argument("--root", required=True)
     q.add_argument("--q", required=True)
@@ -282,6 +295,19 @@ def main(argv: list[str] | None = None) -> int:
             out = compact_groups(spark, args.root, min_fill=args.min_fill)
         out["wall_sec"] = round(time.time() - t0, 2)
         print(json.dumps(out))
+    elif args.cmd == "delete-by-query":
+        from rse_spark.index.upsert import delete_by_query
+
+        t0 = time.time()
+        matched, deleted = delete_by_query(
+            spark, args.root, args.ql, analyzer=args.analyzer,
+            dry_run=args.dry_run,
+        )
+        print(json.dumps({
+            "root": args.root, "ql": args.ql, "matched": matched,
+            "deleted": deleted, "dry_run": args.dry_run,
+            "wall_sec": round(time.time() - t0, 2),
+        }))
     elif args.cmd == "query":
         from rse_spark.index.storage import IndexStorage
         from rse_spark.query.engine import search

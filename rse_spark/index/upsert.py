@@ -206,6 +206,65 @@ def delete_docs(
     return n_dead
 
 
+def delete_by_query(
+    spark: SparkSession,
+    root: str,
+    ql: str,
+    analyzer: str = "code",
+    dry_run: bool = False,
+    corpus_path: "str | None" = None,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    key_col: "str | None" = None,
+    **delete_kwargs,
+) -> tuple[int, int]:
+    """ES _delete_by_query: every document matching a mini-language
+    boolean query (query/qlang syntax — terms, AND/OR, -negation,
+    prefixes, metadata filters; phrases too when a content store or
+    positional sidecar is present) is removed from the index.
+
+    The match set is the FULL presence set (qlang.match_ql: posting
+    decodes + doc-id set algebra on the serving replica — no scoring,
+    no top-k, no Spark job), and the removal rewrites only the touched
+    segment groups through ``delete_docs``'s staged-swap path, which
+    also drops those groups' positional-sidecar partitions and bumps
+    the index generation. Re-running the same query is idempotent:
+    the second pass matches nothing.
+
+    ``dry_run=True`` returns the match count without touching the
+    index (ES's same flag). Returns ``(n_matched, n_deleted)``.
+
+    Scale position: the matched-id array is bounded by the match set,
+    not the corpus — fine for the operational deletes this surface
+    exists for (purge a repo, a language, a bad crawl). A delete
+    matching MOST of the corpus is cheaper as a declarative rebuild
+    (filter enriched, rebuild postings), same as ES recommends
+    reindex-into-new over a giant _delete_by_query.
+
+    GSE never deletes (its sink only upserts, reference
+    crawler/src/crawler/crawler/crawler.go:216-228); this is contract
+    surface beyond the reference, matching ES DeleteByQueryRequest.
+    """
+    import pandas as pd
+
+    from rse_spark.query.qlang import match_ql
+    from rse_spark.query.serve import DirectSearcher
+
+    searcher = DirectSearcher(root, analyzer=analyzer)
+    qualified, _boosts = match_ql(
+        searcher, ql, corpus_path=corpus_path,
+        content_col=content_col, id_col=id_col, key_col=key_col,
+    )
+    n_matched = int(len(qualified))
+    if dry_run or n_matched == 0:
+        return n_matched, 0
+    dead = spark.createDataFrame(
+        pd.DataFrame({"doc_id": qualified})
+    )
+    n_deleted = delete_docs(spark, root, dead, **delete_kwargs)
+    return n_matched, n_deleted
+
+
 def upsert_docs(
     spark: SparkSession,
     updates: DataFrame,

@@ -119,3 +119,50 @@ def test_delete_docs_compacts_groups(spark, built):
     # avgdl refreshed to the surviving docs
     want = after.doc_stats.agg(F.avg("doc_len")).collect()[0][0]
     assert abs(after.avgdl - float(want)) < 1e-9
+
+
+def test_delete_by_query(spark, built):
+    """ES _delete_by_query: the FULL boolean match set is removed,
+    single-term survivors stay, stats refresh, and a re-run matches
+    nothing (idempotent)."""
+    import numpy as np
+
+    from rse_spark.index.upsert import delete_by_query
+
+    root, _docs = built
+    s = DirectSearcher(root, analyzer="simple")
+    a = s.term_docs("spark")
+    b = s.term_docs("join")
+    expect = np.intersect1d(a, b)
+    assert len(expect) > 0, "fixture must have conjunctive matches"
+
+    matched, deleted = delete_by_query(
+        spark, root, "spark AND join", analyzer="simple", dry_run=True
+    )
+    assert (matched, deleted) == (len(expect), 0)
+
+    matched, deleted = delete_by_query(
+        spark, root, "spark AND join", analyzer="simple"
+    )
+    assert (matched, deleted) == (len(expect), len(expect))
+
+    s2 = DirectSearcher(root, analyzer="simple")
+    assert len(np.intersect1d(s2.term_docs("spark"),
+                              s2.term_docs("join"))) == 0
+    # docs matching only ONE of the terms must survive untouched
+    assert np.array_equal(
+        s2.term_docs("spark"), np.setdiff1d(a, expect)
+    )
+    assert s2.n_docs == 300 - len(expect)
+    # idempotent: the second pass sees no survivors to match
+    assert delete_by_query(
+        spark, root, "spark AND join", analyzer="simple"
+    ) == (0, 0)
+    # negation works through the same surface: match set respects -atom
+    m_neg, _ = delete_by_query(
+        spark, root, "filter AND -group", analyzer="simple",
+        dry_run=True,
+    )
+    f = s2.term_docs("filter")
+    g = s2.term_docs("group")
+    assert m_neg == len(np.setdiff1d(f, g))
