@@ -138,6 +138,20 @@ def main(argv: list[str] | None = None) -> int:
     cs.add_argument("--block-bytes", type=int, default=None,
                     help="parquet row-group byte target (finer pruning)")
 
+    sn = sub.add_parser(
+        "snapshot",
+        help="point-in-time copy of an index (generation-consistent)",
+    )
+    sn.add_argument("--root", required=True)
+    sn.add_argument("--dest", required=True)
+    sn.add_argument("--retries", type=int, default=3)
+
+    rs = sub.add_parser("restore", help="restore an index snapshot")
+    rs.add_argument("--snapshot", required=True)
+    rs.add_argument("--root", required=True)
+    rs.add_argument("--force", action="store_true",
+                    help="replace an existing index at --root")
+
     dq = sub.add_parser(
         "delete-by-query",
         help="remove every doc matching a boolean ql query "
@@ -185,6 +199,33 @@ def main(argv: list[str] | None = None) -> int:
             srv._thread.join()
         except KeyboardInterrupt:
             srv.stop()
+        return 0
+
+    if args.cmd == "snapshot":
+        # filesystem-only, like serve — deliberately NO Spark
+        from rse_spark.index.snapshot import snapshot_index
+
+        t0 = time.time()
+        gen = snapshot_index(args.root, args.dest,
+                             retries=args.retries)
+        print(json.dumps({
+            "snapshot": args.dest, "root": args.root,
+            "generation": gen,
+            "wall_sec": round(time.time() - t0, 2),
+        }))
+        return 0
+
+    if args.cmd == "restore":
+        from rse_spark.index.snapshot import restore_index
+
+        t0 = time.time()
+        gen = restore_index(args.snapshot, args.root,
+                            force=args.force)
+        print(json.dumps({
+            "root": args.root, "snapshot": args.snapshot,
+            "generation": gen,
+            "wall_sec": round(time.time() - t0, 2),
+        }))
         return 0
 
     from pyspark.sql import SparkSession
