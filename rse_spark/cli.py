@@ -138,6 +138,19 @@ def main(argv: list[str] | None = None) -> int:
     cs.add_argument("--block-bytes", type=int, default=None,
                     help="parquet row-group byte target (finer pruning)")
 
+    ri = sub.add_parser(
+        "reindex",
+        help="rebuild an index into a new root from its enriched "
+             "table (ES _reindex; optional ql filter, re-layout)",
+    )
+    ri.add_argument("--src", required=True)
+    ri.add_argument("--dst", required=True)
+    ri.add_argument("--ql", default=None,
+                    help="keep only docs matching this boolean query")
+    ri.add_argument("--docs-per-segment", type=int, default=None)
+    ri.add_argument("--segments-per-group", type=int, default=None)
+    ri.add_argument("--n-buckets", type=int, default=None)
+
     sn = sub.add_parser(
         "snapshot",
         help="point-in-time copy of an index (generation-consistent)",
@@ -336,6 +349,17 @@ def main(argv: list[str] | None = None) -> int:
             out = compact_groups(spark, args.root, min_fill=args.min_fill)
         out["wall_sec"] = round(time.time() - t0, 2)
         print(json.dumps(out))
+    elif args.cmd == "reindex":
+        from rse_spark.index.reindex import reindex
+
+        summary = reindex(
+            spark, args.src, args.dst, ql=args.ql,
+            docs_per_segment=args.docs_per_segment,
+            segments_per_group=args.segments_per_group,
+            n_buckets=args.n_buckets,
+        )
+        print(json.dumps({"src": args.src, "dst": args.dst,
+                          **summary}))
     elif args.cmd == "delete-by-query":
         from rse_spark.index.upsert import delete_by_query
 
