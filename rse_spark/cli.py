@@ -138,6 +138,15 @@ def main(argv: list[str] | None = None) -> int:
     cs.add_argument("--block-bytes", type=int, default=None,
                     help="parquet row-group byte target (finer pruning)")
 
+    al = sub.add_parser(
+        "alias",
+        help="read or atomically re-point an index alias "
+             "(blue/green swap after a reindex)",
+    )
+    al.add_argument("--path", required=True)
+    al.add_argument("--target", default=None,
+                    help="index root to point at; omit to read")
+
     ri = sub.add_parser(
         "reindex",
         help="rebuild an index into a new root from its enriched "
@@ -212,6 +221,17 @@ def main(argv: list[str] | None = None) -> int:
             srv._thread.join()
         except KeyboardInterrupt:
             srv.stop()
+        return 0
+
+    if args.cmd == "alias":
+        # filesystem-only — NO Spark
+        from rse_spark.index.alias import get_alias, set_alias
+
+        if args.target is not None:
+            set_alias(args.path, args.target)
+        print(json.dumps({
+            "path": args.path, "target": get_alias(args.path),
+        }))
         return 0
 
     if args.cmd == "snapshot":

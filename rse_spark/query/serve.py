@@ -307,7 +307,22 @@ class DirectSearcher:
         contract (ES/Solr: shards score locally with broadcast global
         stats, so shard-local ranks merge into the exact global
         ranking). The scatter-gather coordinator is
-        ``query.shard.ShardedSearcher``. ``None`` = the whole index."""
+        ``query.shard.ShardedSearcher``. ``None`` = the whole index.
+
+        ``root`` may be an index ALIAS (index/alias.py): it is
+        resolved at open, and the alias file joins the per-query
+        generation signature — a blue/green flip re-points a LIVE
+        replica on its next query (all caches dropped), the same
+        bounded-staleness contract as a writer commit."""
+        from rse_spark.index.alias import resolve as _alias_resolve
+
+        self._given_root = root
+        self._alias_resolve = _alias_resolve
+        root = _alias_resolve(root)
+        self._alias_file = (
+            os.path.join(self._given_root, "ALIAS")
+            if root != self._given_root else None
+        )
         self.root = root
         self.analyzer = analyzer
         self.max_bucket_bytes = max_bucket_bytes
@@ -413,13 +428,23 @@ class DirectSearcher:
 
     def _gen_stat(self):
         """Cheap change signature of the writers' generation file —
-        one stat() syscall. None when the index has no generation
-        tracking (pre-feature layouts: nothing to detect)."""
+        one stat() syscall (two when opened through an alias: the
+        alias file is part of the signature, so a blue/green flip
+        triggers the same reload path as a commit). None when the
+        index has no generation tracking (pre-feature layouts:
+        nothing to detect)."""
         try:
             st = os.stat(self._gen_path)
-            return (st.st_mtime_ns, st.st_size, st.st_ino)
+            sig = (st.st_mtime_ns, st.st_size, st.st_ino)
         except OSError:
-            return None
+            sig = None
+        if self._alias_file is None:
+            return sig
+        try:
+            ast = os.stat(self._alias_file)
+            return (sig, (ast.st_mtime_ns, ast.st_size, ast.st_ino))
+        except OSError:
+            return (sig, None)
 
     def _check_generation(self) -> None:
         """Reload meta + drop caches if a writer committed since we
@@ -441,6 +466,16 @@ class DirectSearcher:
             pre = self._gen_stat()
             if pre == self._gen_sig:
                 return
+            if self._alias_file is not None:
+                # the alias may have flipped to a different root:
+                # re-resolve and re-derive every root-relative path
+                # before reloading (a flip to the SAME root degrades
+                # to an ordinary reload)
+                self.root = self._alias_resolve(self._given_root)
+                self._gen_path = os.path.join(
+                    self.root, "manifest", "GENERATION"
+                )
+                pre = self._gen_stat()
             self._load_meta()
             self._bucket_tables.clear()
             self._bucket_bytes.clear()
