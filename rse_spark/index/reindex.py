@@ -75,6 +75,18 @@ def reindex(
     pos_available = "tf_positions" in enriched.columns
     if with_positions is None:
         with_positions = bool(src_layout.get("positions_in_enriched"))
+        if not with_positions and os.path.isdir(src._p("positions")):
+            # a legacy corpus-built sidecar exists but enriched carries
+            # no position arrays: rebuilding it corpus-free is
+            # impossible, and silently shipping a destination WITHOUT
+            # phrase capability the source had would be a trap
+            raise ValueError(
+                "source has a corpus-built positional sidecar that "
+                "cannot be rebuilt from enriched; pass "
+                "with_positions=False to drop it deliberately, then "
+                "run build_positions with the corpus on the "
+                "destination"
+            )
     if with_positions and not pos_available:
         raise ValueError(
             "source enriched table carries no tf_positions arrays; "

@@ -705,7 +705,7 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                 # per (term, hit) against already-cached buckets)
                 self._page(q, k, mode, hits,
                            extra={"explanations": [
-                               searcher.explain(q, d)
+                               searcher.explain(q, d, fvf=fvf)
                                for d, _s, _m in hits
                            ], **cursor_extra},
                            snippet_q=q if want_snippets else None)

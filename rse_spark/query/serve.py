@@ -1598,7 +1598,8 @@ class DirectSearcher:
             (t, f, bg, -ns) for ns, t, f, bg in scored[:top]
         ]
 
-    def explain(self, qtext: str, doc_id: int) -> dict:
+    def explain(self, qtext: str, doc_id: int,
+                fvf: "str | None" = None) -> dict:
         """Lucene ``IndexSearcher.explain`` parity: the full per-term
         BM25 breakdown of one document's score for a query — for each
         analyzed term its query tf, df, idf, the doc's tf and length,
@@ -1649,12 +1650,31 @@ class DirectSearcher:
                         matched += 1
                         break
             terms.append(detail)
-        return {
+        out = {
             "doc_id": int(doc_id), "score": total,
             "n_terms_matched": matched, "n_docs": int(self.n_docs),
             "avgdl": float(self.avgdl), "k1": K1, "b": B,
             "terms": terms,
         }
+        if fvf is not None:
+            # function_score explanation (ES shows the function product
+            # the same way): score = base * factor, so explanations of
+            # a ?fvf= page still sum/multiply to the served score
+            import math
+
+            if fvf != "ln1p_dlen":
+                raise ValueError(
+                    "fvf supports only 'ln1p_dlen' (score * ln(1+dl))"
+                )
+            dl = next(
+                (t["doc_len"] for t in terms if t["matched"]), None
+            )
+            factor = math.log1p(dl) if dl is not None else 1.0
+            out.update(
+                base_score=total, fvf=fvf, fvf_factor=factor,
+                score=total * factor,
+            )
+        return out
 
     def suggest(self, word: str, max_edits: int = 2, n: int = 5):
         """Did-you-mean (Lucene DirectSpellChecker shape): indexed

@@ -66,25 +66,51 @@ class ShardedSearcher:
 
     def __init__(self, root: str, n_shards: int,
                  analyzer: str = "code", **searcher_kw):
+        from rse_spark.index.alias import resolve as _alias_resolve
+
         if n_shards < 1:
             raise ValueError("n_shards must be >= 1")
-        self.root = root
+        # root may be an ALIAS (index/alias.py): resolved at every
+        # (re)build, and the alias file joins the topology signature —
+        # a blue/green flip re-splits the shards over the new root on
+        # the next query, same as a writer commit
+        self._given_root = root
+        self._alias_resolve = _alias_resolve
+        self.root = _alias_resolve(root)
+        self._alias_file = (
+            os.path.join(root, "ALIAS")
+            if self.root != root else None
+        )
         self.n_shards = n_shards
         self.analyzer = analyzer
         self._searcher_kw = searcher_kw
-        self._gen_path = os.path.join(root, "manifest", "GENERATION")
+        self._gen_path = os.path.join(
+            self.root, "manifest", "GENERATION"
+        )
         self._build()
 
     def _gen_stat(self):
         try:
             st = os.stat(self._gen_path)
-            return (st.st_mtime_ns, st.st_size)
+            sig = (st.st_mtime_ns, st.st_size)
         except FileNotFoundError:
-            return None
+            sig = None
+        if self._alias_file is None:
+            return sig
+        try:
+            ast = os.stat(self._alias_file)
+            return (sig, (ast.st_mtime_ns, ast.st_size))
+        except FileNotFoundError:
+            return (sig, None)
 
     def _build(self) -> None:
         from concurrent.futures import ThreadPoolExecutor
 
+        if self._alias_file is not None:
+            self.root = self._alias_resolve(self._given_root)
+            self._gen_path = os.path.join(
+                self.root, "manifest", "GENERATION"
+            )
         groups = list_seg_groups(self.root)
         slices: list[list[str]] = [
             groups[i::self.n_shards] for i in range(self.n_shards)

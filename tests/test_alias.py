@@ -94,3 +94,23 @@ def test_alias_cli(two_indexes, tmp_path):
     )
     assert json.loads(out.stdout.strip().splitlines()[-1])["target"] \
         == rec["target"]
+
+
+def test_sharded_coordinator_follows_flip(two_indexes, tmp_path):
+    """A ShardedSearcher opened through an alias re-splits its
+    topology over the new root after a flip — no coordinator
+    restart."""
+    from rse_spark.query.shard import ShardedSearcher
+
+    a, b = two_indexes
+    alias = str(tmp_path / "shard_alias")
+    set_alias(alias, a)
+    coord = ShardedSearcher(alias, n_shards=2, analyzer="simple")
+    sa = DirectSearcher(a, analyzer="simple")
+    sb = DirectSearcher(b, analyzer="simple")
+    assert coord.search("spark join", k=10) == \
+        sa.search("spark join", k=10)
+    set_alias(alias, b)
+    assert coord.search("spark join", k=10) == \
+        sb.search("spark join", k=10)
+    assert coord.root == resolve(alias)

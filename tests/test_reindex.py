@@ -109,3 +109,27 @@ def test_reindex_validation(spark, src, tmp_path_factory):
         reindex(spark, src, src)  # non-empty destination
     with pytest.raises(FileNotFoundError):
         reindex(spark, base + "/notanindex", base + "/y")
+
+
+def test_reindex_refuses_to_drop_corpus_built_sidecar(
+    spark, tmp_path_factory
+):
+    """A source whose positional sidecar was built FROM THE CORPUS
+    (no tf_positions in enriched) cannot be carried corpus-free —
+    reindex must refuse rather than silently ship a destination
+    without the phrase capability the source had."""
+    from rse_spark.index.positions import build_positions
+
+    root = str(tmp_path_factory.mktemp("reidx_legacy")) + "/idx"
+    docs = spark.read.parquet(DOCS).filter(F.col("doc_id") < 128)
+    append_batch(spark, docs, root, analyzer="simple",
+                 content_col="text", docs_per_segment=64,
+                 segments_per_group=2, with_positions=False)
+    build_positions(spark, docs, root, analyzer="simple",
+                    content_col="text")
+    dst = str(tmp_path_factory.mktemp("reidx_legacy_dst")) + "/idx"
+    with pytest.raises(ValueError, match="corpus-built"):
+        reindex(spark, root, dst)
+    # the deliberate opt-out works and documents the drop
+    summary = reindex(spark, root, dst, with_positions=False)
+    assert summary["layout"]["positions"] is False

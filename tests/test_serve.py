@@ -762,3 +762,20 @@ def test_function_score_fvf_validation(root):
         s.search("parse", fvf="sqrt_dlen")
     with pytest.raises(ValueError, match="numpy"):
         s.search("parse", algo="wand", fvf="ln1p_dlen")
+
+
+def test_explain_sums_under_fvf(root):
+    """?fvf= pages stay auditable: explain(fvf=...) multiplies the
+    base breakdown by the recorded factor and matches the served
+    score to 1e-9."""
+    s = DirectSearcher(root, analyzer="code")
+    hits = s.search("parse index merge", k=5, fvf="ln1p_dlen")
+    assert hits
+    for d, score, _m in hits:
+        ex = s.explain("parse index merge", d, fvf="ln1p_dlen")
+        assert ex["fvf"] == "ln1p_dlen"
+        assert abs(ex["base_score"] * ex["fvf_factor"] - ex["score"]) \
+            < 1e-12
+        assert abs(ex["score"] - score) < 1e-9
+    with pytest.raises(ValueError, match="fvf"):
+        s.explain("parse", 0, fvf="nope")
