@@ -2499,6 +2499,161 @@ def q_matrix_stats(spark, sf_dir):
     )
 
 
+def q_weighted_avg(spark, sf_dir):
+    """ES weighted_avg aggregation: quantity-weighted mean unit price
+    per return flag — one two-phase agg (both sums combine
+    map-side)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+            / F.sum("l_quantity"),
+            4,
+        ).alias("weighted_price"),
+        F.sum("l_quantity").cast("double").alias("weight_total"),
+    )
+
+
+RANGE_BOUNDS = [0, 200, 400, 800]  # ES range agg: [lo, hi) + open tail
+
+
+def q_range_agg(spark, sf_dir):
+    """ES range aggregation: explicit [lo, hi) buckets over n_chars
+    (histogram's irregular-bounds sibling) — the bucket label is a
+    CASE chain, so the whole agg stays one shuffle on the label."""
+    d = _docs(spark, sf_dir)
+    edges = list(zip(RANGE_BOUNDS, RANGE_BOUNDS[1:] + [None]))
+    expr = None
+    for lo, hi in edges:
+        label = f"{lo}-{hi if hi is not None else '*'}"
+        cond = (
+            (F.col("n_chars") >= lo) & (F.col("n_chars") < hi)
+            if hi is not None else (F.col("n_chars") >= lo)
+        )
+        expr = (
+            F.when(cond, F.lit(label)) if expr is None
+            else expr.when(cond, F.lit(label))
+        )
+    return (
+        d.withColumn("bucket", expr)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+FILTERS_AGG = [
+    ("short", "n_chars < 300"),
+    ("english", "lang = 'en'"),
+    ("big", "n_chars >= 600"),
+]
+
+
+def q_filters_agg(spark, sf_dir):
+    """ES filters aggregation: one NAMED bucket per predicate (buckets
+    may overlap, unlike range/terms). One corpus scan: every bucket is
+    a conditional aggregate over the same pass, then unpivoted to the
+    (bucket, doc_count, sum_chars) shape ES returns."""
+    d = _docs(spark, sf_dir)
+    aggs = []
+    for name, pred in FILTERS_AGG:
+        c = F.expr(pred)
+        aggs += [
+            F.count(F.when(c, 1)).alias(f"n_{name}"),
+            F.sum(F.when(c, F.col("n_chars"))).alias(f"s_{name}"),
+        ]
+    one = d.agg(*aggs)
+    stack = ", ".join(
+        f"'{name}', n_{name}, s_{name}" for name, _ in FILTERS_AGG
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(FILTERS_AGG)}, {stack}) "
+            f"AS (bucket, doc_count, sum_chars)"
+        )
+    )
+
+
+def q_rank_eval(spark, sf_dir):
+    """ES _rank_eval: quality metrics of the BM25 ranking itself.
+    For every query in the batch set, precision@10 and MRR against a
+    derivable judgment: a doc is RELEVANT iff it matches ALL the
+    query's terms (conjunctive semantics judging the or-mode
+    ranking). Queries with no retrievable docs score 0 on both, as
+    ES reports. precision@10 divides by 10 regardless of how many
+    docs were retrieved. One batch scoring pass (every query in one
+    DAG), one window per query for ranks, one final agg."""
+    toks = _toks(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, text in BATCH_QUERIES
+         for t in text.split()],
+        "query_id int, term string",
+    )
+    nterms = qdf.groupBy("query_id").agg(
+        F.count("*").cast("int").alias("n_q_terms")
+    )
+    qtf = tf.join(F.broadcast(qdf), "term")
+    dfx = qtf.select("term", "doc_id").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    scored = (
+        qtf.join(F.broadcast(dfx), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0
+            )
+            * F.col("tf") * (K1 + 1.0)
+            / (
+                F.col("tf")
+                + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("contrib").alias("s"),
+            F.count("*").cast("int").alias("matched"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("s"), F.asc("doc_id")
+    )
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .join(F.broadcast(nterms), "query_id")
+        .withColumn(
+            "rel", (F.col("matched") == F.col("n_q_terms")).cast("int")
+        )
+    )
+    per_q = top.groupBy("query_id").agg(
+        (F.sum("rel") / F.lit(10.0)).alias("p10"),
+        F.coalesce(
+            F.max(F.when(F.col("rel") == 1, 1.0 / F.col("rank"))),
+            F.lit(0.0),
+        ).alias("mrr"),
+    )
+    all_q = nterms.select("query_id")
+    return (
+        all_q.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce("p10", F.lit(0.0)), 6).alias("p_at_10"),
+            F.round(F.coalesce("mrr", F.lit(0.0)), 6).alias("mrr"),
+        )
+    )
+
+
 COMPOSITE_AFTER = ("de", "src1")  # the "previous page's" last bucket key
 COMPOSITE_SIZE = 5
 
@@ -2659,6 +2814,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
         "hybrid_rrf": q_hybrid_rrf,
+        "weighted_avg": q_weighted_avg,
+        "range_agg": q_range_agg,
+        "filters_agg": q_filters_agg,
+        "rank_eval": q_rank_eval,
         "composite_agg": q_composite_agg,
         "moving_avg": q_moving_avg,
         "function_score": q_function_score,
@@ -3761,7 +3920,89 @@ scored AS (
         f"coalesce(nullif(strpos(d.text, '{t}'), 0), {_HL_BIG})"
         for t in BM25_TERMS
     )
+    range_case = " ".join(
+        (
+            f"WHEN n_chars >= {lo} AND n_chars < {hi} "
+            f"THEN '{lo}-{hi}'"
+            if hi is not None else
+            f"WHEN n_chars >= {lo} THEN '{lo}-*'"
+        )
+        for lo, hi in zip(RANGE_BOUNDS, RANGE_BOUNDS[1:] + [None])
+    )
+    filters_union = " UNION ALL ".join(
+        f"SELECT '{name}' AS bucket, count(*)::bigint AS doc_count, "
+        f"sum(n_chars)::bigint AS sum_chars FROM documents "
+        f"WHERE {pred}"
+        for name, pred in FILTERS_AGG
+    )
+    batch_values = ", ".join(
+        f"({qid}, '{t}')" for qid, text in BATCH_QUERIES
+        for t in text.split()
+    )
     return {
+        "weighted_avg": """
+            SELECT l_returnflag,
+                   round(sum(l_extendedprice * l_quantity)
+                         / sum(l_quantity), 4) AS weighted_price,
+                   sum(l_quantity)::double AS weight_total
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "range_agg": f"""
+            SELECT bucket, count(*)::bigint AS doc_count,
+                   sum(n_chars)::bigint AS sum_chars
+            FROM (SELECT n_chars, CASE {range_case} END AS bucket
+                  FROM documents)
+            GROUP BY bucket
+        """,
+        "filters_agg": filters_union,
+        "rank_eval": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            tf AS (SELECT doc_id, term, count(*)::bigint AS tf
+                   FROM toks GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*)::bigint AS dl
+                   FROM toks GROUP BY doc_id),
+            stats AS (SELECT count(*)::bigint AS n_docs,
+                             avg(dl) AS avgdl FROM dl),
+            q(query_id, term) AS (VALUES {batch_values}),
+            nterms AS (SELECT query_id, count(*)::int AS n_q_terms
+                       FROM q GROUP BY query_id),
+            dfx AS (
+              SELECT term, count(*)::bigint AS df FROM tf
+              WHERE term IN (SELECT term FROM q) GROUP BY term
+            ),
+            scored AS (
+              SELECT q.query_id, tf.doc_id,
+                     sum( ln((stats.n_docs - dfx.df + 0.5)
+                             /(dfx.df + 0.5) + 1.0)
+                          * tf.tf * {K1 + 1.0}
+                          / (tf.tf + {K1}*(1.0 - {B}
+                             + {B}*dl.dl/stats.avgdl)) ) AS s,
+                     count(*)::int AS matched
+              FROM q JOIN tf USING (term) JOIN dfx USING (term)
+                   JOIN dl USING (doc_id) CROSS JOIN stats
+              GROUP BY q.query_id, tf.doc_id
+            ),
+            top AS (
+              SELECT scored.*, nterms.n_q_terms,
+                     (matched = n_q_terms)::int AS rel,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY s DESC, doc_id ASC
+                     )::int AS rank
+              FROM scored JOIN nterms USING (query_id)
+            ),
+            per_q AS (
+              SELECT query_id,
+                     sum(rel) / 10.0 AS p10,
+                     coalesce(max(CASE WHEN rel = 1
+                              THEN 1.0::DOUBLE / rank END), 0.0) AS mrr
+              FROM top WHERE rank <= 10 GROUP BY query_id
+            )
+            SELECT nterms.query_id,
+                   round(coalesce(p10, 0.0), 6) AS p_at_10,
+                   round(coalesce(mrr, 0.0), 6) AS mrr
+            FROM nterms LEFT JOIN per_q USING (query_id)
+        """,
         "hybrid_rrf": f"""
             WITH {scored_ctes},
             trk AS (
