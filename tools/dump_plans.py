@@ -377,6 +377,24 @@ def main() -> None:
         + cap_explain(harness.q_moving_avg(spark, sf_dir)),
     ))
 
+    sections.append((
+        "rank_eval (ES _rank_eval: batch scoring + per-query metrics)",
+        "Expect: ONE scoring aggregation for the whole query batch "
+        "(the query-term table broadcast onto tf), one window "
+        "exchange partitioned by query_id for ranks, and a final "
+        "per-query agg — evaluation cost is the batch search itself, "
+        "never a per-query loop.\n\n"
+        + cap_explain(harness.q_rank_eval(spark, sf_dir)),
+    ))
+
+    sections.append((
+        "filters_agg (named overlapping buckets, one scan)",
+        "Expect: a single scan feeding conditional aggregates (one "
+        "row), then a Generate/stack unpivot — bucket count never "
+        "multiplies the number of passes.\n\n"
+        + cap_explain(harness.q_filters_agg(spark, sf_dir)),
+    ))
+
     out = ["# PLANS — physical plans of the key paths\n"]
     out.append(
         "Generated by tools/dump_plans.py (`df.explain('formatted')`).\n"
