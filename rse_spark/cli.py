@@ -106,6 +106,14 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--max-vocab", type=int, default=10_000_000,
                    help="above this vocab size, skip the in-memory "
                         "dict and use per-term parquet lookups")
+    s.add_argument("--vectors-path", default=None,
+                   help="parquet embeddings table enabling hybrid "
+                        "?q=&knn= pages (RRF fusion)")
+    s.add_argument("--vector-id-col", default="vec_id")
+    s.add_argument("--vector-col", default="embedding")
+    s.add_argument("--result-cache", type=int, default=0,
+                   help="request-cache entries (0 = off; "
+                        "generation-invalidated)")
     s.add_argument("--smoke", action="store_true",
                    help="start, print the address, stop (healthcheck)")
 
@@ -208,6 +216,10 @@ def main(argv: list[str] | None = None) -> int:
             content_col=args.content_col, id_col=args.id_col,
             key_col=args.key_col,
             max_vocab_in_memory=args.max_vocab,
+            result_cache=args.result_cache,
+            vectors_path=args.vectors_path,
+            vector_id_col=args.vector_id_col,
+            vector_col=args.vector_col,
         )
         if args.max_bucket_mb is not None:
             srv.searcher.max_bucket_bytes = args.max_bucket_mb << 20

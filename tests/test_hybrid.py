@@ -177,3 +177,20 @@ def test_http_hybrid_knn(hybrid_root):
             assert e.code == 400
     finally:
         srv2.stop()
+
+
+def test_cli_serve_smoke_with_vectors(hybrid_root):
+    """cli serve --vectors-path wires the hybrid page end-to-end
+    (smoke: start, resolve, stop)."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "rse_spark.cli", "serve",
+         "--root", hybrid_root, "--analyzer", "simple",
+         "--vectors-path", EMB, "--key-col", "src_doc_id",
+         "--smoke"],
+        capture_output=True, text=True, check=True, timeout=120,
+    )
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["serving"].startswith("http://")
