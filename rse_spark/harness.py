@@ -2579,12 +2579,15 @@ def q_filters_agg(spark, sf_dir):
 def q_rank_eval(spark, sf_dir):
     """ES _rank_eval: quality metrics of the BM25 ranking itself.
     For every query in the batch set, precision@10 and MRR against a
-    derivable judgment: a doc is RELEVANT iff it matches ALL the
-    query's terms (conjunctive semantics judging the or-mode
-    ranking). Queries with no retrievable docs score 0 on both, as
-    ES reports. precision@10 divides by 10 regardless of how many
-    docs were retrieved. One batch scoring pass (every query in one
-    DAG), one window per query for ranks, one final agg."""
+    derivable BINARY judgment (STRONGLY relevant: the doc matches ALL
+    the query's terms, each at least twice) plus NDCG@10 against the
+    GRADED judgment gain = term coverage x capped evidence depth
+    (matched/n_terms * min(min_tf,3)/3; ideal ordering by gain over
+    the same candidate set). Queries with no retrievable docs score 0
+    everywhere, as ES reports; precision@10 divides by 10 regardless
+    of how many docs were retrieved. One batch scoring pass (every
+    query in one DAG), two windows per query (rank + ideal rank), one
+    final agg."""
     toks = _toks(spark, sf_dir)
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
@@ -2623,26 +2626,56 @@ def q_rank_eval(spark, sf_dir):
         .agg(
             F.sum("contrib").alias("s"),
             F.count("*").cast("int").alias("matched"),
+            F.min("tf").alias("min_tf"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("s"), F.asc("doc_id")
     )
-    top = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .join(F.broadcast(nterms), "query_id")
+    # graded gain for NDCG: the fraction of the query's terms the doc
+    # matches (binary rel stays the all-terms judgment for p/MRR)
+    ranked = (
+        scored.join(F.broadcast(nterms), "query_id")
+        .withColumn("rank", F.row_number().over(w))
         .withColumn(
-            "rel", (F.col("matched") == F.col("n_q_terms")).cast("int")
+            "gain",
+            (F.col("matched") / F.col("n_q_terms"))
+            * (F.least(F.col("min_tf"), F.lit(3)) / F.lit(3.0)),
+        )
+        .withColumn(
+            "rel",
+            (
+                (F.col("matched") == F.col("n_q_terms"))
+                & (F.col("min_tf") >= 2)
+            ).cast("int"),
         )
     )
+    # ideal DCG ranks by gain itself (desc, doc_id asc) — computed on
+    # the same scored set, one extra window
+    wi = Window.partitionBy("query_id").orderBy(
+        F.desc("gain"), F.asc("doc_id")
+    )
+    ideal = (
+        ranked.withColumn("irank", F.row_number().over(wi))
+        .filter(F.col("irank") <= 10)
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.col("gain") / F.log2(F.col("irank") + 1.0)
+            ).alias("idcg")
+        )
+    )
+    top = ranked.filter(F.col("rank") <= 10)
     per_q = top.groupBy("query_id").agg(
         (F.sum("rel") / F.lit(10.0)).alias("p10"),
         F.coalesce(
             F.max(F.when(F.col("rel") == 1, 1.0 / F.col("rank"))),
             F.lit(0.0),
         ).alias("mrr"),
-    )
+        F.sum(
+            F.col("gain") / F.log2(F.col("rank") + 1.0)
+        ).alias("dcg"),
+    ).join(ideal, "query_id", "left")
     all_q = nterms.select("query_id")
     return (
         all_q.join(per_q, "query_id", "left")
@@ -2650,6 +2683,13 @@ def q_rank_eval(spark, sf_dir):
             "query_id",
             F.round(F.coalesce("p10", F.lit(0.0)), 6).alias("p_at_10"),
             F.round(F.coalesce("mrr", F.lit(0.0)), 6).alias("mrr"),
+            F.round(
+                F.coalesce(
+                    F.col("dcg") / F.nullif("idcg", F.lit(0.0)),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("ndcg_at_10"),
         )
     )
 
@@ -3977,31 +4017,49 @@ scored AS (
                           * tf.tf * {K1 + 1.0}
                           / (tf.tf + {K1}*(1.0 - {B}
                              + {B}*dl.dl/stats.avgdl)) ) AS s,
-                     count(*)::int AS matched
+                     count(*)::int AS matched,
+                     min(tf.tf) AS min_tf
               FROM q JOIN tf USING (term) JOIN dfx USING (term)
                    JOIN dl USING (doc_id) CROSS JOIN stats
               GROUP BY q.query_id, tf.doc_id
             ),
-            top AS (
+            ranked AS (
               SELECT scored.*, nterms.n_q_terms,
-                     (matched = n_q_terms)::int AS rel,
+                     (matched = n_q_terms AND min_tf >= 2)::int AS rel,
+                     (matched::DOUBLE / n_q_terms)
+                       * (least(min_tf, 3)::DOUBLE / 3.0) AS gain,
                      row_number() OVER (
                        PARTITION BY query_id
                        ORDER BY s DESC, doc_id ASC
-                     )::int AS rank
+                     )::int AS rank,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY (matched::DOUBLE / n_q_terms)
+                                * (least(min_tf, 3)::DOUBLE / 3.0) DESC,
+                                doc_id ASC
+                     )::int AS irank
               FROM scored JOIN nterms USING (query_id)
+            ),
+            ideal AS (
+              SELECT query_id,
+                     sum(gain / log2(irank + 1.0)) AS idcg
+              FROM ranked WHERE irank <= 10 GROUP BY query_id
             ),
             per_q AS (
               SELECT query_id,
                      sum(rel) / 10.0 AS p10,
                      coalesce(max(CASE WHEN rel = 1
-                              THEN 1.0::DOUBLE / rank END), 0.0) AS mrr
-              FROM top WHERE rank <= 10 GROUP BY query_id
+                              THEN 1.0::DOUBLE / rank END), 0.0) AS mrr,
+                     sum(gain / log2(rank + 1.0)) AS dcg
+              FROM ranked WHERE rank <= 10 GROUP BY query_id
             )
             SELECT nterms.query_id,
                    round(coalesce(p10, 0.0), 6) AS p_at_10,
-                   round(coalesce(mrr, 0.0), 6) AS mrr
+                   round(coalesce(mrr, 0.0), 6) AS mrr,
+                   round(coalesce(dcg / nullif(idcg, 0.0), 0.0), 6)
+                     AS ndcg_at_10
             FROM nterms LEFT JOIN per_q USING (query_id)
+                 LEFT JOIN ideal USING (query_id)
         """,
         "hybrid_rrf": f"""
             WITH {scored_ctes},
