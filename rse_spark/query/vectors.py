@@ -103,6 +103,94 @@ class VectorStore:
         ]
 
 
+    def build_lsh(self, n_bits: int = 8, seed: int = 42) -> None:
+        """Partition the store into 2^n_bits sign-LSH cells (seeded
+        random hyperplanes) — the replica's approximate scale path.
+
+        Brute-force topk reads the whole matrix every query; fine to a
+        few million rows, not beyond. With cells, a query probes only
+        the buckets whose signature is within a Hamming radius of the
+        query's, cutting the scanned fraction to roughly
+        (1 + n_bits + ...) / 2^n_bits while keeping recall high for
+        cosine neighbors (nearby vectors agree on most hyperplane
+        signs). Deterministic: same seed -> same cells -> same
+        results. Caveat shared by every LSH: i.i.d.-uniform vectors
+        (no cluster structure) are the adversarial case — neighbors
+        are barely nearer than strangers, so small probe radii lose
+        recall; real embedding spaces are clustered, which is what
+        the radius dial is for. The cluster-scale pre-filter
+        (sharding the vector table itself) stays in the declarative
+        ANN jobs (harness.q_ann_lsh_topk / q_ann_ivf_topk)."""
+        import numpy as np
+
+        if not 1 <= n_bits <= 24:
+            raise ValueError("n_bits must be in [1, 24]")
+        rng = np.random.default_rng(seed)
+        self._lsh_planes = rng.standard_normal((self.dim, n_bits))
+        bits = (self.matrix @ self._lsh_planes) >= 0.0
+        self._lsh_codes = bits @ (1 << np.arange(n_bits))
+        # rows grouped by cell: one argsort, then per-cell slices
+        order = np.argsort(self._lsh_codes, kind="stable")
+        codes_sorted = self._lsh_codes[order]
+        starts = np.searchsorted(
+            codes_sorted, np.arange(1 << n_bits), side="left"
+        )
+        ends = np.searchsorted(
+            codes_sorted, np.arange(1 << n_bits), side="right"
+        )
+        self._lsh_cells = [
+            order[s:e] for s, e in zip(starts, ends)
+        ]
+        self._lsh_bits = n_bits
+
+    def topk_lsh(self, qv, k: int = 10, hamming: int = 1,
+                 exclude: "set[int] | None" = None):
+        """Approximate cosine top-k: exact scoring restricted to the
+        cells within ``hamming`` bits of the query's LSH signature.
+        ``hamming`` is the recall dial — n_bits (probe everything)
+        makes it EXACTLY topk(). Requires build_lsh()."""
+        import numpy as np
+
+        if not hasattr(self, "_lsh_planes"):
+            raise RuntimeError("call build_lsh() first")
+        q = np.asarray(qv, dtype=np.float64)
+        qn = np.linalg.norm(q)
+        if qn == 0.0:
+            return []
+        qbits = (q @ self._lsh_planes) >= 0.0
+        qcode = int(qbits @ (1 << np.arange(self._lsh_bits)))
+        n_cells = 1 << self._lsh_bits
+        pop = np.zeros(n_cells, dtype=np.int64)
+        x = np.arange(n_cells) ^ qcode
+        while x.any():
+            pop += x & 1
+            x >>= 1
+        probe = np.nonzero(pop <= hamming)[0]
+        rows = np.concatenate(
+            [self._lsh_cells[c] for c in probe]
+        ) if len(probe) else np.empty(0, dtype=np.int64)
+        if not len(rows):
+            return []
+        sims = self.matrix[rows] @ (q / qn)
+        ids = self.ids[rows]
+        if exclude:
+            mask = ~np.isin(ids, np.fromiter(
+                (int(e) for e in exclude), dtype=np.int64,
+            ))
+            ids, sims = ids[mask], sims[mask]
+        if not len(ids):
+            return []
+        if k < len(sims):
+            kth = np.partition(sims, len(sims) - k)[len(sims) - k]
+            cand = np.nonzero(sims >= kth)[0]
+        else:
+            cand = np.arange(len(sims))
+        order = sorted(
+            cand.tolist(), key=lambda r: (-sims[r], ids[r])
+        )[:k]
+        return [(int(ids[r]), float(sims[r])) for r in order]
+
+
 RRF_K = 60  # ES 8.x rank_constant default
 
 

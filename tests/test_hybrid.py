@@ -194,3 +194,54 @@ def test_cli_serve_smoke_with_vectors(hybrid_root):
     )
     rec = json.loads(out.stdout.strip().splitlines()[-1])
     assert rec["serving"].startswith("http://")
+
+
+def test_vector_store_lsh_modes(vstore, tmp_path):
+    """topk_lsh: probing every cell (hamming = n_bits) is EXACTLY the
+    brute-force answer on any data; on clustered data (where LSH is
+    meaningful) a radius-1 probe keeps high recall at a fraction of
+    the scan. The sf0.001 fixture's vectors are i.i.d. random — the
+    adversarial case for any LSH — so recall there is only
+    sanity-checked loosely."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vstore.build_lsh(n_bits=6, seed=42)
+    qv = vstore.vector(3)
+    exact = vstore.topk(qv, k=10, exclude={3})
+    # full probe == exact (same tie-break contract), on ANY data
+    assert vstore.topk_lsh(qv, k=10, hamming=6, exclude={3}) == exact
+    # returned cosines are always TRUE cosines (scoring is exact,
+    # only the candidate set is approximate)
+    truth = dict(exact)
+    for d, c in vstore.topk_lsh(qv, k=10, hamming=2, exclude={3}):
+        if d in truth:
+            assert abs(c - truth[d]) < 1e-12
+
+    # clustered data: 4 centroids + small noise -> radius-1 recall
+    rng = np.random.default_rng(7)
+    cents = rng.standard_normal((4, 32)) * 3.0
+    vecs = np.concatenate([
+        cents[i % 4] + rng.standard_normal(32) * 0.2
+        for i in range(200)
+    ]).reshape(200, 32)
+    path = tmp_path / "clustered.parquet"
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(200), type=pa.int64()),
+        "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float64())),
+    }), path)
+    cv = VectorStore(str(path))
+    cv.build_lsh(n_bits=6, seed=42)
+    hits, total = 0, 0
+    for probe in (0, 4, 8, 12):
+        q = cv.vector(probe)
+        ex = {d for d, _ in cv.topk(q, k=10, exclude={probe})}
+        ap = cv.topk_lsh(q, k=10, hamming=1, exclude={probe})
+        hits += sum(1 for d, _ in ap if d in ex)
+        total += 10
+    assert hits / total >= 0.8, f"clustered recall@10 = {hits}/{total}"
+
+    with pytest.raises(RuntimeError, match="build_lsh"):
+        VectorStore(EMB).topk_lsh(qv)
+    with pytest.raises(ValueError, match="n_bits"):
+        vstore.build_lsh(n_bits=0)
