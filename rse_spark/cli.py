@@ -111,6 +111,9 @@ def main(argv: list[str] | None = None) -> int:
                         "?q=&knn= pages (RRF fusion)")
     s.add_argument("--vector-id-col", default="vec_id")
     s.add_argument("--vector-col", default="embedding")
+    s.add_argument("--vector-lsh-bits", type=int, default=None,
+                   help="build 2^bits LSH cells at startup, enabling "
+                        "the approximate ?knn_hamming= probe radius")
     s.add_argument("--result-cache", type=int, default=0,
                    help="request-cache entries (0 = off; "
                         "generation-invalidated)")
@@ -220,6 +223,7 @@ def main(argv: list[str] | None = None) -> int:
             vectors_path=args.vectors_path,
             vector_id_col=args.vector_id_col,
             vector_col=args.vector_col,
+            vector_lsh_bits=args.vector_lsh_bits,
         )
         if args.max_bucket_mb is not None:
             srv.searcher.max_bucket_bytes = args.max_bucket_mb << 20

@@ -577,12 +577,26 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                 except ValueError:
                     self._json(400, {"error": "knn needs a vec_id"})
                     return
+                # ?knn_hamming=R — use the vector store's LSH cells
+                # (approximate scale path) with probe radius R;
+                # requires the server to have built them
+                # (vector_lsh_bits). RuntimeError -> 400 below.
+                ham_raw = (qs.get("knn_hamming") or [""])[0]
+                lsh_hamming = None
+                if ham_raw.strip():
+                    try:
+                        lsh_hamming = int(ham_raw)
+                    except ValueError:
+                        self._json(400, {
+                            "error": "knn_hamming must be an int"
+                        })
+                        return
                 try:
                     fused = searcher.search_hybrid_rrf(
                         q, vstore, query_id=knn_id, k=k,
-                        key_col=key_col,
+                        key_col=key_col, lsh_hamming=lsh_hamming,
                     )
-                except (ValueError, KeyError) as e:
+                except (ValueError, KeyError, RuntimeError) as e:
                     self._json(400, {"error": str(e)})
                     return
                 self._json(200, {
@@ -818,7 +832,8 @@ class SearchServer:
                  result_cache: int = 0,
                  vectors_path: str | None = None,
                  vector_id_col: str = "vec_id",
-                 vector_col: str = "embedding"):
+                 vector_col: str = "embedding",
+                 vector_lsh_bits: int | None = None):
         """``corpus_path`` (parquet content store with ``id_col`` +
         ``content_col``) enables ``?phrase=`` adjacency verification;
         without it phrase requests get a 400. ``key_col`` maps index
@@ -839,6 +854,9 @@ class SearchServer:
             self.vstore = VectorStore(
                 vectors_path, id_col=vector_id_col, vec_col=vector_col
             )
+            if vector_lsh_bits is not None:
+                # enables ?knn_hamming= (the approximate scale path)
+                self.vstore.build_lsh(n_bits=vector_lsh_bits)
         # ES shard-request-cache analog, opt-in (entries, 0 = off):
         # identical result pages are served from memory until the
         # next writer commit invalidates them (generation stamp)

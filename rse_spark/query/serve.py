@@ -2312,7 +2312,8 @@ class DirectSearcher:
     def search_hybrid_rrf(self, qtext: str, vstore, query_vec=None,
                           query_id: "int | None" = None, k: int = 10,
                           n_candidates: int = 20, rrf_k: int = 60,
-                          key_col: "str | None" = None):
+                          key_col: "str | None" = None,
+                          lsh_hamming: "int | None" = None):
         """Hybrid lexical+semantic retrieval on the serving tier (ES
         8.x search+knn with RRF): BM25 top-``n_candidates`` from this
         index fused with cosine top-``n_candidates`` from ``vstore``
@@ -2327,7 +2328,13 @@ class DirectSearcher:
         are mapped to source ids BEFORE fusing, so both lists speak the
         vector table's id space. Returns
         [(id, rrf_score, text_rank, vec_rank)] with 0 = absent from
-        that list. Declarative twin: harness.q_hybrid_rrf."""
+        that list. Declarative twin: harness.q_hybrid_rrf.
+
+        ``lsh_hamming`` switches the vector side to the store's
+        approximate scale path (VectorStore.topk_lsh with that probe
+        radius; requires build_lsh) — the lexical side and the fuse
+        are unchanged, so only vector candidate RECALL is
+        approximate, never scoring."""
         from rse_spark.query.vectors import rrf_fuse
 
         if (query_vec is None) == (query_id is None):
@@ -2346,10 +2353,13 @@ class DirectSearcher:
         text_ids = [
             int(keymap[d]) for d, *_ in hits if d in keymap
         ]
-        vec_hits = vstore.topk(
-            qv, k=n_candidates,
-            exclude={query_id} if query_id is not None else None,
-        )
+        excl = {query_id} if query_id is not None else None
+        if lsh_hamming is not None:
+            vec_hits = vstore.topk_lsh(
+                qv, k=n_candidates, hamming=lsh_hamming, exclude=excl,
+            )
+        else:
+            vec_hits = vstore.topk(qv, k=n_candidates, exclude=excl)
         fused = rrf_fuse(
             [text_ids, [i for i, _c in vec_hits]], k=k, rrf_k=rrf_k,
         )

@@ -245,3 +245,57 @@ def test_vector_store_lsh_modes(vstore, tmp_path):
         VectorStore(EMB).topk_lsh(qv)
     with pytest.raises(ValueError, match="n_bits"):
         vstore.build_lsh(n_bits=0)
+
+
+def test_hybrid_lsh_mode(hybrid_root, vstore):
+    """lsh_hamming threads the approximate vector path into the
+    hybrid fuse: a full-radius probe reproduces the exact hybrid page
+    bit-for-bit; without built cells the request fails loudly."""
+    from rse_spark.query.http import SearchServer
+    from rse_spark.query.serve import DirectSearcher
+
+    s = DirectSearcher(hybrid_root, analyzer="simple")
+    vstore.build_lsh(n_bits=6, seed=42)
+    exact = s.search_hybrid_rrf(
+        "spark join", vstore, query_id=0, k=10, key_col="src_doc_id"
+    )
+    full = s.search_hybrid_rrf(
+        "spark join", vstore, query_id=0, k=10, key_col="src_doc_id",
+        lsh_hamming=6,
+    )
+    assert full == exact
+    fresh = VectorStore(EMB)
+    with pytest.raises(RuntimeError, match="build_lsh"):
+        s.search_hybrid_rrf(
+            "spark join", fresh, query_id=0, lsh_hamming=1,
+        )
+    # HTTP: server with cells answers ?knn_hamming=; without -> 400
+    srv = SearchServer(
+        hybrid_root, analyzer="simple", vectors_path=EMB,
+        key_col="src_doc_id", vector_lsh_bits=6,
+    ).start()
+    try:
+        with urllib.request.urlopen(
+            f"{srv.address}/search?q=spark+join&knn=0&knn_hamming=6"
+            f"&k=10", timeout=30,
+        ) as r:
+            body = json.load(r)
+        assert [h["id"] for h in body["results"]] == \
+            [d for d, *_ in exact]
+    finally:
+        srv.stop()
+    srv2 = SearchServer(
+        hybrid_root, analyzer="simple", vectors_path=EMB,
+        key_col="src_doc_id",
+    ).start()
+    try:
+        try:
+            urllib.request.urlopen(
+                f"{srv2.address}/search?q=spark&knn=0&knn_hamming=1",
+                timeout=30,
+            )
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv2.stop()
