@@ -237,6 +237,10 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
             want_snippets = (qs.get("snippets") or ["0"])[0] not in (
                 "0", "", "false",
             )
+            # ?fvf=ln1p_dlen — function_score field_value_factor,
+            # honored by the plain-q and ql paths (an unknown factor
+            # name is rejected by the searcher: ValueError -> 400)
+            fvf = (qs.get("fvf") or [""])[0].strip() or None
             if want_snippets and corpus_path is None:
                 self._json(400, {
                     "error": "snippets need a content store "
@@ -364,7 +368,7 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                         hits = search_ql(
                             searcher, ql, k=k, corpus_path=corpus_path,
                             content_col=content_col, id_col=id_col,
-                            key_col=key_col,
+                            key_col=key_col, fvf=fvf,
                         )
                 except ValueError as e:
                     self._json(400, {"error": str(e)})
@@ -698,10 +702,6 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                         "error": "after must be score,doc_id"
                     })
                     return
-            # ?fvf=ln1p_dlen — function_score field_value_factor;
-            # an unknown factor name is rejected by the searcher
-            # (ValueError -> 400 below)
-            fvf = (qs.get("fvf") or [""])[0].strip() or None
             try:
                 hits = searcher.search(q, k=k, mode=mode,
                                        min_match=min_match,

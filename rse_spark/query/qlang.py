@@ -659,14 +659,18 @@ def search_ql(searcher, q: str, k: int = 10,
               content_col: str = "text", id_col: str = "doc_id",
               key_col: str | None = None,
               max_prefix_terms: int = 64,
-              max_atoms: int = 16):
+              max_atoms: int = 16,
+              fvf: str | None = None):
     """Top-k for a mini-language query over a DirectSearcher.
     Returns [(doc_id, score, n_terms_matched)] like search():
     presence evaluation via ``match_ql``, then ONE scoring pass
     restricted to the qualifying docs (``search_terms(within=...)``).
     Every qualifying doc matches at least one scoring term (its
     clause's own terms), so nothing is dropped by the OR. ``atom^N``
-    boosts multiply the contribution of that atom's terms."""
+    boosts multiply the contribution of that atom's terms; ``fvf``
+    rides the scoring pass unchanged (function_score shaping applies
+    AFTER clause qualification, before top-k — same contract as plain
+    search)."""
     qualified, boosts = match_ql(
         searcher, q, corpus_path=corpus_path, content_col=content_col,
         id_col=id_col, key_col=key_col,
@@ -676,7 +680,7 @@ def search_ql(searcher, q: str, k: int = 10,
         return []
     return searcher.search_terms(
         sorted(boosts), k=k, mode="or", within=qualified,
-        boosts=boosts,
+        boosts=boosts, fvf=fvf,
     )
 
 

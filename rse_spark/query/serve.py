@@ -746,7 +746,8 @@ class DirectSearcher:
                      within=None,
                      boosts: "dict[str, float] | None" = None,
                      min_match: "int | None" = None,
-                     stats_override: "tuple | None" = None):
+                     stats_override: "tuple | None" = None,
+                     fvf: "str | None" = None):
         """Top-k over PRE-ANALYZED terms (no tokenizer pass) — the
         entry point for dictionary-expanded queries (prefix), where
         re-analyzing expanded vocabulary terms would re-stem them.
@@ -767,7 +768,8 @@ class DirectSearcher:
                 qtf[t] *= boosts.get(t, 1.0)
         return self._search_qtf(qtf, k, mode, algo, within=within,
                                 min_match=min_match,
-                                stats_override=stats_override)
+                                stats_override=stats_override,
+                                fvf=fvf)
 
     def term_docs(self, term: str) -> "object":
         """Sorted unique doc_id array of one PRE-ANALYZED term —

@@ -865,3 +865,36 @@ def test_phrase_prefix_atom_needs_sidecar(planted):
     with pytest.raises(ValueError, match="sidecar"):
         search_ql(s, '"alpha be*"', corpus_path=corpus_path,
                   key_col="src_doc_id")
+
+
+def test_search_ql_fvf(planted):
+    """fvf rides the ql scoring pass: same qualified set, scores
+    reshaped by ln(1+dl) BEFORE top-k — equals manually reshaping a
+    full unshaped ql page."""
+    import math
+
+    from rse_spark.index.codec import decode_postings
+
+    root, _corpus, _to_src = planted
+    s = DirectSearcher(root, analyzer="simple")
+    q = "alpha OR beta"
+    plain = search_ql(s, q, k=s.n_docs)
+    assert plain
+    dl = {}
+    for t in ("alpha", "beta"):
+        info = s.term_dict.get(t)
+        if not info:
+            continue
+        for row in s._bucket_rows(info[1], t):
+            ids, _tfs, dls = decode_postings(bytes(row["payload"]))
+            dl.update(zip(ids.tolist(), dls.tolist()))
+    expect = sorted(
+        ((d, sc * math.log1p(dl[d]), m) for d, sc, m in plain),
+        key=lambda r: (-r[1], r[0]),
+    )[:10]
+    shaped = search_ql(s, q, k=10, fvf="ln1p_dlen")
+    assert [r[0] for r in shaped] == [r[0] for r in expect]
+    for (d1, s1, m1), (d2, s2, m2) in zip(shaped, expect):
+        assert abs(s1 - s2) < 1e-9 and m1 == m2
+    # docs of different lengths qualify, so the factor is non-constant
+    assert len({dl[d] for d, _s, _m in plain}) > 1
