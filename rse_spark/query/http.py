@@ -81,6 +81,15 @@ def _make_handler(searcher: DirectSearcher, corpus_path: str | None = None,
                     "phrase_enabled": corpus_path is not None,
                     "index_generation": searcher.generation,
                     "result_cache": searcher.result_cache_stats,
+                    "vectors": (
+                        {
+                            "n": len(vstore), "dim": vstore.dim,
+                            "lsh_bits": getattr(
+                                vstore, "_lsh_bits", None
+                            ),
+                        }
+                        if vstore is not None else None
+                    ),
                 })
                 return
             if u.path == "/suggest":

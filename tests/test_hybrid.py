@@ -297,5 +297,12 @@ def test_hybrid_lsh_mode(hybrid_root, vstore):
             raise AssertionError("expected HTTP 400")
         except urllib.error.HTTPError as e:
             assert e.code == 400
+        # /stats reports the mounted vector table (no LSH cells here)
+        with urllib.request.urlopen(
+            f"{srv2.address}/stats", timeout=10
+        ) as r:
+            vec = json.load(r)["vectors"]
+        assert vec["n"] > 0 and vec["dim"] == 64
+        assert vec["lsh_bits"] is None
     finally:
         srv2.stop()
