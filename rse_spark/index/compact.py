@@ -49,7 +49,7 @@ from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from rse_spark.index.build import build_posting_lists, explode_tf
-from rse_spark.index.storage import IndexStorage
+from rse_spark.index.storage import POSTINGS_ROW_GROUP_BYTES, IndexStorage
 
 
 def _group_fill(store: IndexStorage, spark: SparkSession) -> list[dict]:
@@ -251,6 +251,9 @@ def _run(
             postings.repartition("seg_group", "bucket")
             .sortWithinPartitions("term")
             .write.mode("overwrite")
+            .option("parquet.block.size", str(POSTINGS_ROW_GROUP_BYTES))
+            .option("parquet.page.size.row.check.min", "32")
+        .option("parquet.page.size.row.check.min", "32")
             .partitionBy("seg_group", "bucket")
             .parquet(store._p("postings"))
         )

@@ -52,7 +52,7 @@ from pyspark.sql import types as T
 
 from rse_spark.index.build import DOC_KEY
 from rse_spark.index.codec import varint_decode, varint_encode
-from rse_spark.index.storage import IndexStorage
+from rse_spark.index.storage import POSTINGS_ROW_GROUP_BYTES, IndexStorage
 
 
 # ---------------------------------------------------------------------------
@@ -362,27 +362,41 @@ def build_positions(
         F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
     )
 
-    def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        pos_lists = list(pdf["positions"])
-        lens = np.fromiter(map(len, pos_lists), dtype=np.int64,
-                           count=len(pos_lists))
-        flat = (
-            np.concatenate([np.asarray(p, dtype=np.int64)
-                            for p in pos_lists])
-            if pos_lists else np.empty(0, dtype=np.int64)
-        )
-        doc_payload, pos_payload = encode_position_list(
-            doc_ids, lens, flat
-        )
-        return pd.DataFrame({
-            "term": [pdf["term"].iloc[0]],
-            "segment_id": [int(pdf["segment_id"].iloc[0])],
-            "bucket": [int(pdf["bucket"].iloc[0])],
-            "doc_payload": [doc_payload],
-            "pos_payload": [pos_payload],
-        })
+    def _encode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        # thousands of lists per Python call (same pattern as
+        # build.build_posting_lists): an applyInPandas per (term,
+        # segment) group paid per-group pandas setup ~10^5 times —
+        # the dominant cost of the sidecar encode stage (r7 bench:
+        # stage wall ~5x the actual encode work).
+        for pdf in batches:
+            dps: list[bytes] = []
+            pps: list[bytes] = []
+            for doc_ids, pos_lists in zip(pdf["doc_ids"], pdf["pos_lists"]):
+                lens = np.fromiter(
+                    map(len, pos_lists), dtype=np.int64,
+                    count=len(pos_lists),
+                )
+                flat = (
+                    np.concatenate(
+                        [np.asarray(p, dtype=np.int64) for p in pos_lists]
+                    )
+                    if len(pos_lists)
+                    else np.empty(0, dtype=np.int64)
+                )
+                dp, pp = encode_position_list(
+                    np.asarray(doc_ids, dtype=np.int64), lens, flat
+                )
+                dps.append(dp)
+                pps.append(pp)
+            yield pd.DataFrame({
+                "term": pdf["term"].values,
+                "segment_id": pdf["segment_id"].values,
+                "bucket": pdf["bucket"].values,
+                "doc_payload": dps,
+                "pos_payload": pps,
+            })
 
     pos_root = os.path.join(root, "positions")
     if only_missing:
@@ -397,9 +411,23 @@ def build_positions(
         import shutil
 
         shutil.rmtree(pos_root, ignore_errors=True)
-    (
+    lists = (
         rows.groupBy("term", "segment_id", "bucket")
-        .applyInPandas(_encode, _POS_SEG_SCHEMA)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "positions"))
+            ).alias("pl")
+        )
+        .select(
+            "term",
+            "segment_id",
+            "bucket",
+            F.col("pl.doc_id").alias("doc_ids"),
+            F.col("pl.positions").alias("pos_lists"),
+        )
+    )
+    (
+        lists.mapInPandas(_encode_batches, _POS_SEG_SCHEMA)
         .withColumn(
             "seg_group",
             F.floor(F.col("segment_id") / F.lit(segments_per_group)),
@@ -407,6 +435,8 @@ def build_positions(
         .repartition("seg_group", "bucket")
         .sortWithinPartitions("term")
         .write.mode("overwrite")
+        .option("parquet.block.size", str(POSTINGS_ROW_GROUP_BYTES))
+        .option("parquet.page.size.row.check.min", "32")
         .partitionBy("seg_group", "bucket")
         .parquet(pos_root)
     )

@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rse_spark.index.build import build_posting_lists, explode_tf
-from rse_spark.index.storage import IndexStorage
+from rse_spark.index.storage import POSTINGS_ROW_GROUP_BYTES, IndexStorage
 from rse_spark.index.upsert import _refresh_stats
 
 
@@ -196,6 +196,9 @@ def reindex(
             .repartition("seg_group", "bucket")
             .sortWithinPartitions("term")
             .write.mode("overwrite")
+            .option("parquet.block.size", str(POSTINGS_ROW_GROUP_BYTES))
+            .option("parquet.page.size.row.check.min", "32")
+        .option("parquet.page.size.row.check.min", "32")
             .partitionBy("seg_group", "bucket")
             .parquet(dst._p("postings"))
         )

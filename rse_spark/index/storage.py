@@ -49,6 +49,20 @@ from rse_spark.index.build import (
     tf_flat_jvm,
 )
 
+# Parquet row-group size (uncompressed buffer bytes) for posting /
+# position segment files. Files are written sorted by term, so row-group
+# min/max statistics on `term` give the serving tier an O(term) cold
+# first touch (query/serve._term_rows_cold) and give Spark's own scans
+# finer predicate-pushdown skipping — but only if a bucket file holds
+# MORE THAN ONE row group; parquet-mr's 128 MB default made every
+# bucket file a single group. 1 MB locally (~0.25 MB on disk after
+# zstd); a production cluster with larger segments would raise this
+# (e.g. 8 MB) to keep footer metadata amortized — the knob exists for
+# that (RSE_POSTINGS_ROW_GROUP_BYTES).
+POSTINGS_ROW_GROUP_BYTES = int(
+    os.environ.get("RSE_POSTINGS_ROW_GROUP_BYTES", str(1 << 20))
+)
+
 
 @dataclass
 class LoadedIndex:
@@ -180,6 +194,9 @@ class IndexStorage:
             .repartition("seg_group")
             .sortWithinPartitions("term")
             .write.mode("overwrite")
+            .option("parquet.block.size", str(POSTINGS_ROW_GROUP_BYTES))
+            .option("parquet.page.size.row.check.min", "32")
+        .option("parquet.page.size.row.check.min", "32")
             .partitionBy("seg_group")
             .parquet(self._p("postings"))
         )
@@ -428,6 +445,9 @@ def build_resumable(
             .repartition("seg_group", "bucket")
             .sortWithinPartitions("term")
             .write.mode("overwrite")
+            .option("parquet.block.size", str(POSTINGS_ROW_GROUP_BYTES))
+            .option("parquet.page.size.row.check.min", "32")
+        .option("parquet.page.size.row.check.min", "32")
             .partitionBy("seg_group", "bucket")
             .parquet(store._p("postings"))
         )

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rse_spark.index.build import build_posting_lists, explode_tf
-from rse_spark.index.storage import IndexStorage
+from rse_spark.index.storage import POSTINGS_ROW_GROUP_BYTES, IndexStorage
 
 
 def _layout(store: IndexStorage, docs_per_segment, segments_per_group,
@@ -152,6 +152,8 @@ def delete_docs(
         postings.repartition("seg_group", "bucket")
         .sortWithinPartitions("term")
         .write.mode("overwrite")
+        .option("parquet.block.size", str(POSTINGS_ROW_GROUP_BYTES))
+        .option("parquet.page.size.row.check.min", "32")
         .partitionBy("seg_group", "bucket")
         .parquet(os.path.join(tmp, "postings"))
     )

@@ -350,6 +350,27 @@ class DirectSearcher:
         self._bucket_tables: OrderedDict[int, list] = OrderedDict()
         self._bucket_bytes: dict[int, int] = {}
         self._term_rows: dict[tuple[int, str], list[dict]] = {}
+        # cold-path O(term) reads (r7): when a bucket is NOT resident,
+        # a term's rows are read via parquet row-group statistics on
+        # the term column (files are sortWithinPartitions("term"), so
+        # the term's groups are contiguous) instead of loading the
+        # whole bucket — at 100x scale a bucket is ~1/16th of the
+        # posting store, gigabytes of IO to answer one cold term.
+        # Whole-bucket loads remain the warm-cache fill (warm()/
+        # _prefetch_buckets). Flag off -> legacy always-full loads.
+        self.cold_pruned = True
+        self._cold_rows: OrderedDict[tuple[int, str], list[dict]] = (
+            OrderedDict()
+        )
+        self._cold_rows_bytes: dict[tuple[int, str], int] = {}
+        self.max_cold_rows_bytes = 256 << 20
+        self._bucket_meta: dict[int, list] = {}
+        # cumulative pruning counters (all threads; prefetch fans the
+        # per-term reads across a pool, so thread-local stats alone
+        # can miss the calling thread)
+        self._cold_counters = {
+            "row_groups_total": 0, "row_groups_read": 0, "terms": 0,
+        }
         # decoded positional keys per term (phrase/NEAR serving path):
         # LRU, byte-budgeted like the bucket cache, invalidated on
         # generation change
@@ -480,6 +501,9 @@ class DirectSearcher:
             self._bucket_tables.clear()
             self._bucket_bytes.clear()
             self._term_rows.clear()
+            self._cold_rows.clear()
+            self._cold_rows_bytes.clear()
+            self._bucket_meta.clear()
             self._pos_keys.clear()
             self._pos_keys_bytes = 0
             self._meta_docs_cache.clear()
@@ -550,6 +574,127 @@ class DirectSearcher:
                 for key in [k for k in self._term_rows if k[0] == victim]:
                     del self._term_rows[key]
 
+    def _bucket_files(self, bucket: int) -> list[str]:
+        if self.seg_groups is None:
+            pattern = os.path.join(
+                self.root, "postings", "seg_group=*",
+                f"bucket={bucket}", "*.parquet",
+            )
+            return sorted(glob.glob(pattern))
+        # sharded read: only this shard's doc partition
+        return sorted(
+            f
+            for g in self.seg_groups
+            for f in glob.glob(os.path.join(
+                self.root, "postings", f"seg_group={g}",
+                f"bucket={bucket}", "*.parquet",
+            ))
+        )
+
+    def _bucket_file_meta(self, bucket: int) -> list:
+        """Per-file row-group metadata for the cold pruned path:
+        [(path, n_row_groups, term_mins, term_maxs)]; mins/maxs are
+        None when any group lacks term statistics (then every group of
+        that file is read — never silently wrong)."""
+        meta = self._bucket_meta.get(bucket)
+        if meta is not None:
+            return meta
+        meta = []
+        for f in self._bucket_files(bucket):
+            md = pq.ParquetFile(f).metadata
+            names = [
+                md.schema.column(i).name for i in range(md.num_columns)
+            ]
+            try:
+                ci = names.index("term")
+            except ValueError:
+                meta.append((f, md.num_row_groups, None, None))
+                continue
+            mins: list | None = []
+            maxs: list | None = []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    mins = maxs = None
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            meta.append((f, md.num_row_groups, mins, maxs))
+        with self._meta_lock:
+            self._bucket_meta[bucket] = meta
+        return meta
+
+    def _term_rows_cold(self, bucket: int, term: str) -> list[dict]:
+        """O(term) first touch: read only the row groups whose term
+        [min, max] statistics straddle ``term`` (files are written
+        sorted by term, so they are contiguous), exactly the trick
+        ``read_ids_pruned`` plays for the content store. The whole-
+        bucket columnar cache is untouched — warm() still fills it."""
+        import bisect
+
+        import pyarrow.compute as pc
+
+        rows: list[dict] = []
+        total = read = 0
+        for f, n_rg, mins, maxs in self._bucket_file_meta(bucket):
+            total += n_rg
+            if mins is None:
+                keep = list(range(n_rg))
+            else:
+                lo = bisect.bisect_left(maxs, term)
+                keep = []
+                for rg in range(lo, n_rg):
+                    if mins[rg] > term:
+                        break
+                    keep.append(rg)
+            if not keep:
+                continue
+            read += len(keep)
+            tbl = pq.ParquetFile(f).read_row_groups(
+                keep, columns=self._COLS
+            )
+            sub = tbl.filter(pc.equal(tbl["term"], term))
+            if sub.num_rows:
+                rows.extend(sub.to_pylist())
+        self._tls.cold_stats = {
+            "row_groups_total": total, "row_groups_read": read,
+        }
+        with self._meta_lock:
+            self._cold_counters["row_groups_total"] += total
+            self._cold_counters["row_groups_read"] += read
+            self._cold_counters["terms"] += 1
+        return rows
+
+    @property
+    def last_cold_stats(self) -> dict:
+        """Row-group pruning telemetry of the CALLING thread's most
+        recent cold (non-resident-bucket) term read."""
+        return getattr(self._tls, "cold_stats", {})
+
+    @property
+    def cold_read_stats(self) -> dict:
+        """Cumulative row-group pruning counters across ALL cold term
+        reads (every thread) since construction."""
+        with self._meta_lock:
+            return dict(self._cold_counters)
+
+    def _cold_rows_put(self, key: tuple[int, str],
+                       rows: list[dict]) -> None:
+        nbytes = 256 + sum(
+            len(r.get("payload") or b"") + 160 for r in rows
+        )
+        with self._meta_lock:
+            self._cold_rows[key] = rows
+            self._cold_rows.move_to_end(key)
+            self._cold_rows_bytes[key] = nbytes
+            while (
+                len(self._cold_rows) > 1
+                and sum(self._cold_rows_bytes.values())
+                > self.max_cold_rows_bytes
+            ):
+                victim, _ = self._cold_rows.popitem(last=False)
+                self._cold_rows_bytes.pop(victim, None)
+
     def _load_bucket(self, bucket: int) -> list:
         """Read one bucket's parquet files into Arrow tables and build
         a term -> (offset, length) span index per file. Terms are
@@ -563,22 +708,7 @@ class DirectSearcher:
             if tables is not None:
                 return tables
             gen0 = self._gen_sig  # snapshot: don't cache across a reload
-            if self.seg_groups is None:
-                pattern = os.path.join(
-                    self.root, "postings", "seg_group=*",
-                    f"bucket={bucket}", "*.parquet",
-                )
-                files = sorted(glob.glob(pattern))
-            else:
-                # sharded read: only this shard's doc partition
-                files = sorted(
-                    f
-                    for g in self.seg_groups
-                    for f in glob.glob(os.path.join(
-                        self.root, "postings", f"seg_group={g}",
-                        f"bucket={bucket}", "*.parquet",
-                    ))
-                )
+            files = self._bucket_files(bucket)
 
             def _read_one(path: str):
                 import numpy as np
@@ -632,24 +762,36 @@ class DirectSearcher:
             return tables
 
     def _bucket_rows(self, bucket: int, term: str) -> list[dict]:
-        """All (segment) posting rows of one term. First touch of a
-        bucket reads its files once into Arrow tables; first touch of
-        a term slices just that term's contiguous run out of them. A
-        serving replica amortizes this across its query stream; memory
-        is bounded by the buckets actually queried (columnar) plus the
-        terms actually queried (row form)."""
+        """All (segment) posting rows of one term.
+
+        Resident bucket: slice the term's contiguous run out of the
+        cached Arrow tables. Non-resident + ``cold_pruned``: O(term)
+        row-group-pruned read (``_term_rows_cold``), cached in its own
+        LRU byte budget — the bucket itself stays unloaded until a
+        warm()/prefetch fill asks for it. Legacy (cold_pruned=False):
+        first touch loads the whole bucket."""
         key = (bucket, term)
         rows = self._term_rows.get(key)
-        if rows is None:
-            rows = []
-            for tbl, spans in self._load_bucket(bucket):
-                for off, ln in spans.get(term, ()):
-                    rows.extend(tbl.slice(off, ln).to_pylist())
+        if rows is not None:
+            return rows
+        if self._touch(bucket) is None and self.cold_pruned:
             with self._meta_lock:
-                # cache the row form only while its bucket is resident,
-                # so eviction keeps the budget honest
-                if bucket in self._bucket_tables:
-                    self._term_rows[key] = rows
+                rows = self._cold_rows.get(key)
+                if rows is not None:
+                    self._cold_rows.move_to_end(key)
+            if rows is None:
+                rows = self._term_rows_cold(bucket, term)
+                self._cold_rows_put(key, rows)
+            return rows
+        rows = []
+        for tbl, spans in self._load_bucket(bucket):
+            for off, ln in spans.get(term, ()):
+                rows.extend(tbl.slice(off, ln).to_pylist())
+        with self._meta_lock:
+            # cache the row form only while its bucket is resident,
+            # so eviction keeps the budget honest
+            if bucket in self._bucket_tables:
+                self._term_rows[key] = rows
         return rows
 
     def _prefetch_buckets(self, buckets) -> None:
@@ -669,16 +811,50 @@ class DirectSearcher:
             ) as ex:
                 list(ex.map(self._load_bucket, todo))
 
+    def _prefetch_terms(self, pairs) -> None:
+        """Query-entry prefetch. With ``cold_pruned``, fetch the
+        uncached (bucket, term) rows concurrently via the pruned
+        reader (no whole-bucket IO on the query path); resident
+        buckets need nothing. Legacy mode: whole-bucket prefetch."""
+        pairs = {p for p in pairs if p is not None}
+        if not self.cold_pruned:
+            self._prefetch_buckets(b for b, _t in pairs)
+            return
+        todo = [
+            (b, t) for b, t in pairs
+            if (b, t) not in self._term_rows
+            and (b, t) not in self._cold_rows
+            and self._touch(b) is None
+        ]
+        if len(todo) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(8, len(todo))
+            ) as ex:
+                list(ex.map(
+                    lambda p: self._bucket_rows(p[0], p[1]), todo
+                ))
+
     def warm(self, qtexts: list[str]) -> int:
         """Pre-load the buckets (and term rows) a query stream will
         touch, so first-request latency is excluded from steady-state
-        serving. Returns the number of distinct buckets loaded."""
+        serving. Returns the number of distinct buckets loaded.
+        This is the whole-bucket warm-cache FILL: it always loads the
+        full columnar bucket (cold_pruned only changes the per-query
+        cold path, never this)."""
         buckets: set[int] = set()
         for qtext in qtexts:
             for t in query_terms(qtext, self.analyzer):
                 info = self.term_dict.get(t)
                 if info:
                     buckets.add(info[1])
+        self._prefetch_buckets(buckets)
+        for qtext in qtexts:
+            for t in query_terms(qtext, self.analyzer):
+                info = self.term_dict.get(t)
+                if info:
+                    self._load_bucket(info[1])
                     self._bucket_rows(info[1], t)
         return len(buckets)
 
@@ -1419,10 +1595,12 @@ class DirectSearcher:
         from rse_spark.index.codec import B, K1, decode_postings
 
         self._check_generation()
-        self._prefetch_buckets(
-            info[1]
+        self._prefetch_terms(
+            (info[1], t)
             for g in groups
-            for info in (self.term_dict.get(t) for t in set(g))
+            for t, info in (
+                (t, self.term_dict.get(t)) for t in set(g)
+            )
             if info
         )
         doc_chunks, score_chunks = [], []
@@ -2518,9 +2696,11 @@ class DirectSearcher:
                 * idf_fn(self.term_dict.get(t, (0, 0))[0], self.n_docs)
                 for t in terms
             }
-        self._prefetch_buckets(
-            info[1]
-            for info in (self.term_dict.get(t) for t in terms)
+        self._prefetch_terms(
+            (info[1], t)
+            for t, info in (
+                (t, self.term_dict.get(t)) for t in terms
+            )
             if info
         )
         if combine != "sum" and algo != "numpy":
@@ -2600,7 +2780,19 @@ class DirectSearcher:
                 continue
             w = weights[t]
             for row in self._bucket_rows(info[1], t):
-                doc_ids, tfs, dls = decode_postings(bytes(row["payload"]))
+                # decoded arrays (and the query-independent BM25
+                # impact) are memoized ON the cached row dict: a warm
+                # replica re-decoded every varint payload per query —
+                # the dominant warm-path cost (r7). The memo lives and
+                # dies with the row (evicted with its bucket, dropped
+                # on generation flips); nothing downstream mutates the
+                # arrays (masking/astype all copy).
+                dec = row.get("_dec")
+                if dec is None:
+                    dec = decode_postings(bytes(row["payload"]))
+                    row["_dec"] = dec
+                doc_ids, tfs, dls = dec
+                _avgdl = self.avgdl if avgdl is None else avgdl
                 if within is not None:
                     pos = np.searchsorted(within, doc_ids)
                     pos[pos == len(within)] = 0
@@ -2612,11 +2804,25 @@ class DirectSearcher:
                     doc_ids, tfs, dls = doc_ids[mask], tfs[mask], dls[mask]
                     if not len(doc_ids):
                         continue
-                tf = tfs.astype(np.float64)
-                _avgdl = self.avgdl if avgdl is None else avgdl
-                contrib = w * tf * (K1 + 1.0) / (
-                    tf + K1 * (1.0 - B + B * dls.astype(np.float64) / _avgdl)
-                )
+                if within is None and _avgdl == self.avgdl:
+                    imp = row.get("_imp")
+                    if imp is None:
+                        tf = tfs.astype(np.float64)
+                        imp = tf * (K1 + 1.0) / (
+                            tf + K1 * (
+                                1.0 - B
+                                + B * dls.astype(np.float64) / _avgdl
+                            )
+                        )
+                        row["_imp"] = imp
+                    contrib = w * imp
+                else:
+                    tf = tfs.astype(np.float64)
+                    contrib = w * tf * (K1 + 1.0) / (
+                        tf + K1 * (
+                            1.0 - B + B * dls.astype(np.float64) / _avgdl
+                        )
+                    )
                 doc_chunks.append(doc_ids)
                 score_chunks.append(contrib)
                 if fvf is not None:

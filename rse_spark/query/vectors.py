@@ -42,16 +42,44 @@ class VectorStore:
             columns=[id_col, vec_col]
         )
         ids = tbl[id_col].to_numpy()
-        # fixed-width stack; ragged input raises loudly here rather
-        # than producing an object array that silently kills the BLAS
-        mat = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in tbl[vec_col].to_pylist()]
-        )
-        if mat.ndim != 2:
-            raise ValueError(
-                f"embeddings in {path} are not fixed-width "
-                f"(got shape {mat.shape})"
+        # zero-copy load: a (fixed-size) list column is one contiguous
+        # values buffer + offsets, so a uniform-width table reshapes
+        # into the matrix without touching Python per row (the old
+        # to_pylist() row loop dominated replica startup at 500k+
+        # vectors). Ragged/nully input falls back to the row loop,
+        # which raises the same loud error as before.
+        import pyarrow as pa
+
+        col = tbl[vec_col].combine_chunks()
+        mat = None
+        if pa.types.is_fixed_size_list(col.type) and col.null_count == 0:
+            width = col.type.list_size
+            flat = col.values.to_numpy(zero_copy_only=False)
+            mat = np.asarray(flat, dtype=np.float64).reshape(
+                len(col), width
             )
+        elif (
+            (pa.types.is_list(col.type) or pa.types.is_large_list(col.type))
+            and col.null_count == 0
+        ):
+            offs = col.offsets.to_numpy()
+            widths = np.diff(offs)
+            if len(widths) and (widths == widths[0]).all() and widths[0] > 0:
+                flat = col.values.to_numpy(zero_copy_only=False)
+                mat = np.asarray(
+                    flat[offs[0]:offs[-1]], dtype=np.float64
+                ).reshape(len(col), int(widths[0]))
+        if mat is None:
+            # fixed-width stack; ragged input raises loudly here rather
+            # than producing an object array that silently kills the BLAS
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in col.to_pylist()]
+            )
+            if mat.ndim != 2:
+                raise ValueError(
+                    f"embeddings in {path} are not fixed-width "
+                    f"(got shape {mat.shape})"
+                )
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0.0] = 1.0  # zero vectors score 0 against all
         self.ids = np.asarray(ids, dtype=np.int64)

@@ -35,7 +35,7 @@ from rse_spark.index.build import (
     enrich,
     explode_tf,
 )
-from rse_spark.index.storage import IndexStorage
+from rse_spark.index.storage import POSTINGS_ROW_GROUP_BYTES, IndexStorage
 
 
 def _refresh_stats(
@@ -295,6 +295,8 @@ def append_batch(
         postings.repartition("seg_group", "bucket")
         .sortWithinPartitions("term")
         .write.mode("overwrite")
+        .option("parquet.block.size", str(POSTINGS_ROW_GROUP_BYTES))
+        .option("parquet.page.size.row.check.min", "32")
         .partitionBy("seg_group", "bucket")
         .parquet(store._p("postings"))
     )

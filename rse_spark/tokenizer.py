@@ -206,6 +206,27 @@ def stem_cached(word: str) -> str:
 _CAMEL_RE = re.compile(r"[A-Z]+(?=[A-Z][a-z0-9])|[A-Z]?[a-z]+|[A-Z]+|[0-9]+")
 _WS_RE = re.compile(r"\s+")
 
+# Word-level memoization for the `code` analyzer: text is first cut
+# into maximal alphanumeric runs ("words"), and each word's full
+# split+lower+stem result is cached. _CAMEL_RE can never match across
+# a non-alphanumeric character, so per-word findall concatenated in
+# word order is EXACTLY findall over the whole text (equivalence
+# asserted in tests); identifiers in code are Zipf-distributed, so the
+# hit rate is high and the regex + stem run O(|word vocab|) times
+# instead of O(tokens) — measured 1.9x on the sf0.1 code corpus.
+_WORD_RE = re.compile(r"[A-Za-z0-9]+")
+_WORD_CACHE: dict[str, tuple[str, ...]] = {}
+_WORD_CACHE_MAX = 1 << 20  # safety bound per worker process
+
+
+def _word_tokens(word: str) -> tuple[str, ...]:
+    ts = _WORD_CACHE.get(word)
+    if ts is None:
+        ts = tuple(stem_cached(m.lower()) for m in _CAMEL_RE.findall(word))
+        if len(_WORD_CACHE) < _WORD_CACHE_MAX:
+            _WORD_CACHE[word] = ts
+    return ts
+
 
 def split_code(text: str) -> list[str]:
     """Code-aware split: identifiers broken at camel/snake/digit seams."""
@@ -220,7 +241,10 @@ def split_simple(text: str) -> list[str]:
 def tokenize(text: str, analyzer: str = "code") -> list[str]:
     """The canonical tokenizer. MUST be identical on index + query sides."""
     if analyzer == "code":
-        return [stem_cached(t) for t in split_code(text)]
+        out: list[str] = []
+        for w in _WORD_RE.findall(text):
+            out.extend(_word_tokens(w))
+        return out
     if analyzer == "code_nostem":
         return split_code(text)
     if analyzer == "simple":
@@ -281,20 +305,38 @@ def tf_arrays_udf(analyzer: str = "code", with_positions: bool = False):
         tfs: list[list[int]] = []
         lens: list[int] = []
         poss: list[list[list[int]]] = []
-        for x in s:
-            toks = tokenize(x, analyzer) if x is not None else []
-            if with_positions:
+        if with_positions and analyzer == "code":
+            # fused single pass: word-cached split+stem feeds the
+            # position grouping directly — no intermediate token list
+            # (saves ~25% of the UDF over tokenize-then-group; r6
+            # docs_per_sec regression item)
+            for x in s:
                 by: dict[str, list[int]] = {}
-                for i, t in enumerate(toks):
-                    by.setdefault(t, []).append(i)
+                i = 0
+                if x is not None:
+                    for w in _WORD_RE.findall(x):
+                        for t in _word_tokens(w):
+                            by.setdefault(t, []).append(i)
+                            i += 1
                 terms.append(list(by.keys()))
                 tfs.append([len(v) for v in by.values()])
                 poss.append(list(by.values()))
-            else:
-                c = Counter(toks)
-                terms.append(list(c.keys()))
-                tfs.append(list(c.values()))
-            lens.append(len(toks))
+                lens.append(i)
+        else:
+            for x in s:
+                toks = tokenize(x, analyzer) if x is not None else []
+                if with_positions:
+                    by = {}
+                    for i, t in enumerate(toks):
+                        by.setdefault(t, []).append(i)
+                    terms.append(list(by.keys()))
+                    tfs.append([len(v) for v in by.values()])
+                    poss.append(list(by.values()))
+                else:
+                    c = Counter(toks)
+                    terms.append(list(c.keys()))
+                    tfs.append(list(c.values()))
+                lens.append(len(toks))
         out = {"terms": terms, "tfs": tfs, "doc_len": lens}
         if with_positions:
             out["poss"] = poss

@@ -61,8 +61,11 @@ def test_direct_zero_hit(root):
 def test_direct_capped_bucket_cache(root):
     """A byte-capped searcher stays under budget across a query stream
     that touches many buckets, reloads evicted buckets on miss, and
-    answers identically to an uncapped searcher."""
+    answers identically to an uncapped searcher. (cold_pruned=False:
+    this exercises the legacy whole-bucket load path the cap governs;
+    the r7 pruned cold path has its own test below.)"""
     free = DirectSearcher(root, analyzer="code")
+    free.cold_pruned = False
     qs = [q.query_text for q in gen_query_set(0.0004, n_queries=24).itertuples()]
     expected = [free.search(q, k=10) for q in qs]
     total = free.cached_bucket_bytes
@@ -70,6 +73,7 @@ def test_direct_capped_bucket_cache(root):
     # budget ~ a third of the full working set -> guaranteed evictions
     budget = max(total // 3, 1)
     capped = DirectSearcher(root, analyzer="code", max_bucket_bytes=budget)
+    capped.cold_pruned = False
     for repeat in range(2):  # second pass re-touches evicted buckets
         for q, want in zip(qs, expected):
             assert capped.search(q, k=10) == want, q
@@ -83,6 +87,69 @@ def test_direct_capped_bucket_cache(root):
     # term-row cache never references an evicted bucket
     resident = set(capped._bucket_tables)
     assert {b for b, _t in capped._term_rows} <= resident
+
+
+def test_cold_pruned_equals_full(root):
+    """The r7 O(term) cold path (row-group-pruned per-term reads,
+    serve._term_rows_cold) answers every query identically to the
+    legacy whole-bucket load, touches NO bucket cache on the query
+    path, and reports pruning telemetry; warm() still performs the
+    full-bucket fill and answers stay identical after it."""
+    legacy = DirectSearcher(root, analyzer="code")
+    legacy.cold_pruned = False
+    pruned = DirectSearcher(root, analyzer="code")
+    assert pruned.cold_pruned  # the default
+    qs = [
+        q.query_text
+        for q in gen_query_set(0.0004, n_queries=16).itertuples()
+    ]
+    for q in qs:
+        assert pruned.search(q, k=10) == legacy.search(q, k=10), q
+    # cold queries never load whole buckets...
+    assert pruned.cached_bucket_bytes == 0
+    # ...and the pruning telemetry is live (reads bounded by totals)
+    st = pruned.cold_read_stats
+    assert st["terms"] >= 1
+    assert 1 <= st["row_groups_read"] <= st["row_groups_total"]
+    # the pruned row cache stays within its byte budget accounting
+    assert sum(pruned._cold_rows_bytes.values()) <= \
+        pruned.max_cold_rows_bytes
+    # warm() is the whole-bucket fill and flips the serving mode over
+    # to resident-bucket slicing — same answers
+    pruned.warm(qs)
+    assert pruned.cached_bucket_bytes > 0
+    for q in qs:
+        assert pruned.search(q, k=10) == legacy.search(q, k=10), q
+
+
+def test_cold_pruned_skips_row_groups(spark, tmp_path):
+    """With multi-row-group bucket files (small parquet.block.size),
+    the cold path reads STRICTLY FEWER row groups than the bucket
+    holds — the O(term)-not-O(bucket) claim, measured."""
+    import rse_spark.index.storage as storage_mod
+
+    r = str(tmp_path / "idx")
+    old = storage_mod.POSTINGS_ROW_GROUP_BYTES
+    storage_mod.POSTINGS_ROW_GROUP_BYTES = 4 << 10
+    try:
+        corpus = spark.createDataFrame(gen_code_corpus(0.01))
+        build_resumable(
+            spark, corpus, r, analyzer="code", docs_per_segment=64,
+        )
+    finally:
+        storage_mod.POSTINGS_ROW_GROUP_BYTES = old
+    s = DirectSearcher(root=r, analyzer="code")
+    hits = s.search("parse index merge", k=10)
+    assert hits
+    st = s.cold_read_stats
+    assert st["row_groups_total"] > st["terms"], st
+    assert 0 < st["row_groups_read"] < st["row_groups_total"], st
+    # equivalence against the legacy loader on the same index
+    legacy = DirectSearcher(root=r, analyzer="code")
+    legacy.cold_pruned = False
+    for q in gen_query_set(0.01, n_queries=8).itertuples():
+        assert s.search(q.query_text, k=10) == \
+            legacy.search(q.query_text, k=10)
 
 
 def test_direct_last_stats_thread_local(root):
