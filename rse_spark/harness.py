@@ -366,7 +366,7 @@ def q_bm25_wand_topk(spark, sf_dir):
     out = wand_search(
         spark, b.postings, " ".join(BM25_TERMS),
         n_docs=b.n_docs, avgdl=b.avgdl, term_stats=b.term_stats,
-        k=10, mode="or", analyzer="simple",
+        k=10, mode="or", analyzer="simple", algo="wand",
     )
     return out.select(
         "doc_id", F.round("score", 6).alias("score"), "n_terms_matched"

@@ -253,7 +253,6 @@ def _run(
             .write.mode("overwrite")
             .option("parquet.block.size", str(POSTINGS_ROW_GROUP_BYTES))
             .option("parquet.page.size.row.check.min", "32")
-        .option("parquet.page.size.row.check.min", "32")
             .partitionBy("seg_group", "bucket")
             .parquet(store._p("postings"))
         )

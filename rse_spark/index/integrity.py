@@ -61,34 +61,46 @@ def _sha_check(
         src = corpus
     else:
         return {"pass": False, "err": "no join key between index and corpus"}
+    # ONE full-outer join carries all four invariants in a single job:
+    # forward sha equality AND the reverse direction (corpus rows the
+    # index never ingested) — previously a second anti-join job that
+    # re-scanned both sides (r7; the corpus scan + per-row sha2 is the
+    # expensive half of the integrity suite at bench scale). The
+    # reverse count is ALWAYS reported, so a truncated index is
+    # visible; folded into pass only when the caller asserts the index
+    # should cover the whole corpus (a gated/subset build legitimately
+    # indexes fewer rows than its source table).
     joined = meta.select(*key, "content_sha256").join(
         src.select(
             *key, F.sha2(F.coalesce(F.col("content"), F.lit("")), 256)
             .alias("_src_sha")
         ),
         key,
-        "left",
+        "full_outer",
     )
     agg = joined.agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("_src_sha").isNull().cast("long")).alias("missing"),
+        F.sum(
+            F.col("content_sha256").isNotNull().cast("long")
+        ).alias("n"),
+        F.sum(
+            (
+                F.col("content_sha256").isNotNull()
+                & F.col("_src_sha").isNull()
+            ).cast("long")
+        ).alias("missing"),
         F.sum(
             (F.col("_src_sha") != F.col("content_sha256")).cast("long")
         ).alias("mismatch"),
+        F.sum(
+            F.col("content_sha256").isNull().cast("long")
+        ).alias("unindexed"),
     ).collect()[0]
     missing, mismatch = int(agg["missing"] or 0), int(agg["mismatch"] or 0)
-    # the reverse direction: corpus rows the index never ingested
-    # (anti-join, key columns only) — ALWAYS reported, so a truncated
-    # index is visible; folded into pass only when the caller asserts
-    # the index should cover the whole corpus (a gated/subset build
-    # legitimately indexes fewer rows than its source table)
-    unindexed = (
-        src.select(*key).join(meta.select(*key), key, "left_anti").count()
-    )
+    unindexed = int(agg["unindexed"] or 0)
     return {
         "pass": missing == 0 and mismatch == 0
         and (unindexed == 0 or not expect_full_coverage),
-        "rows": int(agg["n"]),
+        "rows": int(agg["n"] or 0),
         "missing_in_corpus": missing,
         "missing_in_index": int(unindexed),
         "sha_mismatch": mismatch,
@@ -197,9 +209,32 @@ def check_index(
     recomputed = term_stats_from_postings(
         spark.read.parquet(store._p("postings"))
     )
+    # one full-outer join of the two grouped sides computes BOTH
+    # multiset differences in a single job (two exceptAll counts each
+    # re-scanned term_stats + re-aggregated the posting metadata — r7)
     cols = ["term", "df", "cf", "bucket"]
-    extra = stored.select(cols).exceptAll(recomputed.select(cols)).count()
-    missing = recomputed.select(cols).exceptAll(stored.select(cols)).count()
+    a = stored.select(cols).groupBy(cols).agg(F.count("*").alias("_a"))
+    b = recomputed.select(cols).groupBy(cols).agg(
+        F.count("*").alias("_b")
+    )
+    diff = a.join(b, cols, "full_outer").agg(
+        F.sum(
+            F.greatest(
+                F.coalesce(F.col("_a"), F.lit(0))
+                - F.coalesce(F.col("_b"), F.lit(0)),
+                F.lit(0),
+            )
+        ).alias("extra"),
+        F.sum(
+            F.greatest(
+                F.coalesce(F.col("_b"), F.lit(0))
+                - F.coalesce(F.col("_a"), F.lit(0)),
+                F.lit(0),
+            )
+        ).alias("missing"),
+    ).collect()[0]
+    extra = int(diff["extra"] or 0)
+    missing = int(diff["missing"] or 0)
     report["term_stats"] = {
         "pass": extra == 0 and missing == 0,
         "stored_only": extra,

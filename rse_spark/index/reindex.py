@@ -198,7 +198,6 @@ def reindex(
             .write.mode("overwrite")
             .option("parquet.block.size", str(POSTINGS_ROW_GROUP_BYTES))
             .option("parquet.page.size.row.check.min", "32")
-        .option("parquet.page.size.row.check.min", "32")
             .partitionBy("seg_group", "bucket")
             .parquet(dst._p("postings"))
         )

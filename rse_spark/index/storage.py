@@ -196,7 +196,6 @@ class IndexStorage:
             .write.mode("overwrite")
             .option("parquet.block.size", str(POSTINGS_ROW_GROUP_BYTES))
             .option("parquet.page.size.row.check.min", "32")
-        .option("parquet.page.size.row.check.min", "32")
             .partitionBy("seg_group")
             .parquet(self._p("postings"))
         )
@@ -447,7 +446,6 @@ def build_resumable(
             .write.mode("overwrite")
             .option("parquet.block.size", str(POSTINGS_ROW_GROUP_BYTES))
             .option("parquet.page.size.row.check.min", "32")
-        .option("parquet.page.size.row.check.min", "32")
             .partitionBy("seg_group", "bucket")
             .parquet(store._p("postings"))
         )

@@ -43,7 +43,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rse_spark.index.codec import B, K1, block_bounds, decode_block
+from rse_spark.index.codec import (
+    B,
+    K1,
+    bm25_impact,
+    block_bounds,
+    decode_block,
+    decode_postings,
+)
 from rse_spark.query.engine import idf as idf_fn
 from rse_spark.query.engine import query_terms
 
@@ -321,6 +328,51 @@ def intersect_and_lists(
         target += 1
 
 
+def score_segment_vectorized(
+    lists: "list[tuple[bytes, float]]", k: int, avgdl: float,
+    n_terms: int, mode: str,
+) -> list[tuple[int, float, int]]:
+    """Exact per-segment top-k by full vectorized decode + bincount —
+    no per-posting Python loop. ``lists`` = [(payload, weight)].
+
+    Rank-identical to the WAND loop (equivalence-tested); used as the
+    default segment scorer because the interpreted per-doc WAND walk
+    costs ~3us per visited posting while the numpy pipeline costs
+    ~10ns — pruning would have to skip >99% of postings to win, which
+    block-max metadata only delivers on impact-skewed lists (the
+    Lucene analogue: BooleanScorer vs WANDScorer chosen per cost
+    model). The BMW loop stays available (algo='wand') and remains
+    the serving-tier scale story."""
+    docs_c, score_c = [], []
+    for payload, w in lists:
+        doc_ids, tfs, dls = decode_postings(payload)
+        if not len(doc_ids):
+            continue
+        docs_c.append(doc_ids)
+        score_c.append(w * bm25_impact(tfs, dls, avgdl))
+    if not docs_c:
+        return []
+    docs = np.concatenate(docs_c)
+    scores = np.concatenate(score_c)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    agg = np.bincount(inv, weights=scores)
+    matched = np.bincount(inv).astype(np.int64)
+    if mode == "and":
+        keep = matched >= n_terms
+        uniq, agg, matched = uniq[keep], agg[keep], matched[keep]
+        if not len(uniq):
+            return []
+    if len(uniq) > k:
+        kth = np.partition(agg, len(agg) - k)[len(agg) - k]
+        cand = np.nonzero(agg >= kth)[0]
+    else:
+        cand = np.arange(len(uniq))
+    order = sorted(cand.tolist(), key=lambda i: (-agg[i], uniq[i]))[:k]
+    return [
+        (int(uniq[i]), float(agg[i]), int(matched[i])) for i in order
+    ]
+
+
 def wand_search(
     spark: SparkSession,
     postings: DataFrame,
@@ -333,10 +385,14 @@ def wand_search(
     k: int = 10,
     mode: str = "or",
     analyzer: str = "code",
+    algo: str = "numpy",
 ) -> DataFrame:
-    """Block-max-pruned top-k: per-segment WAND, driver-side k-merge.
+    """Block-max-pruned top-k: per-segment scoring, driver-side k-merge.
 
-    Result is rank-identical to engine.search (equivalence-tested)."""
+    Result is rank-identical to engine.search (equivalence-tested).
+    ``algo='numpy'`` (default) scores each segment with the vectorized
+    exact kernel (:func:`score_segment_vectorized`); ``algo='wand'``
+    runs the per-posting BMW loop with block skipping."""
     from rse_spark.query.engine import _match_postings, lookup_term_info
 
     qtf = query_terms(qtext, analyzer)
@@ -363,33 +419,50 @@ def wand_search(
     n_terms = len(terms)
 
     def _per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-        iters = [
-            _ListIter(
-                bytes(r.payload),
-                r.block_offsets,
-                r.block_last,
-                r.block_max_tf,
-                r.block_min_dl,
-                weights[r.term],
-                avgdl,
-            )
-            for r in pdf.itertuples()
-        ]
-        if mode == "and":
-            if len(iters) < n_terms:
+        if algo == "numpy":
+            if mode == "and" and len(pdf) < n_terms:
                 rows = []
             else:
-                rows = intersect_and_lists(iters, k, avgdl)
+                rows = score_segment_vectorized(
+                    [
+                        (bytes(r.payload), weights[r.term])
+                        for r in pdf.itertuples()
+                    ],
+                    k, avgdl, n_terms, mode,
+                )
         else:
-            rows = wand_topk_lists(iters, k, avgdl)
+            iters = [
+                _ListIter(
+                    bytes(r.payload),
+                    r.block_offsets,
+                    r.block_last,
+                    r.block_max_tf,
+                    r.block_min_dl,
+                    weights[r.term],
+                    avgdl,
+                )
+                for r in pdf.itertuples()
+            ]
+            if mode == "and":
+                if len(iters) < n_terms:
+                    rows = []
+                else:
+                    rows = intersect_and_lists(iters, k, avgdl)
+            else:
+                rows = wand_topk_lists(iters, k, avgdl)
         return pd.DataFrame(
             rows, columns=["doc_id", "score", "n_terms_matched"]
         ).astype({"doc_id": "int64", "score": "float64", "n_terms_matched": "int32"})
 
-    per_seg = matched.select(
-        "segment_id", "term", "payload", "block_offsets", "block_last",
-        "block_max_tf", "block_min_dl",
-    ).groupBy("segment_id").applyInPandas(
+    cols = (
+        ["segment_id", "term", "payload"]
+        if algo == "numpy"
+        else [
+            "segment_id", "term", "payload", "block_offsets",
+            "block_last", "block_max_tf", "block_min_dl",
+        ]
+    )  # numpy mode needs no block metadata: don't shuffle it (§2.3)
+    per_seg = matched.select(*cols).groupBy("segment_id").applyInPandas(
         _per_segment, schema="doc_id long, score double, n_terms_matched int"
     )
     return per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
