@@ -35,14 +35,22 @@ def percolate_tokens(spark: SparkSession, toks: DataFrame,
     malformed rules (min_match out of [1, len(terms)])."""
     if not rules:
         raise ValueError("empty rule set")
+    # terms are deduplicated per rule and min_match validated against
+    # the DISTINCT count — a rule listing the same term twice would
+    # otherwise produce duplicate broadcast rows that double-count in
+    # n_matched and fire min_match early, diverging from the serving
+    # twin DirectSearcher.percolate (round-6 advice)
+    deduped: list[tuple[int, list[str], int]] = []
     for rid, terms, mm in rules:
-        if not terms or not 1 <= mm <= len(terms):
+        uniq = sorted(set(terms))
+        if not uniq or not 1 <= mm <= len(uniq):
             raise ValueError(
                 f"rule {rid}: min_match {mm} out of "
-                f"[1, {len(terms)}]"
+                f"[1, {len(uniq)}]"
             )
+        deduped.append((rid, uniq, mm))
     rules_df = spark.createDataFrame(
-        [(rid, t, mm) for rid, terms, mm in rules for t in terms],
+        [(rid, t, mm) for rid, terms, mm in deduped for t in terms],
         "rule_id INT, term STRING, min_match INT",
     )
     return (

@@ -284,6 +284,13 @@ def build_positions(
     max_di = int(bounds["di"] or 0)
     if only_missing and "pos_bits" in prev:
         pos_bits = int(prev["pos_bits"])  # must match existing keys
+    elif only_missing and prev:
+        # legacy sidecar (pre-pos_bits manifest record): its existing
+        # keys were packed with the fixed 32-bit split — deriving a
+        # split from only the MISSING groups' bounds would mismatch
+        # them and fail every positional query until a full rebuild
+        # (round-6 advice)
+        pos_bits = 32
     else:
         pos_bits = max((max_dl + _POS_SLACK).bit_length(), 26)
     if max_dl + _POS_SLACK >= (1 << pos_bits):

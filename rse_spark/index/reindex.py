@@ -64,9 +64,27 @@ def reindex(
         raise FileNotFoundError(f"{src_root} is not a finished index")
     src_layout = done["docs"]["layout"]
     analyzer = done["docs"].get("analyzer")
-    dps = docs_per_segment or src_layout["docs_per_segment"]
-    spg = segments_per_group or src_layout["segments_per_group"]
-    nb = n_buckets or src_layout["n_buckets"]
+    # explicit None inherits the source layout; an explicit 0/negative
+    # is rejected instead of silently inheriting (an `or` fallback
+    # would swallow it — round-6 advice)
+    dps = (
+        docs_per_segment if docs_per_segment is not None
+        else src_layout["docs_per_segment"]
+    )
+    spg = (
+        segments_per_group if segments_per_group is not None
+        else src_layout["segments_per_group"]
+    )
+    nb = (
+        n_buckets if n_buckets is not None
+        else src_layout["n_buckets"]
+    )
+    for name, v in (
+        ("docs_per_segment", dps), ("segments_per_group", spg),
+        ("n_buckets", nb),
+    ):
+        if int(v) < 1:
+            raise ValueError(f"{name} must be >= 1, got {v}")
     docs_per_group = dps * spg
     if os.path.exists(dst_root) and os.listdir(dst_root):
         raise FileExistsError(f"{dst_root} exists and is not empty")

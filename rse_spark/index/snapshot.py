@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 
 from rse_spark.index.storage import IndexStorage
 
@@ -34,15 +35,51 @@ class SnapshotTornError(RuntimeError):
     """Writers kept committing across every copy attempt."""
 
 
+def _mutation_signature(root: str, store: IndexStorage) -> tuple:
+    """Change signature of everything a writer touches: the generation
+    counter, every manifest record's (name, mtime, size), and the set
+    of staged swap directories (``_compact_tmp``-style). The
+    generation alone misses a mutation already MID-SWAP when the
+    snapshot starts (its bump lands only after the post-copy read):
+    the staged dir's existence and the manifest mtimes catch that
+    window (round-6 advice, medium)."""
+    sig: list = [store.generation()]
+    mdir = os.path.join(root, "manifest")
+    try:
+        for fn in sorted(os.listdir(mdir)):
+            try:
+                st = os.stat(os.path.join(mdir, fn))
+            except FileNotFoundError:
+                sig.append((fn, "vanished"))
+                continue
+            sig.append((fn, st.st_mtime_ns, st.st_size))
+    except FileNotFoundError:
+        pass
+    try:
+        staged = tuple(sorted(
+            d for d in os.listdir(root)
+            if d.startswith("_")
+            and os.path.isdir(os.path.join(root, d))
+        ))
+    except FileNotFoundError:
+        staged = ()
+    sig.append(staged)
+    return tuple(sig)
+
+
 def snapshot_index(root: str, dest: str, retries: int = 3,
                    _copytree=None) -> int:
     """Copy index ``root`` to ``dest`` (must not exist), consistent at
     one generation. Returns the captured generation number.
 
     Retries up to ``retries`` times when a writer commit lands during
-    the copy (generation changed between the pre- and post-copy
-    reads); raises SnapshotTornError when writers outpace every
-    attempt — loud, never a silently torn snapshot.
+    the copy — detected by the full mutation signature (generation +
+    manifest mtimes + staged swap dirs), not the generation alone, so
+    a swap already in flight when the copy starts is also caught; a
+    copy that crashes on files vanishing mid-walk (shutil.Error /
+    FileNotFoundError) counts as a torn attempt and retries instead
+    of propagating. Raises SnapshotTornError when writers outpace
+    every attempt — loud, never a silently torn snapshot.
     """
     if os.path.exists(dest):
         raise FileExistsError(dest)
@@ -50,11 +87,20 @@ def snapshot_index(root: str, dest: str, retries: int = 3,
         raise FileNotFoundError(f"{root} is not an index (no manifest)")
     copytree = _copytree or shutil.copytree
     store = IndexStorage(root)
-    for _ in range(max(1, retries)):
-        gen_before = store.generation()
-        copytree(root, dest)
-        if store.generation() == gen_before:
-            return gen_before
+    for attempt in range(max(1, retries)):
+        sig_before = _mutation_signature(root, store)
+        if sig_before[-1]:  # staged swap dir present: mutation in flight
+            shutil.rmtree(dest, ignore_errors=True)
+            time.sleep(min(0.05 * (attempt + 1), 0.5))
+            continue
+        try:
+            copytree(root, dest)
+        except (shutil.Error, FileNotFoundError):
+            # a writer deleted files under the walk: torn attempt
+            shutil.rmtree(dest, ignore_errors=True)
+            continue
+        if _mutation_signature(root, store) == sig_before:
+            return int(sig_before[0])
         shutil.rmtree(dest, ignore_errors=True)
     raise SnapshotTornError(
         f"writers committed during every one of {retries} copy "

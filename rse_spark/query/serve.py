@@ -350,21 +350,37 @@ class DirectSearcher:
         self._bucket_tables: OrderedDict[int, list] = OrderedDict()
         self._bucket_bytes: dict[int, int] = {}
         self._term_rows: dict[tuple[int, str], list[dict]] = {}
-        # cold-path O(term) reads (r7): when a bucket is NOT resident,
-        # a term's rows are read via parquet row-group statistics on
+        # cold-path O(term) reads (r7): when a bucket is NOT resident
+        # and its on-disk size exceeds ``cold_pruned_min_bytes``, a
+        # term's rows are read via parquet row-group statistics on
         # the term column (files are sortWithinPartitions("term"), so
         # the term's groups are contiguous) instead of loading the
         # whole bucket — at 100x scale a bucket is ~1/16th of the
         # posting store, gigabytes of IO to answer one cold term.
-        # Whole-bucket loads remain the warm-cache fill (warm()/
-        # _prefetch_buckets). Flag off -> legacy always-full loads.
+        # BELOW the threshold the whole-bucket load wins, measured at
+        # both bench scales (sf0.1: 33 vs 41ms cold p50; sf1.0, 8MB
+        # buckets: 273 vs 359ms): a query stream touches each small
+        # bucket several times, so one slurp + span index amortizes
+        # while per-term reads pay footer metadata every time. The
+        # threshold makes the choice a function of the INDEX's size,
+        # not of the host. Whole-bucket loads also remain the
+        # warm-cache fill (warm()/_prefetch_buckets). Flag off ->
+        # legacy always-full loads.
         self.cold_pruned = True
+        self.cold_pruned_min_bytes = 64 << 20
         self._cold_rows: OrderedDict[tuple[int, str], list[dict]] = (
             OrderedDict()
         )
         self._cold_rows_bytes: dict[tuple[int, str], int] = {}
         self.max_cold_rows_bytes = 256 << 20
+        # fan-out of the per-file IO inside ONE cold term read;
+        # measured best SERIAL (1): the cross-term fan-out in
+        # _prefetch_terms already saturates the IO burst and nested
+        # pools only add contention (sf0.1 A/B: 41ms serial vs 63ms
+        # at 4 threads)
+        self.cold_io_threads = 1
         self._bucket_meta: dict[int, list] = {}
+        self._bucket_disk_bytes: dict[int, int] = {}
         # cumulative pruning counters (all threads; prefetch fans the
         # per-term reads across a pool, so thread-local stats alone
         # can miss the calling thread)
@@ -504,6 +520,7 @@ class DirectSearcher:
             self._cold_rows.clear()
             self._cold_rows_bytes.clear()
             self._bucket_meta.clear()
+            self._bucket_disk_bytes.clear()
             self._pos_keys.clear()
             self._pos_keys_bytes = 0
             self._meta_docs_cache.clear()
@@ -591,6 +608,22 @@ class DirectSearcher:
             ))
         )
 
+    def _bucket_bytes_on_disk(self, bucket: int) -> int:
+        """Total on-disk bytes of the bucket's files (stat only,
+        cached): the scale signal that picks whole-bucket vs pruned
+        cold loads."""
+        b = self._bucket_disk_bytes.get(bucket)
+        if b is None:
+            b = 0
+            for f in self._bucket_files(bucket):
+                try:
+                    b += os.path.getsize(f)
+                except OSError:
+                    pass
+            with self._meta_lock:
+                self._bucket_disk_bytes[bucket] = b
+        return b
+
     def _bucket_file_meta(self, bucket: int) -> list:
         """Per-file row-group metadata for the cold pruned path:
         [(path, n_row_groups, term_mins, term_maxs)]; mins/maxs are
@@ -599,8 +632,8 @@ class DirectSearcher:
         meta = self._bucket_meta.get(bucket)
         if meta is not None:
             return meta
-        meta = []
-        for f in self._bucket_files(bucket):
+
+        def _one(f: str):
             md = pq.ParquetFile(f).metadata
             names = [
                 md.schema.column(i).name for i in range(md.num_columns)
@@ -608,8 +641,7 @@ class DirectSearcher:
             try:
                 ci = names.index("term")
             except ValueError:
-                meta.append((f, md.num_row_groups, None, None))
-                continue
+                return (f, md.num_row_groups, None, None)
             mins: list | None = []
             maxs: list | None = []
             for rg in range(md.num_row_groups):
@@ -619,7 +651,21 @@ class DirectSearcher:
                     break
                 mins.append(st.min)
                 maxs.append(st.max)
-            meta.append((f, md.num_row_groups, mins, maxs))
+            return (f, md.num_row_groups, mins, maxs)
+
+        files = self._bucket_files(bucket)
+        if len(files) > 1 and self.cold_io_threads > 1:
+            # footer parses release the GIL in the parquet reader;
+            # a bucket spans one file per seg_group, so the first cold
+            # touch of a bucket otherwise pays them serially
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(self.cold_io_threads, len(files))
+            ) as ex:
+                meta = list(ex.map(_one, files))
+        else:
+            meta = [_one(f) for f in files]
         with self._meta_lock:
             self._bucket_meta[bucket] = meta
         return meta
@@ -634,8 +680,8 @@ class DirectSearcher:
 
         import pyarrow.compute as pc
 
-        rows: list[dict] = []
         total = read = 0
+        todo: list[tuple[str, list[int]]] = []
         for f, n_rg, mins, maxs in self._bucket_file_meta(bucket):
             total += n_rg
             if mins is None:
@@ -647,15 +693,30 @@ class DirectSearcher:
                     if mins[rg] > term:
                         break
                     keep.append(rg)
-            if not keep:
-                continue
-            read += len(keep)
+            if keep:
+                read += len(keep)
+                todo.append((f, keep))
+
+        def _read(item: tuple[str, list[int]]) -> list[dict]:
+            f, keep = item
             tbl = pq.ParquetFile(f).read_row_groups(
                 keep, columns=self._COLS
             )
             sub = tbl.filter(pc.equal(tbl["term"], term))
-            if sub.num_rows:
-                rows.extend(sub.to_pylist())
+            return sub.to_pylist() if sub.num_rows else []
+
+        if len(todo) > 1 and self.cold_io_threads > 1:
+            # row-group reads release the GIL: overlap the per-
+            # seg_group files of the bucket
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(self.cold_io_threads, len(todo))
+            ) as ex:
+                parts = list(ex.map(_read, todo))
+        else:
+            parts = [_read(t) for t in todo]
+        rows = [r for part in parts for r in part]
         self._tls.cold_stats = {
             "row_groups_total": total, "row_groups_read": read,
         }
@@ -774,7 +835,12 @@ class DirectSearcher:
         rows = self._term_rows.get(key)
         if rows is not None:
             return rows
-        if self._touch(bucket) is None and self.cold_pruned:
+        if (
+            self._touch(bucket) is None
+            and self.cold_pruned
+            and self._bucket_bytes_on_disk(bucket)
+            >= self.cold_pruned_min_bytes
+        ):
             with self._meta_lock:
                 rows = self._cold_rows.get(key)
                 if rows is not None:
@@ -2645,6 +2711,11 @@ class DirectSearcher:
         if not qtf:
             return []
         self._check_generation()
+        # snapshot for the result-cache store below: a writer commit
+        # landing mid-query must not repopulate the just-invalidated
+        # cache with pre-commit results (same gen0 pattern as
+        # _load_bucket; round-6 advice)
+        gen0 = self._gen_sig
         terms = sorted(qtf)
         if min_match is not None:
             if not 1 <= min_match <= len(terms):
@@ -2712,7 +2783,7 @@ class DirectSearcher:
                                      after=after, combine=combine,
                                      tiebreak=tiebreak,
                                      avgdl=g_avgdl, fvf=fvf)
-            self._result_store(cache_key, res)
+            self._result_store(cache_key, res, gen0)
             return res
         per_segment = self._matched_lists(terms, weights)
         results: list[tuple[int, float, int]] = []
@@ -2735,13 +2806,17 @@ class DirectSearcher:
         }
         results.sort(key=lambda r: (-r[1], r[0]))
         res = results[:k]
-        self._result_store(cache_key, res)
+        self._result_store(cache_key, res, gen0)
         return res
 
-    def _result_store(self, cache_key, res) -> None:
+    def _result_store(self, cache_key, res, gen0=None) -> None:
         """LRU-insert a finished result page (no-op when caching is
-        off or the key was uncacheable)."""
+        off, the key was uncacheable, or a writer committed since the
+        query snapshotted ``gen0`` — a racing commit must not
+        repopulate the just-invalidated cache with stale pages)."""
         if cache_key is None:
+            return
+        if gen0 is not None and self._gen_stat() != gen0:
             return
         with self._meta_lock:
             self._result_cache[cache_key] = list(res)

@@ -99,6 +99,9 @@ def test_cold_pruned_equals_full(root):
     legacy.cold_pruned = False
     pruned = DirectSearcher(root, analyzer="code")
     assert pruned.cold_pruned  # the default
+    # the adaptive size threshold would route this tiny test index to
+    # the whole-bucket path; force the pruned path under test
+    pruned.cold_pruned_min_bytes = 0
     qs = [
         q.query_text
         for q in gen_query_set(0.0004, n_queries=16).itertuples()
@@ -139,6 +142,7 @@ def test_cold_pruned_skips_row_groups(spark, tmp_path):
     finally:
         storage_mod.POSTINGS_ROW_GROUP_BYTES = old
     s = DirectSearcher(root=r, analyzer="code")
+    s.cold_pruned_min_bytes = 0  # tiny index: force the pruned path
     hits = s.search("parse index merge", k=10)
     assert hits
     st = s.cold_read_stats
