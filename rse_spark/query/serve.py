@@ -860,6 +860,21 @@ class DirectSearcher:
                 self._term_rows[key] = rows
         return rows
 
+    @staticmethod
+    def _row_decoded(row: dict):
+        """Decoded (doc_ids, tfs, dls) of one posting row, memoized ON
+        the row dict — rows are cached per (bucket, term), so a warm
+        replica pays the varint decode once per list, not once per
+        query (the caches this rides on are generation-invalidated;
+        no caller mutates the arrays)."""
+        dec = row.get("_dec")
+        if dec is None:
+            from rse_spark.index.codec import decode_postings
+
+            dec = decode_postings(bytes(row["payload"]))
+            row["_dec"] = dec
+        return dec
+
     def _prefetch_buckets(self, buckets) -> None:
         """Load the given buckets' files concurrently if not cached.
         A multi-term query whose terms hash to N distinct cold buckets
@@ -1030,7 +1045,7 @@ class DirectSearcher:
             return np.empty(0, dtype=np.int64)
         chunks = []
         for row in self._bucket_rows(info[1], term):
-            ids, _tfs, _dls = decode_postings(bytes(row["payload"]))
+            ids, _tfs, _dls = self._row_decoded(row)
             chunks.append(ids)
         if not chunks:
             return np.empty(0, dtype=np.int64)
@@ -1681,9 +1696,7 @@ class DirectSearcher:
             g_docs, g_tfs, g_dls = [], [], []
             for t, info in infos:
                 for row in self._bucket_rows(info[1], t):
-                    ids, tfs, dls = decode_postings(
-                        bytes(row["payload"])
-                    )
+                    ids, tfs, dls = self._row_decoded(row)
                     g_docs.append(ids)
                     g_tfs.append(tfs)
                     g_dls.append(dls)
@@ -1878,7 +1891,7 @@ class DirectSearcher:
             }
             if info:
                 for row in self._bucket_rows(info[1], t):
-                    ids, tfs, dls = decode_postings(bytes(row["payload"]))
+                    ids, tfs, dls = self._row_decoded(row)
                     pos = int(np.searchsorted(ids, doc_id))
                     if pos < len(ids) and ids[pos] == doc_id:
                         tf = float(tfs[pos])
@@ -2862,11 +2875,7 @@ class DirectSearcher:
                 # dies with the row (evicted with its bucket, dropped
                 # on generation flips); nothing downstream mutates the
                 # arrays (masking/astype all copy).
-                dec = row.get("_dec")
-                if dec is None:
-                    dec = decode_postings(bytes(row["payload"]))
-                    row["_dec"] = dec
-                doc_ids, tfs, dls = dec
+                doc_ids, tfs, dls = self._row_decoded(row)
                 _avgdl = self.avgdl if avgdl is None else avgdl
                 if within is not None:
                     pos = np.searchsorted(within, doc_ids)
