@@ -893,10 +893,13 @@ class DirectSearcher:
                 list(ex.map(self._load_bucket, todo))
 
     def _prefetch_terms(self, pairs) -> None:
-        """Query-entry prefetch. With ``cold_pruned``, fetch the
-        uncached (bucket, term) rows concurrently via the pruned
-        reader (no whole-bucket IO on the query path); resident
-        buckets need nothing. Legacy mode: whole-bucket prefetch."""
+        """Query-entry prefetch. Buckets BELOW the pruned-size
+        threshold prefetch as whole buckets, deduped — fanning out
+        per (bucket, term) pair would convoy same-bucket pairs on the
+        bucket lock while they hold pool slots (measured 2x on the
+        64-term prefix path). Pairs in big (pruned-eligible) buckets
+        fetch their row-group-pruned rows concurrently instead — no
+        whole-bucket IO on the query path."""
         pairs = {p for p in pairs if p is not None}
         if not self.cold_pruned:
             self._prefetch_buckets(b for b, _t in pairs)
@@ -907,6 +910,13 @@ class DirectSearcher:
             and (b, t) not in self._cold_rows
             and self._touch(b) is None
         ]
+        small = {
+            b for b, _t in todo
+            if self._bucket_bytes_on_disk(b) < self.cold_pruned_min_bytes
+        }
+        if small:
+            self._prefetch_buckets(small)
+            todo = [(b, t) for b, t in todo if b not in small]
         if len(todo) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
