@@ -381,6 +381,7 @@ class DirectSearcher:
         self.cold_io_threads = 1
         self._bucket_meta: dict[int, list] = {}
         self._bucket_disk_bytes: dict[int, int] = {}
+        self._bucket_files_cache: dict[int, list[str]] = {}
         # cumulative pruning counters (all threads; prefetch fans the
         # per-term reads across a pool, so thread-local stats alone
         # can miss the calling thread)
@@ -521,6 +522,7 @@ class DirectSearcher:
             self._cold_rows_bytes.clear()
             self._bucket_meta.clear()
             self._bucket_disk_bytes.clear()
+            self._bucket_files_cache.clear()
             self._pos_keys.clear()
             self._pos_keys_bytes = 0
             self._meta_docs_cache.clear()
@@ -592,21 +594,31 @@ class DirectSearcher:
                     del self._term_rows[key]
 
     def _bucket_files(self, bucket: int) -> list[str]:
+        # memoized per generation: the size probe, the metadata scan
+        # and the loader all need the same listing, and a glob costs
+        # milliseconds on this filesystem — visible on cold p50
+        files = self._bucket_files_cache.get(bucket)
+        if files is not None:
+            return files
         if self.seg_groups is None:
             pattern = os.path.join(
                 self.root, "postings", "seg_group=*",
                 f"bucket={bucket}", "*.parquet",
             )
-            return sorted(glob.glob(pattern))
-        # sharded read: only this shard's doc partition
-        return sorted(
-            f
-            for g in self.seg_groups
-            for f in glob.glob(os.path.join(
-                self.root, "postings", f"seg_group={g}",
-                f"bucket={bucket}", "*.parquet",
-            ))
-        )
+            files = sorted(glob.glob(pattern))
+        else:
+            # sharded read: only this shard's doc partition
+            files = sorted(
+                f
+                for g in self.seg_groups
+                for f in glob.glob(os.path.join(
+                    self.root, "postings", f"seg_group={g}",
+                    f"bucket={bucket}", "*.parquet",
+                ))
+            )
+        with self._meta_lock:
+            self._bucket_files_cache[bucket] = files
+        return files
 
     def _bucket_bytes_on_disk(self, bucket: int) -> int:
         """Total on-disk bytes of the bucket's files (stat only,
