@@ -2937,14 +2937,39 @@ class DirectSearcher:
             return []
         docs = np.concatenate(doc_chunks)
         scores = np.concatenate(score_chunks)
-        uniq, inv = np.unique(docs, return_inverse=True)
-        agg = np.bincount(inv, weights=scores)
+        # dense offset-bincount grouping when the id range is compact
+        # (np.unique's argsort was ~1/3 of the cold-query profile at
+        # 500k docs); sparse ranges fall back to unique+inverse. Both
+        # paths accumulate in identical input order -> bit-identical
+        # sums (asserted by the equivalence tests).
+        lo = int(docs.min())
+        width = int(docs.max()) - lo + 1
+        dense = width <= max(4 * len(docs), 1 << 20)
+        if dense:
+            keys = docs - lo
+            cnt_full = np.bincount(keys, minlength=width)
+            agg_full = np.bincount(
+                keys, weights=scores, minlength=width
+            )
+            nz = np.flatnonzero(cnt_full)
+            uniq = nz + lo
+            agg = agg_full[nz]
+            matched = cnt_full[nz].astype(np.int64)
+        else:
+            uniq, inv = np.unique(docs, return_inverse=True)
+            agg = np.bincount(inv, weights=scores)
+            matched = np.bincount(inv).astype(np.int64)
         if combine == "dismax":
             # DisjunctionMax: best single clause dominates, the rest
             # contribute tiebreak-scaled — max via maximum.at, the sum
             # the bincount above already produced
-            best = np.zeros(len(uniq))
-            np.maximum.at(best, inv, scores)
+            if dense:
+                best_full = np.zeros(width)
+                np.maximum.at(best_full, keys, scores)
+                best = best_full[nz]
+            else:
+                best = np.zeros(len(uniq))
+                np.maximum.at(best, inv, scores)
             agg = best + tiebreak * (agg - best)
         if fvf is not None:
             # ES function_score field_value_factor (modifier=ln1p,
@@ -2954,10 +2979,14 @@ class DirectSearcher:
             # vectorized log — no metadata fetch. Applied BEFORE the
             # match-count filters and top-k so shaping changes the
             # RANKING, not just the displayed score.
-            dlu = np.zeros(len(uniq))
-            dlu[inv] = np.concatenate(dl_chunks)
+            if dense:
+                dlu_full = np.zeros(width)
+                dlu_full[keys] = np.concatenate(dl_chunks)
+                dlu = dlu_full[nz]
+            else:
+                dlu = np.zeros(len(uniq))
+                dlu[inv] = np.concatenate(dl_chunks)
             agg = agg * np.log1p(dlu)
-        matched = np.bincount(inv).astype(np.int64)
         if mode == "and" or min_match is not None:
             need = len(terms) if mode == "and" else min_match
             keep = matched >= need

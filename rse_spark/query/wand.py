@@ -328,6 +328,30 @@ def intersect_and_lists(
         target += 1
 
 
+def group_sum_by_doc(
+    docs: np.ndarray, scores: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(uniq_docs, summed_scores, match_counts) grouped by doc id.
+
+    When the id RANGE is compact relative to the posting count (the
+    common case: dense per-corpus or per-segment ids), accumulate by
+    offset bincount — O(n + range) with no sort; np.unique's argsort
+    was ~1/3 of the whole cold-query profile at 500k docs. Falls back
+    to unique+inverse for sparse ranges. Both paths add weights in
+    identical input order, so sums are bit-identical."""
+    lo = int(docs.min())
+    width = int(docs.max()) - lo + 1
+    if width <= max(4 * len(docs), 1 << 20):
+        keys = docs - lo
+        cnt = np.bincount(keys, minlength=width)
+        agg = np.bincount(keys, weights=scores, minlength=width)
+        nz = np.flatnonzero(cnt)
+        return nz + lo, agg[nz], cnt[nz].astype(np.int64)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    agg = np.bincount(inv, weights=scores)
+    return uniq, agg, np.bincount(inv).astype(np.int64)
+
+
 def score_segment_vectorized(
     lists: "list[tuple[bytes, float]]", k: int, avgdl: float,
     n_terms: int, mode: str,
@@ -354,9 +378,7 @@ def score_segment_vectorized(
         return []
     docs = np.concatenate(docs_c)
     scores = np.concatenate(score_c)
-    uniq, inv = np.unique(docs, return_inverse=True)
-    agg = np.bincount(inv, weights=scores)
-    matched = np.bincount(inv).astype(np.int64)
+    uniq, agg, matched = group_sum_by_doc(docs, scores)
     if mode == "and":
         keep = matched >= n_terms
         uniq, agg, matched = uniq[keep], agg[keep], matched[keep]

@@ -156,6 +156,24 @@ def test_cold_pruned_skips_row_groups(spark, tmp_path):
             legacy.search(q.query_text, k=10)
 
 
+def test_group_sum_dense_equals_sparse():
+    """The dense offset-bincount grouping is BIT-IDENTICAL to the
+    unique+inverse path (both accumulate weights in input order)."""
+    import numpy as np
+
+    from rse_spark.query.wand import group_sum_by_doc
+
+    rng = np.random.default_rng(7)
+    docs = rng.integers(0, 5000, 20000).astype(np.int64)
+    scores = rng.random(20000)
+    u1, a1, m1 = group_sum_by_doc(docs, scores)  # dense route
+    docs2 = docs * 1_000_003  # same groups, range >> 4n -> sparse route
+    u2, a2, m2 = group_sum_by_doc(docs2, scores)
+    assert np.array_equal(u1 * 1_000_003, u2)
+    assert np.array_equal(a1, a2)  # bit-identical float sums
+    assert np.array_equal(m1, m2)
+
+
 def test_direct_last_stats_thread_local(root):
     """Concurrent wand searches each read their OWN telemetry."""
     import threading
