@@ -958,6 +958,10 @@ class DirectSearcher:
         if small:
             self._prefetch_buckets(small)
             todo = [(b, t) for b, t in todo if b not in small]
+        # (measured and rejected: also fanning the per-term row slice
+        # + first-touch decode across the pool — cold p95 went 48 ->
+        # 72ms at sf0.1; the Python-side halves of those steps thrash
+        # the GIL on the heaviest query. The scorer decodes lazily.)
         if len(todo) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
