@@ -223,6 +223,31 @@ class IndexStorage:
                            "content")]
         )
 
+    def _size_partitions(self, spark: SparkSession, sub: str) -> int:
+        """Partition count derived from a table's ON-DISK bytes.
+
+        Spark's file-split formula spreads small many-file tables
+        across ``defaultParallelism`` (openCostInBytes-padded), so a
+        ~10MB postings table scans as ~30 near-empty tasks and every
+        query job pays per-task scheduler cost for nothing. Sizing by
+        bytes/maxPartitionBytes keeps big indexes at the scan default
+        (coalesce past the split count is a no-op) and collapses small
+        ones to a handful of real tasks."""
+        total = 0
+        try:
+            for dirpath, _, files in os.walk(self._p(sub)):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += os.path.getsize(os.path.join(dirpath, f))
+        except OSError:
+            return 0
+        try:
+            raw = spark.conf.get("spark.sql.files.maxPartitionBytes")
+            target = int(str(raw).lower().rstrip("b"))
+        except Exception:  # noqa: BLE001 — unparseable conf: keep default
+            target = 128 * 1024 * 1024
+        return -(-total // max(1, target)) if total else 0
+
     def load(self, spark: SparkSession) -> LoadedIndex:
         stats = spark.read.parquet(self._p("corpus_stats")).collect()[0]
         meta = self.docs_meta(spark)
@@ -230,11 +255,15 @@ class IndexStorage:
             c for c in meta.columns
             if c not in ("doc_len", "content_sha256", "seg_group")
         ]
+        postings = spark.read.parquet(self._p("postings"))
+        n_parts = self._size_partitions(spark, "postings")
+        if n_parts:
+            postings = postings.coalesce(n_parts)
         return LoadedIndex(
             doc_map=meta.select(*map_cols),
             doc_stats=meta.select("doc_id", "doc_len", "content_sha256"),
             term_stats=spark.read.parquet(self._p("term_stats")),
-            postings=spark.read.parquet(self._p("postings")),
+            postings=postings,
             avgdl=float(stats["avgdl"]),
             n_docs=int(stats["n_docs"]),
         )

@@ -92,3 +92,22 @@ def test_loaded_index_queryable(spark, corpus, tmp_path_factory):
     assert [(r.doc_id, round(r.score, 9)) for r in hits] == [
         (r.doc_id, round(r.score, 9)) for r in hits2
     ]
+
+
+def test_load_sizes_postings_partitions(spark, corpus, tmp_path_factory):
+    """load() derives the postings partition count from on-disk bytes:
+    a tiny many-file index collapses to one scan task instead of being
+    spread across defaultParallelism, and the rows are unchanged."""
+    root = str(tmp_path_factory.mktemp("idx_sz"))
+    build_resumable(spark, corpus, root, docs_per_segment=16)
+    store = IndexStorage(root)
+    idx = store.load(spark)
+
+    n_bytes_parts = store._size_partitions(spark, "postings")
+    assert n_bytes_parts == 1  # well under one maxPartitionBytes
+    assert idx.postings.rdd.getNumPartitions() == 1
+
+    raw = spark.read.parquet(f"{root}/postings")
+    a = sorted(map(tuple, idx.postings.select("term", "segment_id").collect()))
+    b = sorted(map(tuple, raw.select("term", "segment_id").collect()))
+    assert a == b
